@@ -1,44 +1,226 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native overlay engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship H3-partitioned boolean-overlay spatial
+join at sf0.001 scale; ``queries()`` exposes one pipeline per
+implemented operator family (SURVEY.md §2 + training-data ops);
+``oracle_sql()`` gives DuckDB equivalents for the SQL-expressible ones.
+Geometry answers are checked through arithmetic oracles (rect interval
+math, range PIP, integer kNN) so the overlay kernel itself is inside
+the verified path.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller — nothing here calls ray.init().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _harden_worker_imports() -> None:
+    """If the driver launched from outside the repo, Ray workers may not
+    have the repo on their import path (Ray snapshots sys.path at
+    ray.init, before this module is imported). Fall back to shipping the
+    package by value through cloudpickle."""
+    if os.getcwd() == _REPO:
+        return
+    try:
+        from ray import cloudpickle
+        import ioverlay_ray  # noqa: F401
+        # import the full surface first so every module gets registered
+        from ioverlay_ray.pipelines import flagship, geometry_queries, relational  # noqa: F401
+        from ioverlay_ray.stages import ann, dedup, overlay_stage, spatial, text  # noqa: F401
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("ioverlay_ray") and mod is not None:
+                try:
+                    cloudpickle.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+    except Exception:
+        pass
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    _harden_worker_imports()
+    from ioverlay_ray.pipelines import flagship
+    ds = flagship.images_dataset(256)
+    res = flagship.overlay_join(ds, "intersect")
+    return flagship.tile_summary(res)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    _harden_worker_imports()
+    from ioverlay_ray.pipelines import geometry_queries as gq
+    from ioverlay_ray.pipelines import relational as rq
+    return {
+        # core relational operators (map/filter/agg/join/sort/distinct)
+        "q_pricing_summary": rq.q_pricing_summary,
+        "q_top_orders": rq.q_top_orders,
+        "q_nation_customers": rq.q_nation_customers,
+        "q_order_revenue_topk": rq.q_order_revenue_topk,
+        "q_part_brands": rq.q_part_brands,
+        "q_events_daily": rq.q_events_daily,
+        # training-data ops
+        "q_doc_dedup_exact": rq.q_doc_dedup_exact,
+        "q_doc_token_stats": rq.q_doc_token_stats,
+        "q_doc_quality": rq.q_doc_quality,
+        "q_doc_lang": rq.q_doc_lang,
+        "q_doc_fingerprint": rq.q_doc_fingerprint,
+        "q_minhash_bands": rq.q_minhash_bands,
+        "q_simhash": rq.q_simhash,
+        "q_ann_cosine_topk": rq.q_ann_cosine_topk,
+        # geometry engine (SQL-checked via arithmetic oracles)
+        "q_rect_intersect_area": gq.q_rect_intersect_area,
+        "q_pip_count": gq.q_pip_count,
+        "q_knn_centers": gq.q_knn_centers,
+        # geometry engine (rows-only)
+        "q_overlay_fixture_corpus": gq.q_overlay_fixture_corpus,
+        "q_flagship_tiles": gq.q_flagship_tiles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+                   CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_cents,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_top_orders": """
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+            FROM orders WHERE o_orderstatus = 'O'
+            ORDER BY o_totalprice DESC LIMIT 10
+        """,
+        "q_nation_customers": """
+            SELECT n_name, COUNT(*) AS num_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_order_revenue_topk": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+            LIMIT 20
+        """,
+        "q_part_brands": """
+            SELECT p_brand, COUNT(*) AS n_parts FROM part GROUP BY p_brand
+        """,
+        "q_events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "q_doc_dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+            ORDER BY doc_id
+        """,
+        "q_doc_token_stats": """
+            SELECT doc_id,
+                   CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "q_doc_quality": """
+            SELECT doc_id,
+                   CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+            FROM documents
+        """,
+        "q_ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.qe AS DOUBLE[])) AS score
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "q_rect_intersect_area": """
+            WITH r AS (
+                SELECT p_partkey,
+                       (p_partkey * 37) % 4096 AS ax0,
+                       (p_partkey * 91) % 4096 AS ay0,
+                       (p_partkey * 37) % 4096 + p_size * 3 + 5 AS ax1,
+                       (p_partkey * 91) % 4096 + p_size * 2 + 7 AS ay1,
+                       (p_partkey * 53 + 17) % 4096 AS bx0,
+                       (p_partkey * 29 + 101) % 4096 AS by0,
+                       (p_partkey * 53 + 17) % 4096 + p_size * 2 + 9 AS bx1,
+                       (p_partkey * 29 + 101) % 4096 + p_size * 3 + 4 AS by1
+                FROM part
+            )
+            SELECT p_partkey,
+                   2 * GREATEST(0, LEAST(ax1, bx1) - GREATEST(ax0, bx0))
+                     * GREATEST(0, LEAST(ay1, by1) - GREATEST(ay0, by0))
+                     AS inter_area2
+            FROM r
+        """,
+        "q_pip_count": """
+            WITH r AS (
+                SELECT p_partkey,
+                       (p_partkey * 37) % 4096 AS x0,
+                       (p_partkey * 91) % 4096 AS y0,
+                       (p_partkey * 37) % 4096 + p_size * 3 + 5 AS x1,
+                       (p_partkey * 91) % 4096 + p_size * 2 + 7 AS y1
+                FROM part WHERE p_partkey % 17 = 0
+            ), p AS (
+                SELECT (event_id * 7) % 4096 AS px,
+                       (event_id * 13) % 4096 AS py
+                FROM events
+            )
+            -- half-open boundary convention of the winding-number kernel:
+            -- a point on the left or top edge is inside, right/bottom out
+            SELECT r.p_partkey,
+                   CAST(COUNT(*) FILTER (
+                       WHERE p.px >= r.x0 AND p.px < r.x1
+                         AND p.py > r.y0 AND p.py <= r.y1) AS BIGINT) AS n_points
+            FROM r CROSS JOIN p
+            GROUP BY r.p_partkey
+        """,
+        "q_knn_centers": """
+            WITH c AS (
+                SELECT p_partkey AS center_id,
+                       ((p_partkey * 37) % 4096
+                        + (p_partkey * 37) % 4096 + p_size * 3 + 5) // 2 AS cx,
+                       ((p_partkey * 91) % 4096
+                        + (p_partkey * 91) % 4096 + p_size * 2 + 7) // 2 AS cy
+                FROM part
+            ), q AS (
+                SELECT event_id AS query_id,
+                       (event_id * 7) % 4096 AS qx,
+                       (event_id * 13) % 4096 AS qy
+                FROM events WHERE event_id <= 50
+            )
+            SELECT query_id, center_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY (cx - qx) * (cx - qx) + (cy - qy) * (cy - qy),
+                                center_id) AS BIGINT) AS rank
+            FROM c CROSS JOIN q
+            QUALIFY rank <= 5
+        """,
+    }

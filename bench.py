@@ -1,0 +1,128 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-pipeline sec), "sf", "num_cpus", ...extras}.
+
+--scaling runs the headline overlay join twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs plus efficiency = (T8_cpus_rate4x expectation): see
+BASELINE.md. (Real cluster scaling is evidenced by parallelism levels
+in this sandbox.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def run_flagship(n_images: int, concurrency=None) -> dict:
+    """Headline: H3-partitioned boolean-overlay spatial join."""
+    from ioverlay_ray.pipelines import flagship
+    t0 = time.time()
+    ds = flagship.images_dataset(n_images)
+    res = flagship.overlay_join(ds, "intersect", batch_size=128)
+    summary = flagship.tile_summary(res).to_pandas()
+    dt = time.time() - t0
+    return {
+        "sec": dt,
+        "pairs": int(summary["pairs"].sum()),
+        "tiles": int(len(summary)),
+        "pairs_per_sec": int(summary["pairs"].sum() / dt),
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    names = ["q_pricing_summary", "q_order_revenue_topk", "q_doc_dedup_exact",
+             "q_minhash_bands", "q_ann_cosine_topk", "q_rect_intersect_area",
+             "q_pip_count", "q_knn_centers", "q_overlay_fixture_corpus"]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_once(sf_dir: str, num_cpus: int, n_images: int) -> dict:
+    _init_ray(num_cpus)
+    flag = run_flagship(n_images)
+    queries = run_queries(sf_dir)
+    queries["flagship_overlay_join"] = round(flag["sec"], 3)
+    total = sum(queries.values())
+    import ray
+    ray.shutdown()
+    return {
+        "metric": "tiles+join-rows/sec on H3-partitioned boolean-overlay "
+                  "spatial join (+ operator suite)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "flagship_pairs": flag["pairs"],
+        "flagship_tiles": flag["tiles"],
+        "flagship_pairs_per_sec": flag["pairs_per_sec"],
+    }
+
+
+def scaling(sf_dir: str, n_images: int) -> dict:
+    """Same job at two parallelism levels in fresh processes."""
+    rates = {}
+    for cpus in (8, 32):
+        code = (
+            "import json,sys;sys.path.insert(0,'{repo}');"
+            "import bench;"
+            "bench._init_ray({cpus});"
+            "r=bench.run_flagship({n});"
+            "print(json.dumps(r))"
+        ).format(repo=os.path.dirname(os.path.abspath(__file__)),
+                 cpus=cpus, n=n_images)
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, check=True)
+        rates[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    r8 = rates[8]["pairs_per_sec"]
+    r32 = rates[32]["pairs_per_sec"]
+    return {
+        "metric": "scaling efficiency N->4N (num_cpus 8 -> 32)",
+        "value": round(r32 / r8 / 4.0, 3),
+        "unit": "efficiency",
+        "throughput_8cpu_pairs_per_sec": r8,
+        "throughput_32cpu_pairs_per_sec": r32,
+        "sec_8cpu": round(rates[8]["sec"], 3),
+        "sec_32cpu": round(rates[32]["sec"], 3),
+        "n_pairs": rates[32]["pairs"],
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_images = int(os.environ.get("GRAFT_N_IMAGES", "8192"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling(sf_dir, n_images)))
+    else:
+        print(json.dumps(bench_once(sf_dir, num_cpus, n_images)))
+
+
+if __name__ == "__main__":
+    main()

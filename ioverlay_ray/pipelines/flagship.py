@@ -1,0 +1,89 @@
+"""Flagship pipeline: H3-partitioned boolean-overlay spatial join over
+the image+caption table.
+
+read_parquet (pruned columns) -> AnnotateStage (derive footprint +
+star polygons, assign tile) -> OverlayStage (per-pair boolean op) ->
+per-tile aggregate. Streaming end to end; the binary image payload is
+never read (columns=['image_id','w','h']).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..sources.synth import make_images_table
+from ..stages.overlay_stage import AnnotateStage, MultiRuleOverlayStage, OverlayStage
+
+
+def images_dataset(n_images: int = 512, seed: int = 42,
+                   path: str | None = None) -> "ray.data.Dataset":
+    """Materialize (once) and read the synthetic images table."""
+    if path is None:
+        path = os.path.join(tempfile.gettempdir(),
+                            f"ioverlay_images_{n_images}_{seed}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        # shard the generation so large n doesn't build one giant table
+        shard = 4096
+        for s0 in range(0, n_images, shard):
+            fn = os.path.join(path, f"part_{s0:09d}.parquet")
+            if not os.path.exists(fn):
+                t = make_images_table(min(shard, n_images - s0), seed)
+                pq.write_table(t, fn)
+        open(marker, "w").close()
+    return ray.data.read_parquet(
+        [os.path.join(path, f) for f in sorted(os.listdir(path))
+         if f.endswith(".parquet")],
+        columns=["image_id", "w", "h"])
+
+
+def overlay_join(ds: "ray.data.Dataset", rule: str = "intersect",
+                 fill_rule: str = "nonzero", resolution: int = 4,
+                 concurrency: int | None = None,
+                 batch_size: int = 256) -> "ray.data.Dataset":
+    """images -> annotations -> per-pair overlay results."""
+    annotated = ds.map_batches(AnnotateStage(resolution),
+                               batch_format="pyarrow",
+                               batch_size=max(1024, batch_size))
+    return annotated.map_batches(
+        OverlayStage(rule, fill_rule), batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)
+
+
+def overlay_join_all_rules(ds, rules=("intersect", "union", "difference",
+                                      "xor"), fill_rule="nonzero",
+                           resolution: int = 4, batch_size: int = 256,
+                           concurrency: int | None = None):
+    annotated = ds.map_batches(AnnotateStage(resolution),
+                               batch_format="pyarrow",
+                               batch_size=max(1024, batch_size))
+    return annotated.map_batches(
+        MultiRuleOverlayStage(rules, fill_rule), batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)
+
+
+def tile_summary(results: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-tile rollup (tiny result; safe to collect)."""
+    import pyarrow.compute as pc
+
+    def agg(batch: pa.Table) -> pa.Table:
+        # partial per-batch combine before the small groupby
+        import pandas as pd
+        df = batch.select(["tile_id", "n_shapes", "area2"]).to_pandas()
+        g = df.groupby("tile_id", as_index=False).agg(
+            pairs=("n_shapes", "size"), shapes=("n_shapes", "sum"),
+            area2=("area2", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = results.map_batches(agg, batch_format="pyarrow")
+    return partial.groupby("tile_id").aggregate(
+        ray.data.aggregate.Sum("pairs", alias_name="pairs"),
+        ray.data.aggregate.Sum("shapes", alias_name="shapes"),
+        ray.data.aggregate.Sum("area2", alias_name="area2"),
+    )

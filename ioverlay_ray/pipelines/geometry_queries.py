@@ -1,0 +1,185 @@
+"""Geometry pipelines with arithmetic SQL oracles.
+
+Rectangles/points are derived deterministically from the relational
+test tables with pure integer arithmetic, so DuckDB can reproduce the
+*answers* (interval math, range predicates, integer distances) while
+the Ray side computes them through the real geometry engine (overlay
+kernel, winding-number PIP, kNN stage). Any kernel regression breaks
+the hash match.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+MOD = 4096
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def part_rects(partkey: np.ndarray, size: np.ndarray):
+    """Two deterministic rectangles per part row (integer arithmetic,
+    reproducible in SQL)."""
+    pk = np.asarray(partkey, np.int64)
+    sz = np.asarray(size, np.int64)
+    ax0 = (pk * 37) % MOD
+    ay0 = (pk * 91) % MOD
+    ax1 = ax0 + sz * 3 + 5
+    ay1 = ay0 + sz * 2 + 7
+    bx0 = (pk * 53 + 17) % MOD
+    by0 = (pk * 29 + 101) % MOD
+    bx1 = bx0 + sz * 2 + 9
+    by1 = by0 + sz * 3 + 4
+    return (ax0, ay0, ax1, ay1), (bx0, by0, bx1, by1)
+
+
+def q_rect_intersect_area(sf_dir: str) -> pd.DataFrame:
+    """Boolean intersect of the two derived rects per part, run through
+    the full overlay kernel; area2 = 2x the intersection area."""
+    from ..geometry.overlay import overlay
+    from ..stages.geo_arrow import shapes_area2
+
+    def stage(batch: pa.Table) -> pa.Table:
+        pk = np.asarray(batch.column("p_partkey").to_pylist(), np.int64)
+        sz = np.asarray(batch.column("p_size").to_pylist(), np.int64)
+        (ax0, ay0, ax1, ay1), (bx0, by0, bx1, by1) = part_rects(pk, sz)
+        areas = []
+        for i in range(len(pk)):
+            subj = [[(int(ax0[i]), int(ay0[i])), (int(ax1[i]), int(ay0[i])),
+                     (int(ax1[i]), int(ay1[i])), (int(ax0[i]), int(ay1[i]))]]
+            clip = [[(int(bx0[i]), int(by0[i])), (int(bx1[i]), int(by0[i])),
+                     (int(bx1[i]), int(by1[i])), (int(bx0[i]), int(by1[i]))]]
+            shapes = overlay(subj, clip, "intersect", "nonzero")
+            areas.append(abs(shapes_area2(shapes)))
+        return pa.table({
+            "p_partkey": pa.array(pk, pa.int64()),
+            "inter_area2": pa.array(areas, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size"])
+    return ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+
+
+def q_pip_count(sf_dir: str) -> pd.DataFrame:
+    """Point-in-polygon via winding number: event-derived points stream
+    through map_batches against broadcast part-derived rect polygons."""
+    import pyarrow.parquet as pq
+    from ..stages.spatial import PIPCountStage
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_size"]).to_pandas()
+    part = part[part["p_partkey"] % 17 == 0]
+    (ax0, ay0, ax1, ay1), _ = part_rects(part["p_partkey"].values,
+                                         part["p_size"].values)
+    polys = []
+    for pk, x0, y0, x1, y1 in zip(part["p_partkey"].values, ax0, ay0, ax1, ay1):
+        polys.append((int(pk), [[(int(x0), int(y0)), (int(x1), int(y0)),
+                                 (int(x1), int(y1)), (int(x0), int(y1))]]))
+    polys_ref = ray.put(polys)
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch.column("event_id").to_pylist(), np.int64)
+        return pa.table({
+            "px": pa.array((eid * 7) % MOD, pa.int64()),
+            "py": pa.array((eid * 13) % MOD, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    pts = ds.map_batches(to_points, batch_format="pyarrow")
+    partials = pts.map_batches(PIPCountStage, batch_format="pyarrow",
+                               fn_constructor_args=(polys_ref,),
+                               concurrency=2).to_pandas()
+    out = partials.groupby("poly_id", as_index=False)["n_points"].sum()
+    out.columns = ["p_partkey", "n_points"]
+    return out.astype(np.int64)
+
+
+def q_knn_centers(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """kNN: 50 event-derived query points vs part-rect centers; exact
+    integer distances, deterministic tie-break by center id."""
+    import pyarrow.parquet as pq
+    from ..stages.spatial import KnnStage, merge_knn
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_id"]).to_pandas()
+    ev = ev[ev["event_id"] <= 50]
+    queries = [(int(e), int((e * 7) % MOD), int((e * 13) % MOD))
+               for e in ev["event_id"].values]
+    qref = ray.put(queries)
+
+    def centers(batch: pa.Table) -> pa.Table:
+        pk = np.asarray(batch.column("p_partkey").to_pylist(), np.int64)
+        sz = np.asarray(batch.column("p_size").to_pylist(), np.int64)
+        (ax0, ay0, ax1, ay1), _ = part_rects(pk, sz)
+        return pa.table({
+            "center_id": pa.array(pk, pa.int64()),
+            "cx": pa.array((ax0 + ax1) // 2, pa.int64()),
+            "cy": pa.array((ay0 + ay1) // 2, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size"])
+    cts = ds.map_batches(centers, batch_format="pyarrow")
+    partials = cts.map_batches(KnnStage, batch_format="pyarrow",
+                               fn_constructor_args=(qref, k),
+                               concurrency=2).to_pandas()
+    out = merge_knn(pa.Table.from_pandas(partials), k).to_pandas()
+    return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only geometry pipelines (not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def q_overlay_fixture_corpus(sf_dir: str) -> pd.DataFrame:
+    """Distributed conformance sweep: all executed reference fixtures x 7
+    rules through a Ray pipeline; per (case, rule) row counts + area."""
+    from ..sources import fixtures
+    from ..geometry.overlay import build_graph
+    from ..stages.geo_arrow import shapes_area2
+    from ..geometry.kernel import RULE_NAMES
+
+    cases = list(range(144)) + [150, 151, 152]
+    ds = ray.data.from_items([{"case": i} for i in cases])
+
+    def run(batch: pa.Table) -> pa.Table:
+        out_case, out_rule, out_n, out_a = [], [], [], []
+        for i in batch.column("case").to_pylist():
+            case = fixtures.load_boolean_case(int(i))
+            graph = build_graph(case["subj"], case["clip_paths"],
+                                case["fill_rule"], clockwise=True)
+            for key in fixtures.BOOLEAN_RULE_KEYS:
+                rule = key.lower().replace("inversedifference",
+                                           "inverse_difference")
+                shapes = graph.extract(rule) if graph else []
+                out_case.append(int(i))
+                out_rule.append(RULE_NAMES[rule])
+                out_n.append(len(shapes))
+                out_a.append(shapes_area2(shapes))
+        return pa.table({
+            "case_id": pa.array(out_case, pa.int64()),
+            "rule": pa.array(out_rule, pa.int64()),
+            "n_shapes": pa.array(out_n, pa.int64()),
+            "area2": pa.array(out_a, pa.int64()),
+        })
+
+    df = ds.map_batches(run, batch_format="pyarrow", batch_size=8).to_pandas()
+    return df.sort_values(["case_id", "rule"]).reset_index(drop=True)
+
+
+def q_flagship_tiles(sf_dir: str, n_images: int = 512) -> pd.DataFrame:
+    """Tile summary of the flagship overlay spatial join on the synthetic
+    image table (rows-only check: deterministic tile assignments)."""
+    from . import flagship
+    ds = flagship.images_dataset(n_images)
+    res = flagship.overlay_join(ds, "intersect")
+    return flagship.tile_summary(res).to_pandas().sort_values(
+        "tile_id").reset_index(drop=True)

@@ -1,0 +1,243 @@
+"""Relational + training-data query pipelines over the test tables.
+
+Every function takes sf_dir and returns a small pandas DataFrame, and
+is built Ray-Data-first: pruned-column read_parquet -> vectorized
+map_batches partial aggregation -> one small groupby / driver-side
+finalize. Monetary aggregates are returned as integer cents so results
+hash identically to the DuckDB oracles in __ray_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+def _small_table(sf_dir: str, table: str, columns=None) -> pa.Table:
+    """Driver-side read of a dimension table (broadcast side)."""
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                         columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Core relational operators
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style groupby aggregate with per-batch partial combine."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["base"] = df["l_extendedprice"]
+        df["disc"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), sum_base=("base", "sum"),
+            sum_disc=("disc", "sum"), count_order=("l_quantity", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), sum_base=("sum_base", "sum"),
+        sum_disc=("sum_disc", "sum"), count_order=("count_order", "sum"))
+    out["sum_qty"] = out["sum_qty"].round().astype(np.int64)
+    out["sum_base_cents"] = (out["sum_base"] * 100).round().astype(np.int64)
+    out["sum_disc_cents"] = (out["sum_disc"] * 100).round().astype(np.int64)
+    out["count_order"] = out["count_order"].astype(np.int64)
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+                "sum_disc_cents", "count_order"]]
+
+
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Filter + top-k by sort: highest-value open orders."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    ds = ds.filter(expr="o_orderstatus == 'O'")
+    top = ds.sort("o_totalprice", descending=True).limit(10).to_pandas()
+    top["total_cents"] = (top["o_totalprice"] * 100).round().astype(np.int64)
+    return top[["o_orderkey", "total_cents"]]
+
+
+def q_nation_customers(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join: nation dim shipped once via ray.put, customer
+    table streams; partial counts then a tiny groupby."""
+    nation = _small_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    lookup = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+    lookup_ref = ray.put(lookup)
+
+    class CountPerNation:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("c_nationkey").to_pylist()
+            names = [self.lookup[k] for k in keys]
+            df = pd.DataFrame({"n_name": names})
+            g = df.groupby("n_name", as_index=False).size()
+            g.columns = ["n_name", "num_customers"]
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "customer", ["c_nationkey"])
+    parts = ds.map_batches(CountPerNation, batch_format="pyarrow",
+                           fn_constructor_args=(lookup_ref,),
+                           concurrency=2).to_pandas()
+    out = parts.groupby("n_name", as_index=False)["num_customers"].sum()
+    out["num_customers"] = out["num_customers"].astype(np.int64)
+    return out
+
+
+def q_order_revenue_topk(sf_dir: str) -> pd.DataFrame:
+    """lineitem revenue per order (partial combine + groupby sum), then
+    broadcast-join order attributes; top 20 by revenue."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("l_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    rev = parts.groupby("l_orderkey").aggregate(
+        ray.data.aggregate.Sum("rev", alias_name="revenue")).to_pandas()
+    rev = rev.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True]).head(20)
+    orders = _small_table(sf_dir, "orders",
+                          ["o_orderkey", "o_orderpriority"]).to_pandas()
+    out = rev.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    out["revenue_cents"] = (out["revenue"] * 100).round().astype(np.int64)
+    return out[["o_orderkey", "o_orderpriority", "revenue_cents"]]
+
+
+def q_part_brands(sf_dir: str) -> pd.DataFrame:
+    """Distinct/groupby-count over a categorical column."""
+    ds = _read(sf_dir, "part", ["p_brand"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("p_brand", as_index=False).size()
+        df.columns = ["p_brand", "n_parts"]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("p_brand", as_index=False)["n_parts"].sum()
+    out["n_parts"] = out["n_parts"].astype(np.int64)
+    return out
+
+
+def q_events_daily(sf_dir: str) -> pd.DataFrame:
+    """Windowed (daily) aggregate per event type."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        g = df.groupby(["day", "event_type"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["day", "event_type"], as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["value_cents"] = (out["sum_value"] * 100).round().astype(np.int64)
+    return out[["day", "event_type", "n_events", "value_cents"]]
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: hash-partition by content key, keep min doc_id."""
+    from ..stages.dedup import exact_key_stage
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    keyed = ds.map_batches(exact_key_stage, batch_format="pyarrow")
+    kept = keyed.groupby("content_key").aggregate(
+        ray.data.aggregate.Min("doc_id", alias_name="doc_id")).to_pandas()
+    out = kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
+
+
+def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text import token_stats
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_stats, batch_format="pyarrow").to_pandas()
+
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text import quality_features
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_features, batch_format="pyarrow").to_pandas()
+
+
+def q_doc_lang(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text import lang_id
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(lang_id, batch_format="pyarrow").to_pandas()
+
+
+def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text import fingerprint
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint, batch_format="pyarrow").to_pandas()
+
+
+def q_minhash_bands(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup candidates: signature -> band keys ->
+    groupby band -> buckets with >1 member."""
+    from ..stages.dedup import LSHBandStage, MinHashStage
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow",
+                          concurrency=2)
+    bands = sigs.map_batches(LSHBandStage(), batch_format="pyarrow")
+    counts = bands.groupby("band_key").aggregate(
+        ray.data.aggregate.Count(alias_name="members"),
+        ray.data.aggregate.Min("doc_id", alias_name="min_doc"),
+        ray.data.aggregate.Max("doc_id", alias_name="max_doc"),
+    ).to_pandas()
+    cand = counts[counts["members"] > 1].copy()
+    cand = cand[cand["min_doc"] != cand["max_doc"]]
+    out = cand[["min_doc", "max_doc"]].drop_duplicates().sort_values(
+        ["min_doc", "max_doc"]).reset_index(drop=True)
+    return out.astype(np.int64)
+
+
+def q_simhash(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import SimHashStage
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(SimHashStage, batch_format="pyarrow",
+                          concurrency=2).to_pandas()
+
+
+def q_ann_cosine_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
+    """Brute-force cosine top-k: query matrix broadcast once, one
+    float64 matmul per batch, tiny final merge."""
+    from ..stages.ann import CosineTopKStage, merge_topk
+    qt = _small_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"] < n_queries].sort_values("vec_id")
+    queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    qref = ray.put(queries)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    partials = ds.map_batches(
+        CosineTopKStage, batch_format="pyarrow",
+        fn_constructor_args=(qref, qdf["vec_id"].tolist(), k),
+        concurrency=2)
+    return merge_topk(pa.Table.from_pandas(partials.to_pandas()),
+                      k).to_pandas()

@@ -1,0 +1,85 @@
+"""Similarity search over an embedding column.
+
+Brute-force cosine top-k: the query matrix is broadcast once via
+ray.put and each batch does one float64 matmul against it; per-batch
+partial top-k results are merged by a tiny final reduction. The
+LSH-bucketed variant hashes embeddings into hyperplane buckets
+(stateful actor holds the projection) so candidate generation becomes a
+groupby at scale.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+class CosineTopKStage:
+    """batch -> partial top-k rows (query_id, vec_id, score) per query.
+
+    queries_ref: ray.ObjectRef to a float64 (nq, dim) matrix (broadcast
+    once, NOT re-shipped per batch) — or the matrix itself for local use.
+    """
+
+    def __init__(self, queries, query_ids, k: int = 5):
+        import ray
+        if isinstance(queries, ray.ObjectRef):
+            queries = ray.get(queries)
+        q = np.asarray(queries, dtype=np.float64)
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.query_ids = list(query_ids)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.array(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (emb / norms) @ self.qn.T          # (n, nq)
+        k = min(self.k, sims.shape[0])
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k]
+            for t in top:
+                out_q.append(qid)
+                out_v.append(int(ids[t]))
+                out_s.append(float(col[t]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def merge_topk(partials: pa.Table, k: int = 5) -> pa.Table:
+    """Final merge of per-batch partial top-k (small)."""
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "score", "vec_id"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]]
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+class HyperplaneLSHStage:
+    """embedding -> (bucket, vec_id): sign-random-projection LSH for the
+    scale path (candidates colocate by bucket groupby)."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.array(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        bits = (emb @ self.planes) > 0
+        bucket = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
+        return pa.table({
+            "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            "vec_id": batch.column("vec_id"),
+        })

@@ -1,0 +1,133 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Exact dedup is the scalable pattern: hash-partition on a content key,
+keep the min id per group (a groupby, not a global sort). Near-dup
+variants emit candidate buckets via LSH banding so the wide step is a
+groupby on band keys rather than an all-pairs comparison.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_M31 = (1 << 61) - 1
+
+
+def _text_key(texts):
+    return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+
+
+def exact_key_stage(batch: pa.Table) -> pa.Table:
+    """doc -> (content_key, doc_id) for hash-partitioned exact dedup."""
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "content_key": pa.array(_text_key(texts), pa.string()),
+        "doc_id": batch.column("doc_id"),
+    })
+
+
+def _shingles(text: str, k: int = 5):
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+class MinHashStage:
+    """doc -> num_perm minhash signature over k-token shingles.
+
+    Stateful: the permutation coefficients are built once per actor.
+    """
+
+    def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _M31, size=num_perm, dtype=np.int64)
+        self.b = rng.integers(0, _M31, size=num_perm, dtype=np.int64)
+        self.k = k
+        self.num_perm = num_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.k)
+        if not sh:
+            return np.zeros(self.num_perm, dtype=np.int64)
+        hv = np.array(
+            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 3
+             for s in sh], dtype=np.int64)
+        # (a*h + b) mod prime, min over shingles, vectorized via object ints
+        # kept in int64: a*h can overflow, so use python ints per perm chunk
+        sig = np.empty(self.num_perm, dtype=np.int64)
+        hv_obj = hv.astype(object)
+        for j in range(self.num_perm):
+            vals = (int(self.a[j]) * hv_obj + int(self.b[j])) % _M31
+            sig[j] = int(min(vals))
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = [self.signature(t) for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "minhash": pa.array([s.tolist() for s in sigs],
+                                pa.list_(pa.int64())),
+        })
+
+
+class LSHBandStage:
+    """signature -> (band_key, doc_id) rows, one per band; a groupby on
+    band_key yields the candidate buckets."""
+
+    def __init__(self, bands: int = 16, rows: int = 4):
+        self.bands = bands
+        self.rows = rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = batch.column("minhash").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out_key, out_id = [], []
+        for doc_id, sig in zip(ids, sigs):
+            for b in range(self.bands):
+                chunk = tuple(sig[b * self.rows:(b + 1) * self.rows])
+                key = hashlib.md5(repr((b, chunk)).encode()).hexdigest()[:16]
+                out_key.append(key)
+                out_id.append(doc_id)
+        return pa.table({
+            "band_key": pa.array(out_key, pa.string()),
+            "doc_id": pa.array(out_id, pa.int64()),
+        })
+
+
+class SimHashStage:
+    """64-bit SimHash over token hashes."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for t in texts:
+            toks = t.split()
+            if not toks:
+                out.append(0)
+                continue
+            hv = np.array(
+                [int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                 for tok in toks], dtype=np.uint64)
+            bits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)
+            acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            v = 0
+            for bit in (acc > 0)[::-1]:
+                v = (v << 1) | int(bit)
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(out, pa.int64()),
+        })
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    sa, sb = set(_shingles(text_a, k)), set(_shingles(text_b, k))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)

@@ -1,0 +1,57 @@
+"""Arrow <-> kernel geometry conversion.
+
+At-rest geometry is the nested Arrow list layout (SURVEY.md §1.3):
+  shape:  list<contour>, contour: list<point>, point: list<int64>[2]
+A multipolygon (IntShapes) adds one more nesting level. The flat
+list-offset layout is exactly iOverlay's FlatContoursBuffer
+(core/overlay.rs:250-255) mapped onto Arrow offsets.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+POINT = pa.list_(pa.int64(), 2)
+CONTOUR = pa.list_(POINT)
+SHAPE = pa.list_(CONTOUR)       # polygon with holes
+SHAPES = pa.list_(SHAPE)        # multipolygon
+
+
+def shape_to_py(value) -> list:
+    """Arrow nested value -> list of contours of (x, y) tuples."""
+    if value is None:
+        return []
+    return [[(int(p[0]), int(p[1])) for p in contour] for contour in value]
+
+
+def shapes_to_py(value) -> list:
+    if value is None:
+        return []
+    return [shape_to_py(s) for s in value]
+
+
+def shapes_array(rows: list) -> pa.Array:
+    """list of multipolygons (list of shapes of contours of tuples) ->
+    Arrow array."""
+    return pa.array(
+        [[[[list(p) for p in c] for c in s] for s in row] for row in rows],
+        type=SHAPES)
+
+
+def shape_array(rows: list) -> pa.Array:
+    return pa.array(
+        [[[list(p) for p in c] for c in s] for s in rows], type=SHAPE)
+
+
+def shapes_area2(shapes: list) -> int:
+    """Twice the signed area summed over all contours (hole contours have
+    opposite orientation, so holes subtract)."""
+    total = 0
+    for shape in shapes:
+        for contour in shape:
+            n = len(contour)
+            for i in range(n):
+                x0, y0 = contour[i - 1]
+                x1, y1 = contour[i]
+                total += x0 * y1 - x1 * y0
+    return total

@@ -1,0 +1,134 @@
+"""Spatial predicate stages: point-in-polygon (winding number), kNN.
+
+PIP uses the same convention as the kernel's fill sweep: a point is
+inside when the winding number of polygon edges strictly below/above it
+is non-zero, computed with exact integer crossing tests (half-open x
+rule, matching ioverlay_ray.geometry.kernel.compute_fills). Broadcast
+the small polygon side via ray.put; the big point table streams through
+map_batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def winding_numbers(px: np.ndarray, py: np.ndarray, contour: list) -> np.ndarray:
+    """Winding number of each point w.r.t. one closed contour.
+
+    Crossing rule: edge (a, b) normalized to ax < bx contributes its
+    direction sign when ax <= px < bx and the point is strictly above
+    the edge line (i.e. edge passes strictly below the point).
+    Points exactly on an edge get an unspecified count — callers wanting
+    boundary semantics must test separately.
+    """
+    px = np.asarray(px, np.int64)
+    py = np.asarray(py, np.int64)
+    wn = np.zeros(len(px), dtype=np.int64)
+    n = len(contour)
+    for i in range(n):
+        x0, y0 = contour[i - 1]
+        x1, y1 = contour[i]
+        if x0 == x1:
+            continue
+        if x0 < x1:
+            ax, ay, bx, by, sgn = x0, y0, x1, y1, 1
+        else:
+            ax, ay, bx, by, sgn = x1, y1, x0, y0, -1
+        cover = (ax <= px) & (px < bx)
+        # edge strictly below point: cross((b-a),(p-a)) > 0
+        cr = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        wn += np.where(cover & (cr > 0), sgn, 0)
+    return wn
+
+
+def points_in_polygon(px, py, shape: list, fill_rule: str = "nonzero") -> np.ndarray:
+    """Boolean inside-mask for a polygon-with-holes (list of contours)."""
+    wn = np.zeros(len(px), dtype=np.int64)
+    for contour in shape:
+        wn += winding_numbers(px, py, contour)
+    if fill_rule == "evenodd":
+        return (wn & 1) != 0
+    if fill_rule == "positive":
+        return wn > 0
+    if fill_rule == "negative":
+        return wn < 0
+    return wn != 0
+
+
+class PIPCountStage:
+    """Count points (streamed batches) inside each broadcast polygon.
+
+    polys: list of (poly_id, shape) — small side, passed by ObjectRef.
+    Emits partial counts; sum by poly_id downstream.
+    """
+
+    def __init__(self, polys, x_col: str = "px", y_col: str = "py"):
+        import ray
+        if isinstance(polys, ray.ObjectRef):
+            polys = ray.get(polys)
+        self.polys = polys
+        self.x_col = x_col
+        self.y_col = y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = np.asarray(batch.column(self.x_col).to_pylist(), np.int64)
+        py = np.asarray(batch.column(self.y_col).to_pylist(), np.int64)
+        ids, counts = [], []
+        for poly_id, shape in self.polys:
+            ids.append(poly_id)
+            counts.append(int(points_in_polygon(px, py, shape).sum()))
+        return pa.table({
+            "poly_id": pa.array(ids, pa.int64()),
+            "n_points": pa.array(counts, pa.int64()),
+        })
+
+
+class KnnStage:
+    """Partial k-nearest centers per broadcast query point.
+
+    Streams the big center table; per batch computes integer squared
+    distances from every query to the batch's centers and keeps the
+    per-batch top-k (ties broken by center id). Final merge is a tiny
+    sort over n_queries * k * n_batches rows.
+    """
+
+    def __init__(self, queries, k: int = 5):
+        import ray
+        if isinstance(queries, ray.ObjectRef):
+            queries = ray.get(queries)
+        self.qid = np.asarray([q[0] for q in queries], np.int64)
+        self.qx = np.asarray([q[1] for q in queries], np.int64)
+        self.qy = np.asarray([q[2] for q in queries], np.int64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cid = np.asarray(batch.column("center_id").to_pylist(), np.int64)
+        cx = np.asarray(batch.column("cx").to_pylist(), np.int64)
+        cy = np.asarray(batch.column("cy").to_pylist(), np.int64)
+        out_q, out_c, out_d = [], [], []
+        k = min(self.k, len(cid))
+        # order centers by id for deterministic tie handling
+        order = np.argsort(cid, kind="stable")
+        cid, cx, cy = cid[order], cx[order], cy[order]
+        for qi in range(len(self.qid)):
+            d = (cx - self.qx[qi]) ** 2 + (cy - self.qy[qi]) ** 2
+            top = np.argsort(d, kind="stable")[:k]
+            out_q.extend([int(self.qid[qi])] * len(top))
+            out_c.extend(cid[top].tolist())
+            out_d.extend(d[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "center_id": pa.array(out_c, pa.int64()),
+            "dist2": pa.array(out_d, pa.int64()),
+        })
+
+
+def merge_knn(partials: pa.Table, k: int = 5) -> pa.Table:
+    df = partials.to_pandas()
+    df = df.sort_values(["query_id", "dist2", "center_id"])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k][["query_id", "center_id", "rank"]]
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)

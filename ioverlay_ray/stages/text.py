@@ -1,0 +1,97 @@
+"""Text-analysis stages for the documents table.
+
+Vectorized per-batch (pandas str / numpy) transforms: token counting,
+quality features, language-ID heuristic, rolling-hash fingerprinting.
+All deterministic; the SQL-expressible ones have DuckDB oracles in
+__ray_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_PUNCT_RE = re.compile(r"[^.!?]")
+_UPPER_RE = re.compile(r"[^A-Z]")
+_DIGIT_RE = re.compile(r"[^0-9]")
+
+# crude n-gram language profiles (deterministic heuristic)
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " of ", " ing "),
+    "de": (" der ", " und ", " die ", " sch"),
+    "fr": (" le ", " les ", " de ", " une "),
+    "es": (" el ", " los ", " que ", " una "),
+}
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens (split on single space, empties counted — matches
+    DuckDB string_split semantics), n_chars."""
+    texts = batch.column("text").to_pylist()
+    n_tokens = [len(t.split(" ")) for t in texts]
+    n_chars = [len(t) for t in texts]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_chars": pa.array(n_chars, pa.int64()),
+    })
+
+
+def quality_features(batch: pa.Table) -> pa.Table:
+    """ASCII punctuation / uppercase / digit counts per document."""
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_punct": pa.array([len(_PUNCT_RE.sub("", t)) for t in texts],
+                            pa.int64()),
+        "n_upper": pa.array([len(_UPPER_RE.sub("", t)) for t in texts],
+                            pa.int64()),
+        "n_digit": pa.array([len(_DIGIT_RE.sub("", t)) for t in texts],
+                            pa.int64()),
+    })
+
+
+def lang_id(batch: pa.Table) -> pa.Table:
+    """Marker-n-gram language scoring; deterministic argmax with 'und'
+    (undetermined) fallback when no marker hits."""
+    texts = batch.column("text").to_pylist()
+    langs = []
+    for t in texts:
+        padded = f" {t.lower()} "
+        best, best_score = "und", 0
+        for lang, markers in _LANG_MARKERS.items():
+            score = sum(padded.count(m) for m in markers)
+            if score > best_score:
+                best, best_score = lang, score
+        langs.append(best)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "pred_lang": pa.array(langs, pa.string()),
+    })
+
+
+def fingerprint(batch: pa.Table) -> pa.Table:
+    """64-bit document fingerprint: md5-based rolling hash over 8-token
+    windows, min-combined (deterministic)."""
+    texts = batch.column("text").to_pylist()
+    fps = []
+    for t in texts:
+        toks = t.split()
+        if not toks:
+            fps.append(0)
+            continue
+        best = (1 << 64) - 1
+        for i in range(0, max(1, len(toks) - 7)):
+            window = " ".join(toks[i:i + 8]).encode()
+            h = int.from_bytes(hashlib.md5(window).digest()[:8], "big")
+            if h < best:
+                best = h
+        fps.append(best - (1 << 64) if best >= (1 << 63) else best)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fingerprint": pa.array(fps, pa.int64()),
+    })

@@ -1,0 +1,98 @@
+"""Ray Data pipeline tests (session-scoped Ray from conftest)."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_synth_roundtrip():
+    from ioverlay_ray.sources import synth
+    t = synth.make_images_table(8, seed=42)
+    for i in range(8):
+        row = {c: t.column(c)[i].as_py() for c in t.column_names}
+        px = synth.decode_raw(row["bytes"], row["w"], row["h"])
+        orig = synth.make_pixels(42, i, row["w"], row["h"])
+        # lossless round-trip: exact pixels (PSNR = inf >= 40dB)
+        assert np.array_equal(px, orig)
+        assert synth.phash64(px) == row["phash"]
+        assert isinstance(row["caption"], str) and row["caption"]
+
+
+def test_tile_cells():
+    from ioverlay_ray.stages import tile
+    c = tile.cell_id(np.array([0, 10 * tile.cell_size(4)]),
+                     np.array([0, 0]), 4)
+    assert c[0] != c[1]
+    ring = tile.ring_cells(int(c[0]), 1)
+    assert len(ring) == 9 and int(c[0]) in ring
+    covered = tile.cells_covering_bbox(0, 0, tile.cell_size(4) * 2, 10, 4)
+    assert len(covered) == 3
+
+
+def test_salting():
+    from ioverlay_ray.stages import tile
+    ids = np.array([1] * 100 + [2] * 5, dtype=np.int64)
+    out = tile.salt_hot_cells(ids, counts_threshold=10, salt_bits=2)
+    assert len(np.unique(out[:100])) == 4  # hot cell split 4 ways
+    assert (out[100:] == 2).all()          # cold cell untouched
+
+
+def test_flagship_small(ray_session):
+    from ioverlay_ray.pipelines import flagship
+    ds = flagship.images_dataset(64)
+    res = flagship.overlay_join(ds, "intersect")
+    summary = flagship.tile_summary(res).to_pandas()
+    assert summary["pairs"].sum() == 64
+    # star clipped by its own footprint always intersects
+    assert (summary["shapes"] > 0).all()
+
+
+def test_multi_rule_stage(ray_session):
+    from ioverlay_ray.pipelines import flagship
+    ds = flagship.images_dataset(16)
+    res = flagship.overlay_join_all_rules(ds, rules=("union", "intersect"))
+    df = res.to_pandas()
+    assert len(df) == 32
+    # union area >= intersect area for every pair
+    u = df[df.rule == 3].set_index("pair_id")["area2"]
+    i = df[df.rule == 2].set_index("pair_id")["area2"]
+    assert (u.abs() >= i.abs()).all()
+
+
+def test_pip_matches_range_semantics():
+    from ioverlay_ray.stages.spatial import points_in_polygon
+    rect = [[(10, 10), (20, 10), (20, 20), (10, 20)]]
+    px = np.array([15, 10, 20, 15, 15, 5])
+    py = np.array([15, 15, 15, 10, 20, 5])
+    inside = points_in_polygon(px, py, rect)
+    # half-open convention: left/top edges in, right/bottom out
+    assert inside.tolist() == [True, True, False, False, True, False]
+
+
+def test_dedup_stages(ray_session):
+    import pyarrow as pa
+    from ioverlay_ray.stages.dedup import MinHashStage, jaccard
+    batch = pa.table({"doc_id": [1, 2, 3],
+                      "text": ["a b c d e f g h", "a b c d e f g h",
+                               "x y z w v u t s"]})
+    st = MinHashStage(num_perm=32)
+    out = st(batch)
+    sigs = out.column("minhash").to_pylist()
+    assert sigs[0] == sigs[1]  # identical docs, identical signatures
+    assert sigs[0] != sigs[2]
+    assert jaccard("a b c d e f", "a b c d e f") == 1.0
+
+
+def test_ann_brute_force(ray_session):
+    import pyarrow as pa
+    from ioverlay_ray.stages.ann import CosineTopKStage, merge_topk
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((50, 8))
+    batch = pa.table({"vec_id": list(range(50)),
+                      "embedding": [list(map(float, e)) for e in emb]})
+    stage = CosineTopKStage(emb[:2], [0, 1], k=3)
+    out = merge_topk(stage(batch), 3).to_pandas()
+    # a vector's own nearest neighbour is itself
+    assert out[(out.query_id == 0) & (out["rank"] == 1)].vec_id.iloc[0] == 0
+    assert out[(out.query_id == 1) & (out["rank"] == 1)].vec_id.iloc[0] == 1
