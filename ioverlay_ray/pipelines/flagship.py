@@ -29,28 +29,46 @@ def images_dataset(n_images: int = 512, seed: int = 42,
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)
-        # shard the generation so large n doesn't build one giant table
-        shard = 4096
+        # parallel sharded generation: one Ray task per shard
+        import ray
+
+        @ray.remote
+        def gen_shard(s0: int, count: int, fn: str):
+            from ioverlay_ray.sources.synth import make_images_table_range
+            t = make_images_table_range(s0, s0 + count, seed)
+            pq.write_table(t, fn)
+
+        shard = 1024
+        refs = []
         for s0 in range(0, n_images, shard):
             fn = os.path.join(path, f"part_{s0:09d}.parquet")
             if not os.path.exists(fn):
-                t = make_images_table(min(shard, n_images - s0), seed)
-                pq.write_table(t, fn)
+                refs.append(gen_shard.remote(
+                    s0, min(shard, n_images - s0), fn))
+        ray.get(refs)
         open(marker, "w").close()
+    files = [os.path.join(path, f) for f in sorted(os.listdir(path))
+             if f.endswith(".parquet")]
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     return ray.data.read_parquet(
-        [os.path.join(path, f) for f in sorted(os.listdir(path))
-         if f.endswith(".parquet")],
-        columns=["image_id", "w", "h"])
+        files, columns=["image_id", "w", "h"],
+        override_num_blocks=max(len(files), cpus * 2))
 
 
 def overlay_join(ds: "ray.data.Dataset", rule: str = "intersect",
                  fill_rule: str = "nonzero", resolution: int = 4,
                  concurrency: int | None = None,
-                 batch_size: int = 256) -> "ray.data.Dataset":
-    """images -> annotations -> per-pair overlay results."""
+                 batch_size: int | None = None) -> "ray.data.Dataset":
+    """images -> annotations -> per-pair overlay results.
+
+    batch_size=None lets the input block size set task granularity —
+    images_dataset targets ~2x CPUs blocks so every core stays busy
+    without coalescing blocks into fewer tasks.
+    """
     annotated = ds.map_batches(AnnotateStage(resolution),
                                batch_format="pyarrow",
-                               batch_size=max(1024, batch_size))
+                               batch_size=batch_size)
     return annotated.map_batches(
         OverlayStage(rule, fill_rule), batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency)

@@ -59,8 +59,14 @@ def phash64(pixels: np.ndarray) -> int:
 
 
 def make_images_table(n: int, seed: int = 42) -> pa.Table:
+    return make_images_table_range(0, n, seed)
+
+
+def make_images_table_range(start: int, end: int, seed: int = 42) -> pa.Table:
+    """Rows [start, end): per-index seeding makes sharded generation
+    identical to one-shot generation."""
     ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
-    for i in range(n):
+    for i in range(start, end):
         rng = _rng(seed, i)
         w = int(rng.integers(16, 64))
         h = int(rng.integers(16, 64))
