@@ -188,9 +188,14 @@ def build_segments(subj_contours: Sequence, clip_contours: Sequence,
 # Sort + merge (segm/sort.rs, segm/merge.rs:26-87)
 # ---------------------------------------------------------------------------
 
-def sort_merge(segs: Segments) -> Segments:
+def sort_merge(segs: Segments, string_clip: bool = False) -> Segments:
     """Sort by (a, b), merge identical edges by summing winding counts,
-    drop zero-count edges (the exact-dedup aggregate)."""
+    drop zero-count edges (the exact-dedup aggregate).
+
+    ``string_clip`` switches the clip column to the polyline bitmask
+    algebra (ShapeCountString, segm/string.rs:69-75): merge ORs the
+    FORWARD/BACK direction bits instead of summing.
+    """
     n = len(segs)
     if n == 0:
         return segs
@@ -204,7 +209,10 @@ def sort_merge(segs: Segments) -> Segments:
         return s
     starts = np.flatnonzero(np.concatenate(([True], ~same)))
     subj = np.add.reduceat(s.subj, starts)
-    clip = np.add.reduceat(s.clip, starts)
+    if string_clip:
+        clip = np.bitwise_or.reduceat(s.clip, starts)
+    else:
+        clip = np.add.reduceat(s.clip, starts)
     keep = (subj != 0) | (clip != 0)
     g = starts[keep]
     return Segments(s.ax[g], s.ay[g], s.bx[g], s.by[g], subj[keep], clip[keep])
@@ -436,7 +444,8 @@ def _find_marks(segs: Segments, radius: int):
     return m_idx, m_px, m_py, any_round
 
 
-def _apply_marks(segs: Segments, m_idx, m_px, m_py) -> Segments:
+def _apply_marks(segs: Segments, m_idx, m_px, m_py,
+                 string_clip: bool = False) -> Segments:
     """Subdivide marked segments at their split points, preserving winding
     counts; re-normalize direction; re-sort + merge
     (split/solver.rs:158-251)."""
@@ -471,7 +480,11 @@ def _apply_marks(segs: Segments, m_idx, m_px, m_py) -> Segments:
         else:
             out_ax.append(q[0]); out_ay.append(q[1])
             out_bx.append(p[0]); out_by.append(p[1])
-            out_subj.append(-sgn_subj); out_clip.append(-sgn_clip)
+            out_subj.append(-sgn_subj)
+            if string_clip:  # invert swaps FORWARD/BACK (segm/string.rs:78-88)
+                out_clip.append(((sgn_clip & 1) << 1) | ((sgn_clip >> 1) & 1))
+            else:
+                out_clip.append(-sgn_clip)
 
     pos = 0
     n_marks = len(idx_l)
@@ -497,7 +510,7 @@ def _apply_marks(segs: Segments, m_idx, m_px, m_py) -> Segments:
     untouched = ~marked_set_mask
     untouched_segs = segs.take(untouched)
     new = Segments(out_ax, out_ay, out_bx, out_by, out_subj, out_clip)
-    return sort_merge(Segments.concat([untouched_segs, new]))
+    return sort_merge(Segments.concat([untouched_segs, new]), string_clip)
 
 
 def _order_sub_marks(pts, a, b):
@@ -527,11 +540,12 @@ def _order_sub_marks(pts, a, b):
 
 def split_segments(segs: Segments, precision_start: int = 0,
                    precision_progression: int = 1,
-                   max_rounds: int = 1000) -> Segments:
+                   max_rounds: int = 1000,
+                   string_clip: bool = False) -> Segments:
     """Resolve all intersections by iterative split + snap rounding until
     a fixed point (split/solver_list.rs:14-67; radius schedule
     split/snap_radius.rs:5-27, Precision::HIGH defaults)."""
-    segs = sort_merge(segs)
+    segs = sort_merge(segs, string_clip)
     if len(segs) < 2:
         return segs
 
@@ -541,7 +555,7 @@ def split_segments(segs: Segments, precision_start: int = 0,
         m_idx, m_px, m_py, any_round = _find_marks(segs, radius)
         if not m_idx:
             return segs
-        segs = _apply_marks(segs, m_idx, m_px, m_py)
+        segs = _apply_marks(segs, m_idx, m_px, m_py, string_clip)
         exp = min(60, exp + precision_progression)
         if not any_round or len(segs) < 2:
             # one clean pass with no rounding: check for leftovers once more
@@ -555,9 +569,9 @@ def split_segments(segs: Segments, precision_start: int = 0,
 # strategies build/boolean.rs:96-154)
 # ---------------------------------------------------------------------------
 
-def compute_fills(segs: Segments, fill_rule: int,
-                  block: int = 2048) -> np.ndarray:
-    """4-bit SUBJ/CLIP top/bottom fill mask per split segment.
+def bottom_windings(segs: Segments, block: int = 2048,
+                    with_clip: bool = True):
+    """(bot_subj, bot_clip) winding just below each segment's midpoint.
 
     bot(s) = winding at a point just below s's midpoint = sum of counts of
     segments t whose half-open x-span [2*t.ax, 2*t.bx) covers s's doubled
@@ -567,9 +581,10 @@ def compute_fills(segs: Segments, fill_rule: int,
     along each segment.
     """
     n = len(segs)
-    fills = np.zeros(n, dtype=np.uint8)
+    bot_subj = np.zeros(n, dtype=np.int64)
+    bot_clip = np.zeros(n, dtype=np.int64)
     if n == 0:
-        return fills
+        return bot_subj, bot_clip
 
     mx = segs.ax + segs.bx          # doubled midpoint
     my = segs.ay + segs.by
@@ -577,9 +592,6 @@ def compute_fills(segs: Segments, fill_rule: int,
     tbx2 = 2 * segs.bx
     ux = segs.bx - segs.ax
     uy = segs.by - segs.ay
-
-    bot_subj = np.zeros(n, dtype=np.int64)
-    bot_clip = np.zeros(n, dtype=np.int64)
 
     for q0 in range(0, n, block):
         q1 = min(n, q0 + block)
@@ -591,8 +603,18 @@ def compute_fills(segs: Segments, fill_rule: int,
              uy[None, :] * (qmx - 2 * segs.ax[None, :])
         under = cover & (cr > 0)
         bot_subj[q0:q1] = under @ segs.subj
-        bot_clip[q0:q1] = under @ segs.clip
+        if with_clip:
+            bot_clip[q0:q1] = under @ segs.clip
 
+    return bot_subj, bot_clip
+
+
+def compute_fills(segs: Segments, fill_rule: int,
+                  block: int = 2048) -> np.ndarray:
+    """4-bit SUBJ/CLIP top/bottom fill mask per split segment."""
+    if len(segs) == 0:
+        return np.zeros(0, dtype=np.uint8)
+    bot_subj, bot_clip = bottom_windings(segs, block)
     return fills_from_windings(segs.subj, segs.clip, bot_subj, bot_clip,
                                fill_rule)
 

@@ -34,6 +34,45 @@ def boolean_case_count(base_dir: str = BOOLEAN_DIR) -> int:
     return len([n for n in os.listdir(base_dir) if n.endswith(".json")])
 
 
+def _maybe_json(v):
+    return json.loads(v) if isinstance(v, str) else v
+
+
+def load_string_case(index: int, base_dir: str = STRING_DIR) -> dict:
+    """String corpus case (tests/string/test_N.json): keys fillRule,
+    body (one shape = list of contours), string (list of open paths),
+    slice / clip_direct / clip_invert (lists of acceptable variants)."""
+    with open(os.path.join(base_dir, f"test_{index}.json")) as f:
+        d = json.load(f)
+    fill = d.get("fillRule")
+    out = {
+        "fill_rule": {None: "evenodd", 0: "evenodd", 1: "nonzero"}[fill],
+        "body": [[tuple(p) for p in c] for c in _maybe_json(d["body"])],
+        "string": [[tuple(p) for p in c] for c in _maybe_json(d["string"])],
+        "slice": [[[[tuple(p) for p in c] for c in s] for s in variant]
+                  for variant in _maybe_json(d["slice"])],
+        "clip_direct": [[[tuple(p) for p in path] for path in variant]
+                        for variant in _maybe_json(d["clip_direct"])],
+        "clip_invert": [[[tuple(p) for p in path] for path in variant]
+                        for variant in _maybe_json(d["clip_invert"])],
+    }
+    return out
+
+
+def string_case_count(base_dir: str = STRING_DIR) -> int:
+    return len([n for n in os.listdir(base_dir) if n.endswith(".json")])
+
+
+def paths_equal(a: List, b: List) -> bool:
+    """Exact polyline list equality (tests/util.rs:75-83)."""
+    return [[tuple(p) for p in path] for path in a] == \
+           [[tuple(p) for p in path] for path in b]
+
+
+def paths_one_of(result: List, variants: List) -> bool:
+    return any(paths_equal(result, v) for v in variants)
+
+
 def contours_equal_cyclic(a: List, b: List) -> bool:
     if len(a) != len(b):
         return False
