@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rect_intersect_area": gq.q_rect_intersect_area,
         "q_pip_count": gq.q_pip_count,
         "q_knn_centers": gq.q_knn_centers,
+        "q_rect_relate": gq.q_rect_relate,
+        "q_clip_segments": gq.q_clip_segments,
         # geometry engine (rows-only)
         "q_overlay_fixture_corpus": gq.q_overlay_fixture_corpus,
         "q_flagship_tiles": gq.q_flagship_tiles,
@@ -177,6 +179,47 @@ def oracle_sql() -> dict[str, str]:
                    2 * GREATEST(0, LEAST(ax1, bx1) - GREATEST(ax0, bx0))
                      * GREATEST(0, LEAST(ay1, by1) - GREATEST(ay0, by0))
                      AS inter_area2
+            FROM r
+        """,
+        "q_rect_relate": """
+            WITH r AS (
+                SELECT p_partkey,
+                       (p_partkey * 37) % 4096 AS ax0,
+                       (p_partkey * 91) % 4096 AS ay0,
+                       (p_partkey * 37) % 4096 + p_size * 3 + 5 AS ax1,
+                       (p_partkey * 91) % 4096 + p_size * 2 + 7 AS ay1,
+                       (p_partkey * 53 + 17) % 4096 AS bx0,
+                       (p_partkey * 29 + 101) % 4096 AS by0,
+                       (p_partkey * 53 + 17) % 4096 + p_size * 2 + 9 AS bx1,
+                       (p_partkey * 29 + 101) % 4096 + p_size * 3 + 4 AS by1
+                FROM part
+            )
+            SELECT p_partkey,
+                   CAST(ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1
+                        AS BIGINT) AS r_intersects,
+                   CAST(ax0 < bx1 AND bx0 < ax1 AND ay0 < by1 AND by0 < ay1
+                        AS BIGINT) AS r_interiors,
+                   CAST((ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1)
+                        AND NOT (ax0 < bx1 AND bx0 < ax1 AND ay0 < by1 AND by0 < ay1)
+                        AS BIGINT) AS r_touches,
+                   CAST(bx0 <= ax0 AND ax1 <= bx1 AND by0 <= ay0 AND ay1 <= by1
+                        AS BIGINT) AS r_within
+            FROM r
+        """,
+        "q_clip_segments": """
+            WITH r AS (
+                SELECT p_partkey,
+                       (p_partkey * 37) % 4096 AS ax0,
+                       (p_partkey * 37) % 4096 + p_size * 3 + 5 AS ax1,
+                       (p_partkey * 11) % 4096 AS lx0,
+                       (p_partkey * 11) % 4096 + 500 AS lx1
+                FROM part
+            )
+            SELECT p_partkey,
+                   GREATEST(0, LEAST(ax1, lx1) - GREATEST(ax0, lx0)) AS inside_len,
+                   500 - GREATEST(0, LEAST(ax1, lx1) - GREATEST(ax0, lx0)) AS outside_len,
+                   CAST(GREATEST(0, LEAST(ax1, lx1) - GREATEST(ax0, lx0)) > 0
+                        AS BIGINT) AS n_inside
             FROM r
         """,
         "q_pip_count": """

@@ -1,0 +1,120 @@
+"""Spatial predicates (boolean-only relations) over polygon pairs.
+
+Re-expresses the reference's PredicateOverlay (core/relate.rs:37-172) and
+its fill handlers (core/predicate.rs:14-330) as vectorized masks over the
+split+fill segment table instead of an early-exit sweep: the semantics
+are identical, the execution is numpy over the whole table (the Ray-side
+early exit is the bbox prefilter in the join stage).
+
+Definitions (DE-9IM-ish, from the handler docs):
+- intersects: share any point (interior overlap, shared edge, or vertex)
+- interiors_intersect: both fill the same side of some segment
+- touches: boundary contact without interior overlap
+- point_intersects: vertex contact only (no shared edges, no interiors)
+- within: subject filled => clip filled on the same side, subject nonempty
+- covers: within with roles swapped (float/relate.rs:242-330)
+- disjoint: not intersects
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from .kernel import (BOTH_BOTTOM, BOTH_TOP, CLIP_BOTH, CLIP_BOTTOM, CLIP_TOP,
+                     EVEN_ODD, FILL_RULE_NAMES, SUBJ_BOTH, SUBJ_BOTTOM,
+                     SUBJ_TOP, build_segments, compute_fills, split_segments)
+
+
+def _as_fill_rule(fill_rule) -> int:
+    if isinstance(fill_rule, str):
+        return FILL_RULE_NAMES[fill_rule.lower().replace("_", "")]
+    return int(fill_rule)
+
+
+class Relation:
+    """All pairwise predicates computed from one split+fill pass
+    (the analog of reusing PredicateOverlay across predicate calls)."""
+
+    __slots__ = ("_interior", "_shared", "_coincide", "_subj_present",
+                 "_clip_present", "_within_violation", "_covers_violation")
+
+    def __init__(self, subj_contours: Sequence, clip_contours: Sequence,
+                 fill_rule="evenodd"):
+        fr = _as_fill_rule(fill_rule)
+        segs = split_segments(build_segments(subj_contours, clip_contours))
+        fills = compute_fills(segs, fr)
+
+        has_subj = (fills & SUBJ_BOTH) != 0
+        has_clip = (fills & CLIP_BOTH) != 0
+        self._subj_present = bool(has_subj.any())
+        self._clip_present = bool(has_clip.any())
+        self._interior = bool((((fills & BOTH_TOP) == BOTH_TOP) |
+                               ((fills & BOTH_BOTTOM) == BOTH_BOTTOM)).any())
+        self._shared = bool((has_subj & has_clip).any())
+
+        # endpoint coincidence between boundary-only subj and clip
+        # segments (PointCoincidenceChecker, core/predicate.rs:18-101):
+        # skip interior segments, empty fills and shared edges
+        subj_interior = (fills & SUBJ_BOTH) == SUBJ_BOTH
+        clip_interior = (fills & CLIP_BOTH) == CLIP_BOTH
+        eligible = (fills != 0) & ~subj_interior & ~clip_interior & \
+                   (has_subj != has_clip)
+        s_sel = eligible & has_subj
+        c_sel = eligible & has_clip
+        if s_sel.any() and c_sel.any():
+            # pack (x, y) into one int128-ish key via object-free encoding:
+            # coordinates are < 2^30, so x * 2^32 + y fits int64 after bias
+            def keys(mask):
+                xs = np.concatenate([segs.ax[mask], segs.bx[mask]])
+                ys = np.concatenate([segs.ay[mask], segs.by[mask]])
+                return (xs << 32) ^ (ys & 0xFFFFFFFF)
+            self._coincide = bool(
+                np.isin(keys(s_sel), keys(c_sel), assume_unique=False).any())
+        else:
+            self._coincide = False
+
+        st = (fills & SUBJ_TOP) != 0
+        sb = (fills & SUBJ_BOTTOM) != 0
+        ct = (fills & CLIP_TOP) != 0
+        cb = (fills & CLIP_BOTTOM) != 0
+        self._within_violation = bool(((st & ~ct) | (sb & ~cb)).any())
+        self._covers_violation = bool(((ct & ~st) | (cb & ~sb)).any())
+
+    def intersects(self) -> bool:
+        return self._shared or self._interior or self._coincide
+
+    def disjoint(self) -> bool:
+        return not self.intersects()
+
+    def interiors_intersect(self) -> bool:
+        return self._interior
+
+    def touches(self) -> bool:
+        return (not self._interior) and (self._shared or self._coincide)
+
+    def point_intersects(self) -> bool:
+        return (not self._interior) and (not self._shared) and self._coincide
+
+    def within(self) -> bool:
+        """subject within clip (WithinHandler, core/predicate.rs:278-330)."""
+        return self._subj_present and not self._within_violation
+
+    def covers(self) -> bool:
+        """subject covers clip = clip within subject."""
+        return self._clip_present and not self._covers_violation
+
+
+def relate(subj_contours, clip_contours, predicate: str,
+           fill_rule="evenodd") -> bool:
+    """One-shot predicate evaluation by name."""
+    r = Relation(subj_contours, clip_contours, fill_rule)
+    return getattr(r, predicate)()
+
+
+def bbox_may_intersect(a_min, a_max, b_min, b_max) -> bool:
+    """Cheap rejection used before the exact predicate (the float layer's
+    bounding-rect test, float/relate.rs:242-270)."""
+    return not (a_max[0] < b_min[0] or b_max[0] < a_min[0] or
+                a_max[1] < b_min[1] or b_max[1] < a_min[1])

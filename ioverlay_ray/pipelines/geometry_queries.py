@@ -135,6 +135,73 @@ def q_knn_centers(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return out.astype(np.int64)
 
 
+def q_rect_relate(sf_dir: str) -> pd.DataFrame:
+    """Spatial predicates between the two derived rects per part, through
+    the real Relation kernel (split+fill pass); the SQL oracle reproduces
+    the answers with closed/open interval logic."""
+    from ..geometry.relate import Relation
+
+    def stage(batch: pa.Table) -> pa.Table:
+        pk = np.asarray(batch.column("p_partkey").to_pylist(), np.int64)
+        sz = np.asarray(batch.column("p_size").to_pylist(), np.int64)
+        (ax0, ay0, ax1, ay1), (bx0, by0, bx1, by1) = part_rects(pk, sz)
+        inter, interiors, touch, within = [], [], [], []
+        for i in range(len(pk)):
+            subj = [[(int(ax0[i]), int(ay0[i])), (int(ax1[i]), int(ay0[i])),
+                     (int(ax1[i]), int(ay1[i])), (int(ax0[i]), int(ay1[i]))]]
+            clip = [[(int(bx0[i]), int(by0[i])), (int(bx1[i]), int(by0[i])),
+                     (int(bx1[i]), int(by1[i])), (int(bx0[i]), int(by1[i]))]]
+            r = Relation(subj, clip, "nonzero")
+            inter.append(int(r.intersects()))
+            interiors.append(int(r.interiors_intersect()))
+            touch.append(int(r.touches()))
+            within.append(int(r.within()))
+        return pa.table({
+            "p_partkey": pa.array(pk, pa.int64()),
+            "r_intersects": pa.array(inter, pa.int64()),
+            "r_interiors": pa.array(interiors, pa.int64()),
+            "r_touches": pa.array(touch, pa.int64()),
+            "r_within": pa.array(within, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size"])
+    return ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+
+
+def q_clip_segments(sf_dir: str) -> pd.DataFrame:
+    """Polyline clipping through the string kernel: one horizontal probe
+    line per part clipped by its derived rect; inside/outside lengths and
+    piece counts match interval arithmetic in SQL."""
+    from ..geometry.string_ops import clip_paths
+
+    def stage(batch: pa.Table) -> pa.Table:
+        pk = np.asarray(batch.column("p_partkey").to_pylist(), np.int64)
+        sz = np.asarray(batch.column("p_size").to_pylist(), np.int64)
+        (ax0, ay0, ax1, ay1), _ = part_rects(pk, sz)
+        ly = (ay0 + ay1) // 2          # strictly inside (height is odd >= 9)
+        lx0 = (pk * 11) % MOD
+        lx1 = lx0 + 500
+        ins, outs, pieces = [], [], []
+        for i in range(len(pk)):
+            rect = [[(int(ax0[i]), int(ay0[i])), (int(ax1[i]), int(ay0[i])),
+                     (int(ax1[i]), int(ay1[i])), (int(ax0[i]), int(ay1[i]))]]
+            line = [[(int(lx0[i]), int(ly[i])), (int(lx1[i]), int(ly[i]))]]
+            inside = clip_paths(rect, line, "nonzero", invert=False)
+            outside = clip_paths(rect, line, "nonzero", invert=True)
+            ins.append(sum(abs(p[-1][0] - p[0][0]) for p in inside))
+            outs.append(sum(abs(p[-1][0] - p[0][0]) for p in outside))
+            pieces.append(len(inside))
+        return pa.table({
+            "p_partkey": pa.array(pk, pa.int64()),
+            "inside_len": pa.array(ins, pa.int64()),
+            "outside_len": pa.array(outs, pa.int64()),
+            "n_inside": pa.array(pieces, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size"])
+    return ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # Rows-only geometry pipelines (not SQL-expressible)
 # ---------------------------------------------------------------------------
