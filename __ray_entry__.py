@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_centers": gq.q_knn_centers,
         "q_rect_relate": gq.q_rect_relate,
         "q_clip_segments": gq.q_clip_segments,
+        "q_dissolve_area": gq.q_dissolve_area,
         # geometry engine (rows-only)
         "q_overlay_fixture_corpus": gq.q_overlay_fixture_corpus,
         "q_flagship_tiles": gq.q_flagship_tiles,
@@ -221,6 +222,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GREATEST(0, LEAST(ax1, lx1) - GREATEST(ax0, lx0)) > 0
                         AS BIGINT) AS n_inside
             FROM r
+        """,
+        "q_dissolve_area": """
+            WITH r AS (
+                SELECT (p_partkey * 37) % 1024 AS x0,
+                       (p_partkey * 91) % 1024 AS y0,
+                       (p_partkey * 37) % 1024 + p_size // 8 + 3 AS x1,
+                       (p_partkey * 91) % 1024 + p_size // 8 + 2 AS y1
+                FROM part
+            ), xs AS (
+                SELECT y0, y1, unnest(range(x0, x1)) AS cx FROM r
+            ), cells AS (
+                SELECT cx, unnest(range(y0, y1)) AS cy FROM xs
+            )
+            SELECT 2 * COUNT(*) AS union_area2
+            FROM (SELECT DISTINCT cx, cy FROM cells)
         """,
         "q_pip_count": """
             WITH r AS (

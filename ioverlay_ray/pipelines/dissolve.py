@@ -1,0 +1,230 @@
+"""Tile-distributed dissolve (N-way polygon union).
+
+The distributed analog of the reference's fragment solver + simplify
+union (split/solver_fragment.rs:18-80 grid partitioning;
+core/simplify.rs N-way union, README.md:579-595), re-expressed as a
+quad-tree hierarchical reduce over Ray Data:
+
+1. Every polygon is assigned to the SMALLEST grid cell that fully
+   contains its bbox (power-of-two cell sizes, like GridLayout's
+   power-of-two x-bins, split/grid_layout.rs:251-297). Small shapes land
+   in fine cells; only boundary-crossing shapes ride up the hierarchy.
+2. For each level from finest to coarsest: ``groupby(cell).map_groups``
+   unions each cell's shapes worker-locally with the boolean kernel and
+   re-emits the result keyed by the PARENT cell one level up.
+3. The root union touches only what crosses coarse boundaries.
+
+Scale properties: the reduce depth is log2(world/base_cell); each level
+is embarrassingly parallel across cells; the shuffle volume shrinks
+geometrically per level because unions merge geometry. Skewed cells are
+bounded by `max_group_rows` — oversized groups union in chunks
+(combiner) before the final per-cell union, the groupby-side analog of
+salting (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+RINGS = pa.list_(pa.list_(pa.int64()))  # shape = rings, ring = flat x,y pairs
+
+
+def rings_to_shape(rings) -> list:
+    return [list(zip(r[0::2], r[1::2])) for r in rings]
+
+
+def shape_to_rings(shape) -> list:
+    return [[int(v) for p in contour for v in p] for contour in shape]
+
+
+def smallest_cell(x0, y0, x1, y1, base: int, levels: int):
+    """(level, cell_id) per bbox; level 0 = finest (cell size ``base``),
+    level ``levels-1`` = coarsest. Returns the finest level at which the
+    bbox fits inside one cell, else the coarsest cell it overlaps."""
+    x0 = np.asarray(x0, np.int64)
+    y0 = np.asarray(y0, np.int64)
+    x1 = np.asarray(x1, np.int64) - 1  # inclusive max corner
+    y1 = np.asarray(y1, np.int64) - 1
+    level = np.full(len(x0), levels - 1, dtype=np.int64)
+    cell = np.zeros(len(x0), dtype=np.int64)
+    done = np.zeros(len(x0), dtype=bool)
+    for lev in range(levels):
+        size = base << lev
+        cx0 = x0 >> (size.bit_length() - 1)
+        cy0 = y0 >> (size.bit_length() - 1)
+        fits = (~done) & (cx0 == (x1 >> (size.bit_length() - 1))) & \
+               (cy0 == (y1 >> (size.bit_length() - 1)))
+        if lev == levels - 1:
+            # coarsest level is a single root cell: geometry spanning
+            # multiple coarse cells must union globally
+            fits = ~done
+            level[fits] = lev
+            cell[fits] = 0
+            done |= fits
+            break
+        level[fits] = lev
+        cell[fits] = (cx0[fits] << 20) | (cy0[fits] & 0xFFFFF)
+        done |= fits
+        if done.all():
+            break
+    return level, cell
+
+
+def parent_cell(cell: np.ndarray) -> np.ndarray:
+    cx = cell >> 20
+    cy = cell & 0xFFFFF
+    return ((cx >> 1) << 20) | ((cy >> 1) & 0xFFFFF)
+
+
+def _bbox_components(shapes: List[list]) -> List[List[int]]:
+    """Union-find over bbox overlap: shapes whose bboxes are disjoint
+    cannot interact, so each component unions independently (the
+    fragment-rect pruning idea, split/grid_layout.rs:17-249)."""
+    n = len(shapes)
+    boxes = []
+    for s in shapes:
+        xs = [p[0] for c in s for p in c]
+        ys = [p[1] for c in s for p in c]
+        boxes.append((min(xs), min(ys), max(xs), max(ys)))
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    order = sorted(range(n), key=lambda i: boxes[i][0])
+    active: List[int] = []
+    for i in order:
+        x0, y0, x1, y1 = boxes[i]
+        nxt = []
+        for j in active:
+            if boxes[j][2] < x0:
+                continue  # expired in x
+            nxt.append(j)
+            if not (boxes[j][1] > y1 or boxes[j][3] < y0):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[ri] = rj
+        nxt.append(i)
+        active = nxt
+    comps: dict = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(i)
+    return list(comps.values())
+
+
+def _union_rows(rows: List[list]) -> List[list]:
+    """Union a list of shapes (each = list of contours) via the kernel,
+    decomposed into bbox-overlap components first so disjoint geometry
+    costs O(n log n) instead of feeding one giant overlay."""
+    from ..geometry.overlay import simplify_shape
+    if len(rows) <= 1:
+        return list(rows)
+    out: List[list] = []
+    for comp in _bbox_components(rows):
+        if len(comp) == 1:
+            out.append(rows[comp[0]])
+        else:
+            contours = [c for i in comp for c in rows[i]]
+            out.extend(simplify_shape(contours, "nonzero"))
+    return out
+
+
+def _union_group(group: pa.Table, next_level: int, next_cell: int,
+                 max_group_rows: int) -> pa.Table:
+    shapes = [rings_to_shape(r) for r in group.column("rings").to_pylist()]
+    # combiner for skewed cells: chunked pre-union keeps peak segment
+    # count bounded (the salting analog); stop if a pass makes no progress
+    # (disjoint shapes never merge)
+    while len(shapes) > max_group_rows:
+        before = len(shapes)
+        chunks = [shapes[i:i + max_group_rows]
+                  for i in range(0, len(shapes), max_group_rows)]
+        shapes = [s for ch in chunks for s in _union_rows(ch)]
+        if len(shapes) >= before:
+            break
+    merged = _union_rows(shapes)
+    return pa.table({
+        "level": pa.array([next_level] * len(merged), pa.int64()),
+        "cell": pa.array([next_cell] * len(merged), pa.int64()),
+        "rings": pa.array([shape_to_rings(s) for s in merged], RINGS),
+    })
+
+
+def dissolve(ds: "ray.data.Dataset", base: int = 64, levels: int = 5,
+             max_group_rows: int = 512) -> "ray.data.Dataset":
+    """Union all polygons in ``ds`` (columns: rings, x0, y0, x1, y1)
+    into a multipolygon dataset (one row per output shape).
+
+    Coordinates must be non-negative and < base << (levels - 1) * 2^20
+    ... practically: the world must fit the coarsest grid.
+    """
+
+    def assign(batch: pa.Table) -> pa.Table:
+        level, cell = smallest_cell(
+            batch.column("x0").to_numpy(), batch.column("y0").to_numpy(),
+            batch.column("x1").to_numpy(), batch.column("y1").to_numpy(),
+            base, levels)
+        return pa.table({
+            "level": pa.array(level, pa.int64()),
+            "cell": pa.array(cell, pa.int64()),
+            "rings": batch.column("rings"),
+        })
+
+    current = ds.map_batches(assign, batch_format="pyarrow")
+
+    for lev in range(levels):
+        last = lev == levels - 1
+
+        def union_level(group: pa.Table, lev=lev, last=last) -> pa.Table:
+            if len(group) == 0:
+                return pa.table({"level": pa.array([], pa.int64()),
+                                 "cell": pa.array([], pa.int64()),
+                                 "rings": pa.array([], RINGS)})
+            glev = group.column("level")[0].as_py()
+            gcell = group.column("cell")[0].as_py()
+            if glev != lev:
+                # pass through rows waiting for their level
+                return group.select(["level", "cell", "rings"])
+            nxt = lev if last else lev + 1
+            if last:
+                ncell = gcell
+            elif nxt == levels - 1:
+                ncell = 0  # root
+            else:
+                ncell = int(parent_cell(np.array([gcell], np.int64))[0])
+            return _union_group(group, nxt, ncell, max_group_rows)
+
+        # single combined key so one shuffle handles (level, cell)
+        def keyed(batch: pa.Table) -> pa.Table:
+            k = (batch.column("level").to_numpy(zero_copy_only=False) << 42) \
+                | batch.column("cell").to_numpy(zero_copy_only=False)
+            return batch.append_column("gkey", pa.array(k, pa.int64()))
+
+        current = (current.map_batches(keyed, batch_format="pyarrow")
+                   .groupby("gkey")
+                   .map_groups(union_level, batch_format="pyarrow"))
+        current = current.materialize()
+    return current
+
+
+def dissolve_area2(ds: "ray.data.Dataset", **kw) -> int:
+    """Total 2x-area of the dissolved union (holes subtract)."""
+    from ..stages.geo_arrow import shapes_area2
+    out = dissolve(ds, **kw)
+
+    def area(batch: pa.Table) -> pa.Table:
+        total = 0
+        for rings in batch.column("rings").to_pylist():
+            total += shapes_area2([rings_to_shape(rings)])
+        return pa.table({"area2": pa.array([total], pa.int64())})
+
+    parts = out.map_batches(area, batch_format="pyarrow").to_pandas()
+    return int(parts["area2"].sum())

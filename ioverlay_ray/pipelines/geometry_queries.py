@@ -202,6 +202,34 @@ def q_clip_segments(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(stage, batch_format="pyarrow").to_pandas()
 
 
+def q_dissolve_area(sf_dir: str) -> pd.DataFrame:
+    """Distributed N-way union (quad-tree dissolve) of one derived rect
+    per part in a 1024x1024 world; the union area is reproduced in SQL by
+    counting distinct covered unit cells."""
+    from .dissolve import RINGS, dissolve_area2
+
+    def rects(batch: pa.Table) -> pa.Table:
+        pk = np.asarray(batch.column("p_partkey").to_pylist(), np.int64)
+        sz = np.asarray(batch.column("p_size").to_pylist(), np.int64)
+        x0 = (pk * 37) % 1024
+        y0 = (pk * 91) % 1024
+        x1 = x0 + sz // 8 + 3
+        y1 = y0 + sz // 8 + 2
+        rings = [[[int(a), int(b), int(c), int(b), int(c), int(d),
+                   int(a), int(d)]]
+                 for a, b, c, d in zip(x0, y0, x1, y1)]
+        return pa.table({
+            "rings": pa.array(rings, RINGS),
+            "x0": pa.array(x0, pa.int64()), "y0": pa.array(y0, pa.int64()),
+            "x1": pa.array(x1, pa.int64()), "y1": pa.array(y1, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size"]) \
+        .map_batches(rects, batch_format="pyarrow")
+    area2 = dissolve_area2(ds, base=64, levels=5)
+    return pd.DataFrame({"union_area2": np.array([area2], np.int64)})
+
+
 # ---------------------------------------------------------------------------
 # Rows-only geometry pipelines (not SQL-expressible)
 # ---------------------------------------------------------------------------

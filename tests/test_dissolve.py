@@ -1,0 +1,74 @@
+"""Distributed dissolve vs brute-force union area (numpy cell raster)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ioverlay_ray.pipelines.dissolve import (dissolve, dissolve_area2,
+                                             rings_to_shape, smallest_cell)
+
+
+def _rects(n, seed=7, world=512):
+    rng = np.random.default_rng(seed)
+    x0 = rng.integers(0, world - 40, n)
+    y0 = rng.integers(0, world - 40, n)
+    w = rng.integers(3, 40, n)
+    h = rng.integers(3, 40, n)
+    return x0, y0, x0 + w, y0 + h
+
+
+def _rect_ds(x0, y0, x1, y1):
+    rings = [[[int(a), int(b), int(c), int(b), int(c), int(d), int(a), int(d)]]
+             for a, b, c, d in zip(x0, y0, x1, y1)]
+    t = pa.table({
+        "rings": pa.array(rings, pa.list_(pa.list_(pa.int64()))),
+        "x0": pa.array(x0, pa.int64()), "y0": pa.array(y0, pa.int64()),
+        "x1": pa.array(x1, pa.int64()), "y1": pa.array(y1, pa.int64()),
+    })
+    return ray.data.from_arrow(t)
+
+
+def _brute_area(x0, y0, x1, y1, world=512):
+    grid = np.zeros((world, world), dtype=bool)
+    for a, b, c, d in zip(x0, y0, x1, y1):
+        grid[a:c, b:d] = True
+    return int(grid.sum())
+
+
+def test_smallest_cell_assignment():
+    lev, cell = smallest_cell([0, 0, 100, 130], [0, 0, 100, 130],
+                              [10, 200, 120, 250], [10, 200, 120, 250],
+                              base=64, levels=3)
+    assert lev[0] == 0            # fits one fine cell
+    assert lev[1] == 2 and cell[1] == 0   # spans coarse cells -> root
+    assert lev[2] == 0            # [100,120) fits fine cell 1
+    assert lev[3] == 1            # [130,250) fits level-1 cell (128-wide)
+
+
+def test_dissolve_matches_brute_force(ray_session):
+    x0, y0, x1, y1 = _rects(150)
+    ds = _rect_ds(x0, y0, x1, y1)
+    area2 = dissolve_area2(ds, base=64, levels=4)
+    assert area2 == 2 * _brute_area(x0, y0, x1, y1)
+
+
+def test_dissolve_disjoint_count(ray_session):
+    # 4 disjoint rects, far apart -> 4 shapes out
+    x0 = np.array([0, 200, 0, 200])
+    y0 = np.array([0, 0, 200, 200])
+    ds = _rect_ds(x0, y0, x0 + 10, y0 + 10)
+    out = dissolve(ds, base=64, levels=4).to_pandas()
+    assert len(out) == 4
+    assert dissolve_area2(_rect_ds(x0, y0, x0 + 10, y0 + 10),
+                          base=64, levels=4) == 2 * 400
+
+
+def test_dissolve_overlapping_merge(ray_session):
+    # chain of overlapping rects crossing cell borders -> single shape
+    x0 = np.arange(0, 300, 30)
+    y0 = np.full_like(x0, 60)
+    ds = _rect_ds(x0, y0, x0 + 40, y0 + 20)
+    out = dissolve(ds, base=64, levels=4).to_pandas()
+    assert len(out) == 1
+    shape = rings_to_shape(out["rings"].iloc[0])
+    assert len(shape) == 1  # no holes
