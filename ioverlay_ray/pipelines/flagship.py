@@ -86,6 +86,40 @@ def overlay_join_all_rules(ds, rules=("intersect", "union", "difference",
         batch_size=batch_size, concurrency=concurrency)
 
 
+def overlay_join_checkpointed(out_dir: str, n_images: int = 512,
+                              rule: str = "intersect",
+                              fill_rule: str = "nonzero",
+                              resolution: int = 4,
+                              shard_files: int = 1) -> dict:
+    """Flagship join with per-partition checkpointing: each input parquet
+    shard becomes a recovery unit (state/checkpoint.py). A re-run skips
+    finished shards; the combined output reads back with read_output."""
+    from ..state.checkpoint import Shard, run_checkpointed
+
+    # materialize the synthetic table, collect its files as shards
+    images_dataset(n_images)
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(),
+                        f"ioverlay_images_{n_images}_42")
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    shards = [
+        Shard(shard_id=f"{i:05d}",
+              lineage={"input": files[i:i + shard_files],
+                       "pipeline": "overlay_join"})
+        for i in range(0, len(files), shard_files)
+    ]
+
+    def run_shard(shard: Shard) -> "ray.data.Dataset":
+        ds = ray.data.read_parquet(shard.lineage["input"],
+                                   columns=["image_id", "w", "h"])
+        return overlay_join(ds, rule, fill_rule, resolution)
+
+    config = {"rule": rule, "fill_rule": fill_rule,
+              "resolution": resolution, "n_images": n_images}
+    return run_checkpointed(shards, run_shard, out_dir, config)
+
+
 def tile_summary(results: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-tile rollup (tiny result; safe to collect)."""
     import pyarrow.compute as pc
