@@ -36,8 +36,8 @@ def _harden_worker_imports() -> None:
         from ray import cloudpickle
         import ioverlay_ray  # noqa: F401
         # import the full surface first so every module gets registered
-        from ioverlay_ray.pipelines import flagship, geometry_queries, relational  # noqa: F401
-        from ioverlay_ray.stages import ann, dedup, overlay_stage, spatial, text  # noqa: F401
+        from ioverlay_ray.pipelines import dissolve, flagship, geometry_queries, media, relational  # noqa: F401
+        from ioverlay_ray.stages import ann, dedup, multimodal, overlay_stage, spatial, text  # noqa: F401
         for name, mod in list(sys.modules.items()):
             if name.startswith("ioverlay_ray") and mod is not None:
                 try:
@@ -59,6 +59,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     _harden_worker_imports()
     from ioverlay_ray.pipelines import geometry_queries as gq
+    from ioverlay_ray.pipelines import media as mq
     from ioverlay_ray.pipelines import relational as rq
     return {
         # core relational operators (map/filter/agg/join/sort/distinct)
@@ -87,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geometry engine (rows-only)
         "q_overlay_fixture_corpus": gq.q_overlay_fixture_corpus,
         "q_flagship_tiles": gq.q_flagship_tiles,
+        # multimodal (rows-only: binary decode paths)
+        "q_image_decode_stats": mq.q_image_decode_stats,
+        "q_image_embed_topk": mq.q_image_embed_topk,
     }
 
 

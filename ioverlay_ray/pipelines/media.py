@@ -1,0 +1,73 @@
+"""Media (image) pipelines over the synthetic binary image table.
+
+Rows-only queries (binary decode is not SQL-expressible); deterministic
+output so the driver's row-count/schema check is stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import flagship
+from ..stages.multimodal import DecodeStage, EmbedStage
+
+
+def q_image_decode_stats(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
+    """Decode every image (actor pool), emit per-image channel stats +
+    the phash recomputed from decoded pixels (round-trip invariant in
+    the distributed path)."""
+    import os
+    import tempfile
+
+    import ray.data
+    flagship.images_dataset(n_images)  # ensure materialized
+    path = os.path.join(tempfile.gettempdir(),
+                        f"ioverlay_images_{n_images}_42")
+    files = [os.path.join(path, f) for f in sorted(os.listdir(path))
+             if f.endswith(".parquet")]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "w", "h", "fmt"])
+    out = ds.map_batches(DecodeStage, batch_format="pyarrow",
+                         fn_constructor_kwargs={"check_phash": True},
+                         concurrency=2).to_pandas()
+    out = out.sort_values("image_id").reset_index(drop=True)
+    # stable int columns for hashing
+    for c in ("mean_r", "mean_g", "mean_b", "std"):
+        out[c] = (out[c] * 1000).round().astype(np.int64)
+    return out
+
+
+def q_image_embed_topk(sf_dir: str, n_images: int = 256,
+                       k: int = 5) -> pd.DataFrame:
+    """Image embeddings (actor pool) -> brute-force cosine top-k of the
+    first 4 images against the corpus (the multimodal ANN path)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.ann import CosineTopKStage, merge_topk
+    flagship.images_dataset(n_images)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"ioverlay_images_{n_images}_42")
+    files = [os.path.join(path, f) for f in sorted(os.listdir(path))
+             if f.endswith(".parquet")]
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "w", "h", "fmt"])
+    emb = ds.map_batches(EmbedStage, batch_format="pyarrow", concurrency=2)
+    emb_df = emb.to_pandas().sort_values("image_id").reset_index(drop=True)
+    queries = np.array(emb_df["embedding"].iloc[:4].tolist())
+    qids = list(range(4))
+
+    t = pa.table({
+        "vec_id": np.arange(len(emb_df), dtype=np.int64),
+        "embedding": pa.array(emb_df["embedding"].tolist(),
+                              pa.list_(pa.float64())),
+    })
+    partials = ray.data.from_arrow(t).map_batches(
+        CosineTopKStage, batch_format="pyarrow",
+        fn_constructor_args=(queries, qids, k), concurrency=2).to_pandas()
+    out = merge_topk(pa.Table.from_pandas(partials), k).to_pandas()
+    return out.astype(np.int64)

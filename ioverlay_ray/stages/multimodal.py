@@ -1,0 +1,178 @@
+"""Multimodal (image/audio/video) actor-pool stages.
+
+Binary payload columns are opaque ``binary`` + typed metadata
+(w, h, fmt / sample_rate / fps), per the input_hint schema. Each stage
+is a callable CLASS for ``map_batches(Cls, concurrency=N)``: decoder
+state (codec dispatch table, resize kernels) is built once per actor in
+``__init__``; ``__call__`` processes one zero-copy Arrow batch.
+
+The synthetic corpus uses fmt="raw" (zlib RGB) whose decode is real and
+lossless (sources/synth.py:34-39 — the PSNR>=40dB round-trip invariant
+is exact). Standard codecs (png/jpeg) dispatch to PIL when available;
+this container has no image libs, so they raise NotImplementedError
+with a clear message — the Ray-side plumbing (schema, batching, actor
+lifecycle, output layout) is identical either way.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(zlib.decompress(data), np.uint8).reshape(h, w, 3)
+
+
+def _decode_pil(data: bytes, w: int, h: int) -> np.ndarray:
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "png/jpeg decode needs PIL, which is not in this container; "
+            "synthetic data uses fmt='raw'") from e
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+_CODECS = {"raw": _decode_raw, "png": _decode_pil, "jpg": _decode_pil,
+           "jpeg": _decode_pil}
+
+
+class DecodeStage:
+    """bytes -> per-image stats (mean RGB, std, phash) without ever
+    materializing all pixels at once; emits no binary columns so the
+    downstream shuffle stays narrow."""
+
+    def __init__(self, check_phash: bool = False):
+        self.codecs = dict(_CODECS)  # per-actor dispatch (built once)
+        self.check_phash = check_phash
+        if check_phash:
+            from ..sources.synth import phash64
+            self._phash = phash64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_pylist()
+        hs = batch.column("h").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        mean_r, mean_g, mean_b, std, ok = [], [], [], [], []
+        for blob, w, h, fmt in zip(blobs, ws, hs, fmts):
+            px = self.codecs[fmt](blob, w, h).astype(np.float64)
+            mean_r.append(px[..., 0].mean())
+            mean_g.append(px[..., 1].mean())
+            mean_b.append(px[..., 2].mean())
+            std.append(px.std())
+            if self.check_phash:
+                ok.append(int(self._phash(px.astype(np.uint8))))
+        cols = {
+            "image_id": batch.column("image_id"),
+            "mean_r": pa.array(mean_r, pa.float64()),
+            "mean_g": pa.array(mean_g, pa.float64()),
+            "mean_b": pa.array(mean_b, pa.float64()),
+            "std": pa.array(std, pa.float64()),
+        }
+        if self.check_phash:
+            cols["phash_decoded"] = pa.array(ok, pa.int64())
+        return pa.table(cols)
+
+
+class ResizeStage:
+    """Nearest-neighbour resize to a fixed (out_w, out_h); re-encodes
+    with the raw codec. Pure numpy — no image libs needed."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.codecs = dict(_CODECS)
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w, _ = px.shape
+        yi = (np.arange(self.out_h) * h) // self.out_h
+        xi = (np.arange(self.out_w) * w) // self.out_w
+        return px[yi][:, xi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for blob, w, h, fmt in zip(batch.column("bytes").to_pylist(),
+                                   batch.column("w").to_pylist(),
+                                   batch.column("h").to_pylist(),
+                                   batch.column("fmt").to_pylist()):
+            px = self.codecs[fmt](blob, w, h)
+            out.append(zlib.compress(self._resize(px).tobytes(), 1))
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "bytes": pa.array(out, pa.binary()),
+            "w": pa.array([self.out_w] * len(out), pa.int32()),
+            "h": pa.array([self.out_h] * len(out), pa.int32()),
+            "fmt": pa.array(["raw"] * len(out), pa.string()),
+        })
+
+
+class EmbedStage:
+    """Image -> small feature vector (downsampled grayscale grid,
+    normalized) usable by the ANN stages; a stand-in for batched model
+    inference with the same actor/batch shape."""
+
+    def __init__(self, grid: int = 8):
+        self.grid = grid
+        self.codecs = dict(_CODECS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = []
+        g = self.grid
+        for blob, w, h, fmt in zip(batch.column("bytes").to_pylist(),
+                                   batch.column("w").to_pylist(),
+                                   batch.column("h").to_pylist(),
+                                   batch.column("fmt").to_pylist()):
+            px = self.codecs[fmt](blob, w, h).astype(np.float64)
+            gray = px.sum(axis=2)
+            yi = (np.arange(g) * gray.shape[0]) // g
+            xi = (np.arange(g) * gray.shape[1]) // g
+            v = gray[yi][:, xi].flatten()
+            n = np.linalg.norm(v)
+            vecs.append((v / n if n else v).tolist())
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+        })
+
+
+class FrameSampleStage:
+    """'Video' = concatenated raw frames in one binary blob (n_frames x
+    h x w x 3). Samples every k-th frame; emits one row per kept frame
+    (1 -> many rows, the flat_map shape)."""
+
+    def __init__(self, every_k: int = 2):
+        self.every_k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_no, blobs = [], [], []
+        for vid, blob, w, h, n in zip(batch.column("video_id").to_pylist(),
+                                      batch.column("bytes").to_pylist(),
+                                      batch.column("w").to_pylist(),
+                                      batch.column("h").to_pylist(),
+                                      batch.column("n_frames").to_pylist()):
+            frames = np.frombuffer(zlib.decompress(blob), np.uint8) \
+                .reshape(n, h, w, 3)
+            for k in range(0, n, self.every_k):
+                ids.append(vid)
+                frame_no.append(k)
+                blobs.append(zlib.compress(frames[k].tobytes(), 1))
+        return pa.table({
+            "video_id": pa.array(ids, pa.string()),
+            "frame": pa.array(frame_no, pa.int64()),
+            "bytes": pa.array(blobs, pa.binary()),
+        })
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Decoded-pixel PSNR (the >=40dB round-trip invariant)."""
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 ** 2 / mse)
