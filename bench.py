@@ -26,8 +26,14 @@ def _init_ray(num_cpus: int):
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    ctx.use_polars_sort = True
     import logging
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    # spin up the worker pool before timing anything: cluster provisioning
+    # is not pipeline throughput
+    import ray.data
+    ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2) \
+        .map_batches(lambda b: b).materialize()
 
 
 def run_flagship(n_images: int, concurrency=None) -> dict:
@@ -52,7 +58,9 @@ def run_queries(sf_dir: str) -> dict:
     qs = entrymod.queries()
     names = ["q_pricing_summary", "q_order_revenue_topk", "q_doc_dedup_exact",
              "q_minhash_bands", "q_ann_cosine_topk", "q_rect_intersect_area",
-             "q_pip_count", "q_knn_centers", "q_overlay_fixture_corpus"]
+             "q_pip_count", "q_knn_centers", "q_overlay_fixture_corpus",
+             "q_rect_relate", "q_clip_segments", "q_dissolve_area",
+             "q_image_decode_stats"]
     out = {}
     for name in names:
         t0 = time.time()

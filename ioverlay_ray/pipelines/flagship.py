@@ -122,20 +122,12 @@ def overlay_join_checkpointed(out_dir: str, n_images: int = 512,
 
 def tile_summary(results: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-tile rollup (tiny result; safe to collect)."""
-    import pyarrow.compute as pc
-
-    def agg(batch: pa.Table) -> pa.Table:
-        # partial per-batch combine before the small groupby
-        import pandas as pd
-        df = batch.select(["tile_id", "n_shapes", "area2"]).to_pandas()
-        g = df.groupby("tile_id", as_index=False).agg(
-            pairs=("n_shapes", "size"), shapes=("n_shapes", "sum"),
-            area2=("area2", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    partial = results.map_batches(agg, batch_format="pyarrow")
-    return partial.groupby("tile_id").aggregate(
-        ray.data.aggregate.Sum("pairs", alias_name="pairs"),
-        ray.data.aggregate.Sum("shapes", alias_name="shapes"),
-        ray.data.aggregate.Sum("area2", alias_name="area2"),
-    )
+    from ..stages.agg import hash_aggregate
+    keep = results.map_batches(
+        lambda b: b.select(["tile_id", "n_shapes", "area2"]),
+        batch_format="pyarrow")
+    return hash_aggregate(keep, ["tile_id"], {
+        "pairs": ("n_shapes", "count"),
+        "shapes": ("n_shapes", "sum"),
+        "area2": ("area2", "sum"),
+    }, num_partitions=8)

@@ -21,6 +21,11 @@ import ray.data
 MOD = 4096
 
 
+def _conc() -> int:
+    import ray
+    return min(8, max(2, int(ray.cluster_resources().get("CPU", 8)) // 4))
+
+
 def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                                  columns=columns)
@@ -97,7 +102,7 @@ def q_pip_count(sf_dir: str) -> pd.DataFrame:
     pts = ds.map_batches(to_points, batch_format="pyarrow")
     partials = pts.map_batches(PIPCountStage, batch_format="pyarrow",
                                fn_constructor_args=(polys_ref,),
-                               concurrency=2).to_pandas()
+                               concurrency=_conc()).to_pandas()
     out = partials.groupby("poly_id", as_index=False)["n_points"].sum()
     out.columns = ["p_partkey", "n_points"]
     return out.astype(np.int64)
@@ -130,7 +135,7 @@ def q_knn_centers(sf_dir: str, k: int = 5) -> pd.DataFrame:
     cts = ds.map_batches(centers, batch_format="pyarrow")
     partials = cts.map_batches(KnnStage, batch_format="pyarrow",
                                fn_constructor_args=(qref, k),
-                               concurrency=2).to_pandas()
+                               concurrency=_conc()).to_pandas()
     out = merge_knn(pa.Table.from_pandas(partials), k).to_pandas()
     return out.astype(np.int64)
 

@@ -29,6 +29,13 @@ def _small_table(sf_dir: str, table: str, columns=None) -> pa.Table:
     return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
                          columns=columns)
 
+def _conc() -> int:
+    """Actor-pool width: half the cluster CPUs (leave room for the
+    producer/consumer stages in the same pipeline)."""
+    import ray
+    return min(8, max(2, int(ray.cluster_resources().get("CPU", 8)) // 4))
+
+
 
 # ---------------------------------------------------------------------------
 # Core relational operators
@@ -94,7 +101,7 @@ def q_nation_customers(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "customer", ["c_nationkey"])
     parts = ds.map_batches(CountPerNation, batch_format="pyarrow",
                            fn_constructor_args=(lookup_ref,),
-                           concurrency=2).to_pandas()
+                           concurrency=_conc()).to_pandas()
     out = parts.groupby("n_name", as_index=False)["num_customers"].sum()
     out["num_customers"] = out["num_customers"].astype(np.int64)
     return out
@@ -112,9 +119,10 @@ def q_order_revenue_topk(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
+    from ..stages.agg import hash_aggregate
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    rev = parts.groupby("l_orderkey").aggregate(
-        ray.data.aggregate.Sum("rev", alias_name="revenue")).to_pandas()
+    rev = hash_aggregate(parts, ["l_orderkey"],
+                         {"revenue": ("rev", "sum")}).to_pandas()
     rev = rev.sort_values(["revenue", "l_orderkey"],
                           ascending=[False, True]).head(20)
     orders = _small_table(sf_dir, "orders",
@@ -165,10 +173,11 @@ def q_events_daily(sf_dir: str) -> pd.DataFrame:
 def q_doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: hash-partition by content key, keep min doc_id."""
     from ..stages.dedup import exact_key_stage
+    from ..stages.agg import hash_aggregate
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     keyed = ds.map_batches(exact_key_stage, batch_format="pyarrow")
-    kept = keyed.groupby("content_key").aggregate(
-        ray.data.aggregate.Min("doc_id", alias_name="doc_id")).to_pandas()
+    kept = hash_aggregate(keyed, ["content_key"],
+                          {"doc_id": ("doc_id", "min")}).to_pandas()
     out = kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out
@@ -204,13 +213,14 @@ def q_minhash_bands(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import LSHBandStage, MinHashStage
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(MinHashStage, batch_format="pyarrow",
-                          concurrency=2)
+                          concurrency=_conc())
+    from ..stages.agg import hash_aggregate
     bands = sigs.map_batches(LSHBandStage(), batch_format="pyarrow")
-    counts = bands.groupby("band_key").aggregate(
-        ray.data.aggregate.Count(alias_name="members"),
-        ray.data.aggregate.Min("doc_id", alias_name="min_doc"),
-        ray.data.aggregate.Max("doc_id", alias_name="max_doc"),
-    ).to_pandas()
+    counts = hash_aggregate(bands, ["band_key"], {
+        "members": ("doc_id", "count"),
+        "min_doc": ("doc_id", "min"),
+        "max_doc": ("doc_id", "max"),
+    }).to_pandas()
     cand = counts[counts["members"] > 1].copy()
     cand = cand[cand["min_doc"] != cand["max_doc"]]
     out = cand[["min_doc", "max_doc"]].drop_duplicates().sort_values(
@@ -222,7 +232,7 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import SimHashStage
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(SimHashStage, batch_format="pyarrow",
-                          concurrency=2).to_pandas()
+                          concurrency=_conc()).to_pandas()
 
 
 def q_ann_cosine_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
@@ -238,6 +248,6 @@ def q_ann_cosine_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFra
     partials = ds.map_batches(
         CosineTopKStage, batch_format="pyarrow",
         fn_constructor_args=(qref, qdf["vec_id"].tolist(), k),
-        concurrency=2)
+        concurrency=_conc())
     return merge_topk(pa.Table.from_pandas(partials.to_pandas()),
                       k).to_pandas()

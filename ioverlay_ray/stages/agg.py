@@ -1,0 +1,64 @@
+"""Hash-partitioned distributed aggregation.
+
+Ray Data's built-in ``groupby().aggregate()`` accumulates per GROUP in
+Python, which collapses at high key cardinality (147k groups ~ 6-10s at
+sf0.1). This operator keeps the same two-phase shape a 256-node job
+needs — map-side partial combine, then an exchange — but exchanges on a
+SMALL hash-partition key (default 32 buckets) so the per-bucket merge
+is one vectorized pandas groupby instead of a Python loop per key:
+
+    map_batches(partial combine + __part = hash(key) % P)
+      -> groupby(__part).map_groups(vectorized merge)
+
+Partition count is the scale knob: buckets ~ number of cores per node x
+nodes; skewed keys spread because bucketing is on the hash, not the key.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# how in {"sum", "min", "max", "count"}
+AggSpec = Dict[str, Tuple[str, str]]  # out_col -> (in_col, how)
+
+_KNUTH = 2654435761
+
+
+def _part_of(df: pd.DataFrame, keys: List[str], num_partitions: int):
+    h = np.zeros(len(df), dtype=np.uint64)
+    for k in keys:
+        h ^= pd.util.hash_pandas_object(df[k], index=False).to_numpy()
+        h *= np.uint64(_KNUTH)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def hash_aggregate(ds, keys: List[str], aggs: AggSpec,
+                   num_partitions: int = 32):
+    """Distributed groupby-aggregate; returns a Dataset with columns
+    keys + aggs.keys()."""
+    partial_spec = {out: (col, "size" if how == "count" else how)
+                    for out, (col, how) in aggs.items()}
+    merge_spec = {out: (out, "sum" if how == "count" else how)
+                  for out, (_, how) in aggs.items()}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(keys, as_index=False).agg(**partial_spec)
+        g["__part"] = _part_of(g, keys, num_partitions)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        if len(df) == 0:
+            return group.select(keys + list(aggs))
+        out = df.drop(columns="__part").groupby(
+            keys, as_index=False).agg(**merge_spec)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(merge, batch_format="pyarrow"))

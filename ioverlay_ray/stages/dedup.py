@@ -42,28 +42,26 @@ class MinHashStage:
     Stateful: the permutation coefficients are built once per actor.
     """
 
+    _P31 = (1 << 31) - 1  # Mersenne prime; 31-bit hashes keep a*h in int64
+
     def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _M31, size=num_perm, dtype=np.int64)
-        self.b = rng.integers(0, _M31, size=num_perm, dtype=np.int64)
+        self.a = rng.integers(1, self._P31, size=num_perm, dtype=np.int64)
+        self.b = rng.integers(0, self._P31, size=num_perm, dtype=np.int64)
         self.k = k
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray:
+        import zlib
         sh = _shingles(text, self.k)
         if not sh:
             return np.zeros(self.num_perm, dtype=np.int64)
-        hv = np.array(
-            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 3
-             for s in sh], dtype=np.int64)
-        # (a*h + b) mod prime, min over shingles, vectorized via object ints
-        # kept in int64: a*h can overflow, so use python ints per perm chunk
-        sig = np.empty(self.num_perm, dtype=np.int64)
-        hv_obj = hv.astype(object)
-        for j in range(self.num_perm):
-            vals = (int(self.a[j]) * hv_obj + int(self.b[j])) % _M31
-            sig[j] = int(min(vals))
-        return sig
+        hv = np.fromiter((zlib.crc32(s.encode()) & 0x7FFFFFFF for s in sh),
+                         dtype=np.int64, count=len(sh))
+        # one (num_perm x n_shingles) int64 matrix, no Python loop:
+        # products stay < 2^62 because both factors are < 2^31
+        vals = (self.a[:, None] * hv[None, :] + self.b[:, None]) % self._P31
+        return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
