@@ -441,11 +441,14 @@ def _sort_runs_by_angle(anchors: List[tuple]) -> List[tuple]:
 
 def extract_shapes(links: Links, rule: int, clockwise: bool = False,
                    preserve_output_collinear: bool = False,
-                   min_output_area: int = 0) -> List[list]:
+                   min_output_area: int = 0,
+                   nest_holes: bool = True) -> List[list]:
     """Walk the filtered link graph into shapes-with-holes.
 
     Returns [[contour, hole, hole, ...], ...]; hull direction CCW unless
-    ``clockwise``; holes opposite.
+    ``clockwise``; holes opposite. ``nest_holes=False`` is the flat
+    variant (extract_contours_into, core/extract.rs:223-276): every
+    contour comes back top-level in discovery order, holes unbound.
     """
     n = len(links)
     visited = bytearray(n)
@@ -494,5 +497,8 @@ def extract_shapes(links: Links, rule: int, clockwise: bool = False,
         else:
             shapes.append([points])
 
+    if not nest_holes:
+        return [[c] for shape in shapes for c in shape] + \
+               [[h] for h in holes]
     join_holes(shapes, holes, anchors, clockwise, anchors_sorted)
     return shapes

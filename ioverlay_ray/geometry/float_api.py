@@ -1,0 +1,118 @@
+"""Float facade over the integer kernel (the reference's float layer).
+
+Mirrors FloatOverlay / FloatPointAdapter semantics (float/overlay.rs:
+140-175, float/scale.rs:52-54): one pass over all points finds the
+bounding rect, a power-of-two scale maps the longer span into the safe
+integer range (|c| < 2^29 so the exact kernel never overflows), then
+x_int = round((x - offset) * scale). A caller-fixed scale gives
+cross-call consistency (FixedScaleFloatRelate, float/scale.rs:394+) —
+the default in distributed pipelines so every tile agrees on the grid.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence
+
+from . import string_ops
+from .overlay import overlay as int_overlay
+from .overlay import simplify_shape as int_simplify
+from .relate import Relation
+
+SAFE_SPAN = 1 << 29
+
+
+class FloatPointAdapter:
+    """Affine float<->int quantizer with power-of-two scale."""
+
+    def __init__(self, x_min: float, y_min: float, x_max: float,
+                 y_max: float, scale: float | None = None):
+        self.offset_x = (x_min + x_max) / 2.0
+        self.offset_y = (y_min + y_max) / 2.0
+        if scale is None:
+            span = max(x_max - x_min, y_max - y_min, 1e-9)
+            # largest power of two that keeps coordinates within 2^29
+            k = math.floor(math.log2(SAFE_SPAN / span))
+            scale = float(2 ** k)
+        self.scale = float(scale)
+        self.inv_scale = 1.0 / self.scale
+
+    @classmethod
+    def from_contours(cls, *contour_groups, scale: float | None = None
+                      ) -> "FloatPointAdapter":
+        xs, ys = [], []
+        for group in contour_groups:
+            for contour in group:
+                for p in contour:
+                    xs.append(float(p[0]))
+                    ys.append(float(p[1]))
+        if not xs:
+            return cls(0.0, 0.0, 1.0, 1.0, scale)
+        return cls(min(xs), min(ys), max(xs), max(ys), scale)
+
+    def to_int_contour(self, contour) -> list:
+        return [(int(round((float(p[0]) - self.offset_x) * self.scale)),
+                 int(round((float(p[1]) - self.offset_y) * self.scale)))
+                for p in contour]
+
+    def to_int(self, contours) -> list:
+        return [self.to_int_contour(c) for c in contours]
+
+    def to_float_point(self, p) -> tuple:
+        return (p[0] * self.inv_scale + self.offset_x,
+                p[1] * self.inv_scale + self.offset_y)
+
+    def to_float_shapes(self, shapes) -> list:
+        return [[[self.to_float_point(p) for p in contour]
+                 for contour in shape] for shape in shapes]
+
+
+def float_overlay(subj: Sequence, clip: Sequence, rule,
+                  fill_rule="evenodd", scale: float | None = None,
+                  **options) -> List[list]:
+    """Boolean overlay on float contours (SingleFloatOverlay::overlay)."""
+    adapter = FloatPointAdapter.from_contours(subj, clip, scale=scale)
+    shapes = int_overlay(adapter.to_int(subj), adapter.to_int(clip),
+                         rule, fill_rule, **options)
+    return adapter.to_float_shapes(shapes)
+
+
+def float_simplify(contours: Sequence, fill_rule="nonzero",
+                   scale: float | None = None, **options) -> List[list]:
+    """Float SimplifyShape (float/simplify.rs)."""
+    adapter = FloatPointAdapter.from_contours(contours, scale=scale)
+    shapes = int_simplify(adapter.to_int(contours), fill_rule, **options)
+    return adapter.to_float_shapes(shapes)
+
+
+def float_clip_paths(shape_contours: Sequence, paths: Sequence,
+                     fill_rule="evenodd", invert: bool = False,
+                     boundary_included: bool = False,
+                     scale: float | None = None) -> List[list]:
+    """FloatClip (float/clip.rs): quantize -> int clip -> dequantize."""
+    adapter = FloatPointAdapter.from_contours(shape_contours, paths,
+                                              scale=scale)
+    out = string_ops.clip_paths(adapter.to_int(shape_contours),
+                                adapter.to_int(paths), fill_rule,
+                                invert, boundary_included)
+    return [[adapter.to_float_point(p) for p in path] for path in out]
+
+
+def float_slice_by_paths(shape_contours: Sequence, paths: Sequence,
+                         fill_rule="evenodd",
+                         scale: float | None = None) -> List[list]:
+    """FloatSlice (float/slice.rs)."""
+    adapter = FloatPointAdapter.from_contours(shape_contours, paths,
+                                              scale=scale)
+    shapes = string_ops.slice_by_paths(adapter.to_int(shape_contours),
+                                       adapter.to_int(paths), fill_rule)
+    return adapter.to_float_shapes(shapes)
+
+
+def float_relate(subj: Sequence, clip: Sequence, predicate: str,
+                 fill_rule="evenodd", scale: float | None = None) -> bool:
+    """FloatRelate / FixedScaleFloatRelate: predicates after (fixed or
+    auto) quantization."""
+    adapter = FloatPointAdapter.from_contours(subj, clip, scale=scale)
+    r = Relation(adapter.to_int(subj), adapter.to_int(clip), fill_rule)
+    return getattr(r, predicate)()

@@ -105,3 +105,63 @@ def simplify_shape(contours: Sequence[Contour], fill_rule=NON_ZERO,
     multipolygon (core/simplify.rs semantics via Subject rule); doubles
     as N-way union/dissolve."""
     return overlay(contours, [], "subject", fill_rule, **options)
+
+
+def extract_contours(subj, clip, rule, fill_rule=NON_ZERO,
+                     **options) -> Shapes:
+    """Flat contour extraction, no hole nesting
+    (extract_contours_into, core/extract.rs:223-276)."""
+    graph = build_graph(subj, clip, fill_rule, **options)
+    if graph is None:
+        return []
+    rule = _as_rule(rule)
+    mask = rule_include_mask(graph.fills, rule)
+    links = build_links(graph.segs, graph.fills, mask)
+    connect_nodes(links)
+    flat = extract_shapes(links, rule, clockwise=graph.clockwise,
+                          preserve_output_collinear=graph.preserve_output_collinear,
+                          min_output_area=graph.min_output_area,
+                          nest_holes=False)
+    return [shape[0] for shape in flat]
+
+
+def extract_vectors(subj, clip, rule, fill_rule=NON_ZERO):
+    """Edge-level extraction (build_shape_vectors /
+    vector/extract.rs:28-175): the rule-filtered split segments with
+    their 4-bit fill masks as an edge table — (ax, ay, bx, by, fill)
+    tuples — instead of walked contours."""
+    graph = build_graph(subj, clip, fill_rule)
+    if graph is None:
+        return []
+    mask = rule_include_mask(graph.fills, _as_rule(rule))
+    idx = np.flatnonzero(mask)
+    s = graph.segs
+    return list(zip(s.ax[idx].tolist(), s.ay[idx].tolist(),
+                    s.bx[idx].tolist(), s.by[idx].tolist(),
+                    graph.fills[idx].tolist()))
+
+
+def extract_separate_vectors(subj, clip, fill_rule=NON_ZERO):
+    """All resolved segments with fills, no rule filter
+    (build_separate_vectors, core/overlay.rs:260-298)."""
+    graph = build_graph(subj, clip, fill_rule)
+    if graph is None:
+        return []
+    s = graph.segs
+    return list(zip(s.ax.tolist(), s.ay.tolist(), s.bx.tolist(),
+                    s.by.tolist(), graph.fills.tolist()))
+
+
+def decompose_contours(contours: Sequence[Contour],
+                       min_area: int = 0) -> list:
+    """Split self-touching contours into simple loops at repeated
+    points (ContourDecomposition, core/divide.rs:34-119)."""
+    from .string_ops import _split_loops
+    out = []
+    for contour in contours:
+        pts = [tuple(p) for p in contour]
+        if pts and pts[0] != pts[-1]:
+            pts = pts + [pts[0]]  # walk must revisit the start to close
+        loops = _split_loops(pts, min_area)
+        out.extend(loop for loop in loops if len(loop) >= 3)
+    return out
