@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_bands": rq.q_minhash_bands,
         "q_simhash": rq.q_simhash,
         "q_ann_cosine_topk": rq.q_ann_cosine_topk,
+        "q_embedding_neardup": rq.q_embedding_neardup,
         # geometry engine (SQL-checked via arithmetic oracles)
         "q_rect_intersect_area": gq.q_rect_intersect_area,
         "q_pip_count": gq.q_pip_count,
@@ -166,6 +167,20 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY score DESC, vec_id) AS BIGINT) AS rank
             FROM scored
             QUALIFY rank <= 5
+        """,
+        "q_embedding_neardup": """
+            WITH n AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_cosine_similarity(a.e, b.e) AS sim
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b,
+                   CAST(ROUND(sim * 1000) AS BIGINT) AS sim_e3
+            FROM pairs WHERE sim > 0.4
+            ORDER BY id_a, id_b
         """,
         "q_rect_intersect_area": """
             WITH r AS (

@@ -202,36 +202,47 @@ def outline(shapes_or_contours, outer_offset: float,
     """
     if inner_offset is None:
         inner_offset = outer_offset
-    if outer_offset < 0 or inner_offset < 0:
-        raise NotImplementedError("deflating outline not supported")
     shapes = shapes_or_contours
     if shapes and isinstance(shapes[0][0], (tuple, list)) and \
             isinstance(shapes[0][0][0], (int, float)):
         shapes = [shapes]  # single shape given
 
     grow_pieces: List[List[FPoint]] = []
+    hull_regions: List[List[tuple]] = []   # pre-shrunk hulls (r < 0)
     hole_regions: List[List[tuple]] = []
     for shape in shapes:
         for ci, contour in enumerate(shape):
             pts = [tuple(map(float, p)) for p in contour]
+            r = outer_offset if ci == 0 else inner_offset
+            band = _path_pieces(pts, abs(r), True, "butt", "butt", join,
+                                join_param, join_param)
             if ci == 0:
-                # outer: region itself + a band around its boundary
-                grow_pieces.append(pts)
-                grow_pieces.extend(_path_pieces(
-                    pts, outer_offset, True, "butt", "butt", join,
-                    join_param, join_param))
+                if r >= 0:
+                    # inflate: region itself + boundary band
+                    grow_pieces.append(pts)
+                    grow_pieces.extend(band)
+                else:
+                    # deflate: region minus boundary band
+                    shrunk = overlay(_quantize([pts], scale),
+                                     _quantize(band, scale),
+                                     "difference", "nonzero")
+                    for s in shrunk:
+                        hull_regions.extend(s)
             else:
-                # hole shrunk by inner_offset: hole minus boundary band
-                hole = _quantize([pts], scale)
-                band = _quantize(_path_pieces(
-                    pts, inner_offset, True, "butt", "butt", join,
-                    join_param, join_param), scale)
-                shrunk = overlay(hole, band, "difference", "nonzero")
+                if r >= 0:
+                    # hole shrinks when the polygon inflates
+                    shrunk = overlay(_quantize([pts], scale),
+                                     _quantize(band, scale),
+                                     "difference", "nonzero")
+                else:
+                    # hole grows when the polygon deflates
+                    shrunk = simplify_shape(
+                        _quantize([pts] + band, scale), "nonzero")
                 for s in shrunk:
-                    for c in s:
-                        hole_regions.append(c)
+                    hole_regions.extend(s)
 
-    grown = simplify_shape(_quantize(grow_pieces, scale), "nonzero")
+    grown = simplify_shape(_quantize(grow_pieces, scale) + hull_regions,
+                           "nonzero")
     if hole_regions:
         flat = [c for s in grown for c in s]
         grown = overlay(flat, hole_regions, "difference", "nonzero")

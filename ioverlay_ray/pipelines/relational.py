@@ -235,6 +235,47 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
                           concurrency=_conc()).to_pandas()
 
 
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs: full corpus broadcast once
+    (ray.put), each batch matmuls against it and keeps pairs above the
+    threshold with id_a < id_b (the all-pairs form is the small-corpus
+    baseline; LSH bucketing is the scale path, stages/ann.py)."""
+    qt = _small_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids = np.asarray(qt.column("vec_id").to_pylist(), np.int64)
+    mat = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, mat))
+
+    class NearDup:
+        def __init__(self, ref, threshold):
+            self.ids, self.mat = ray.get(ref)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bid = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
+            bm = np.array(batch.column("embedding").to_pylist(), np.float64)
+            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+            sims = bm @ self.mat.T
+            rows, cols = np.nonzero(sims > self.threshold)
+            ia = bid[rows]
+            ib = self.ids[cols]
+            keep = ia < ib
+            return pa.table({
+                "id_a": pa.array(ia[keep], pa.int64()),
+                "id_b": pa.array(ib[keep], pa.int64()),
+                "sim_e3": pa.array(
+                    np.round(sims[rows, cols][keep] * 1000).astype(np.int64),
+                    pa.int64()),
+            })
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ds.map_batches(NearDup, batch_format="pyarrow",
+                         fn_constructor_args=(ref, threshold),
+                         concurrency=_conc()).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True) \
+        .astype(np.int64)
+
+
 def q_ann_cosine_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
     """Brute-force cosine top-k: query matrix broadcast once, one
     float64 matmul per batch, tiny final merge."""

@@ -148,3 +148,22 @@ def test_reference_outline_inputs():
         grown = outline(shapes, 1.0, 1.0, join="round", join_param=0.1)
         assert grown, fn
         assert shapes_area(grown) > in_area, fn
+
+
+def test_outline_deflate():
+    square = [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]]
+    shrunk = outline(square, -1.0, -1.0, join="miter", join_param=0.1)
+    assert len(shrunk) == 1
+    assert shapes_area(shrunk) == pytest.approx(64.0, rel=1e-3)
+
+
+def test_outline_deflate_grows_hole():
+    shape = [
+        [(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0)],
+        [(5.0, 5.0), (5.0, 15.0), (15.0, 15.0), (15.0, 5.0)],
+    ]
+    shrunk = outline(shape, -1.0, -1.0, join="miter", join_param=0.1)
+    assert len(shrunk) == 1 and len(shrunk[0]) == 2
+    # hull 20->18, hole 10->12
+    assert shapes_area(shrunk) == pytest.approx(18.0 ** 2 - 12.0 ** 2,
+                                                rel=1e-3)
