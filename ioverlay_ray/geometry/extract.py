@@ -502,3 +502,150 @@ def extract_shapes(links: Links, rule: int, clockwise: bool = False,
                [[h] for h in holes]
     join_holes(shapes, holes, anchors, clockwise, anchors_sorted)
     return shapes
+
+
+# ---------------------------------------------------------------------------
+# OGC-valid extraction (core/extract_ogc.rs:19-350): every surface
+# interior is a connected point set (ISO 19125-1) — self-touching
+# contours are split into hull + per-shape holes via a contour-local
+# reverse re-walk; holes are collected in a second pass.
+# ---------------------------------------------------------------------------
+
+def _start_data(links: Links, left_top: int, direction: bool):
+    """(begin, node_id, last_node_id) — StartPathData::new."""
+    if direction:
+        return links.b[left_top], links.a_id[left_top], links.b_id[left_top]
+    return links.a[left_top], links.b_id[left_top], links.a_id[left_top]
+
+
+def _walk_links(links: Links, visited, start_link: int, node_id: int,
+                last_node_id: int, direction: bool, state: int) -> List[int]:
+    """Traverse a closed tour marking ``state``; return visited link ids
+    (skip_contour / collect_shape first pass)."""
+    link_id = start_link
+    visited[link_id] = state
+    ids = [link_id]
+    last_link_id = _next_link(links, link_id, last_node_id, not direction,
+                              visited)
+    while link_id != last_link_id:
+        link_id = _next_link(links, link_id, node_id, direction, visited)
+        if links.a_id[link_id] == node_id:
+            node_id = links.b_id[link_id]
+        else:
+            node_id = links.a_id[link_id]
+        visited[link_id] = state
+        ids.append(link_id)
+    return ids
+
+
+def _collect_shape_ogc(links: Links, visited, left_top: int,
+                       direction: bool, traversal: bool, min_area: int,
+                       preserve_collinear: bool):
+    """core/extract_ogc.rs:214-350: mark the full self-touching contour,
+    re-walk it with reversed rotation to get the outer boundary, then
+    emit the pinched-off loops as holes of this shape."""
+    begin, node_id, last_node_id = _start_data(links, left_top, direction)
+    ids = _walk_links(links, visited, left_top, node_id, last_node_id,
+                      traversal, HULL_VISITED)
+    end_link = max(ids)
+
+    contour_visited = bytearray([SKIPPED]) * len(links)
+    for i in ids:
+        contour_visited[i] = UNVISITED
+
+    points = _find_contour(links, contour_visited, left_top, begin,
+                           node_id, last_node_id, not traversal,
+                           HULL_VISITED)
+    points, is_valid, _ = validate_contour(points, min_area,
+                                           preserve_collinear)
+    shape = [points] if is_valid else None
+
+    if len(points) < len(ids):
+        # self-touches pinched off interior loops -> holes of this shape
+        link_index = left_top
+        while link_index <= end_link:
+            if contour_visited[link_index] != UNVISITED:
+                link_index += 1
+                continue
+            lt = _find_left_top_link(links, link_index, contour_visited)
+            h_begin, h_node, h_last = _start_data(links, lt, traversal)
+            h_points = _find_contour(links, contour_visited, lt, h_begin,
+                                     h_node, h_last, traversal,
+                                     HOLE_VISITED)
+            if shape is not None:
+                h_points, ok, _ = validate_contour(h_points, min_area,
+                                                   preserve_collinear)
+                if not ok:
+                    link_index += 1
+                    continue
+                shape.append(h_points)
+    return shape
+
+
+def extract_shapes_ogc(links: Links, rule: int, clockwise: bool = False,
+                       preserve_output_collinear: bool = False,
+                       min_output_area: int = 0) -> List[list]:
+    """OGC-valid variant of extract_shapes (options.ogc)."""
+    n = len(links)
+    visited = bytearray(n)
+    shapes: List[list] = []
+    traversal = not clockwise
+    hole_count = 0
+
+    link_index = 0
+    while link_index < n:
+        if visited[link_index] != UNVISITED:
+            link_index += 1
+            continue
+        left_top = _find_left_top_link(links, link_index, visited)
+        hole = is_fill_top(links.fill[left_top], rule)
+        direction = (hole == clockwise)
+        if hole:
+            begin, node_id, last_node_id = _start_data(links, left_top,
+                                                       direction)
+            _walk_links(links, visited, left_top, node_id, last_node_id,
+                        traversal, HOLE_VISITED)
+            hole_count += 1
+            continue
+        shape = _collect_shape_ogc(links, visited, left_top, direction,
+                                   traversal, min_output_area,
+                                   preserve_output_collinear)
+        if shape is not None:
+            shapes.append(shape)
+        else:
+            link_index += 1
+
+    if hole_count:
+        # second pass: only hole edges stay walkable
+        for i in range(n):
+            visited[i] = UNVISITED if visited[i] == HOLE_VISITED else SKIPPED
+        holes: List[List[Point]] = []
+        anchors: List[tuple] = []
+        anchors_sorted = True
+        link_index = 0
+        while link_index < n:
+            if visited[link_index] != UNVISITED:
+                link_index += 1
+                continue
+            left_top = _find_left_top_link(links, link_index, visited)
+            begin, node_id, last_node_id = _start_data(links, left_top,
+                                                       clockwise)
+            points = _find_contour(links, visited, left_top, begin,
+                                   node_id, last_node_id, clockwise,
+                                   HULL_VISITED)
+            points, is_valid, is_modified = validate_contour(
+                points, min_output_area, preserve_output_collinear)
+            if not is_valid:
+                link_index += 1
+                continue
+            left_bottom = points[1] if clockwise else points[0]
+            v_seg = _left_bottom_segment_from(points, left_bottom)
+            if is_modified:
+                most_left = _left_bottom_segment(points)
+                if most_left != v_seg:
+                    v_seg = most_left
+                    anchors_sorted = False
+            anchors.append((v_seg, ("hole", len(holes))))
+            holes.append(points)
+        join_holes(shapes, holes, anchors, clockwise, anchors_sorted)
+    return shapes

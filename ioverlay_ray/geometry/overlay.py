@@ -41,18 +41,25 @@ class OverlayGraph:
 
     def __init__(self, segs: Segments, fills: np.ndarray, *,
                  clockwise: bool, preserve_output_collinear: bool,
-                 min_output_area: int):
+                 min_output_area: int, ogc: bool = False):
         self.segs = segs
         self.fills = fills
         self.clockwise = clockwise
         self.preserve_output_collinear = preserve_output_collinear
         self.min_output_area = min_output_area
+        self.ogc = ogc
 
     def extract(self, rule) -> Shapes:
         rule = _as_rule(rule)
         mask = rule_include_mask(self.fills, rule)
         links = build_links(self.segs, self.fills, mask)
         connect_nodes(links)
+        if self.ogc:
+            from .extract import extract_shapes_ogc
+            return extract_shapes_ogc(
+                links, rule, clockwise=self.clockwise,
+                preserve_output_collinear=self.preserve_output_collinear,
+                min_output_area=self.min_output_area)
         return extract_shapes(
             links, rule, clockwise=self.clockwise,
             preserve_output_collinear=self.preserve_output_collinear,
@@ -63,7 +70,8 @@ def build_graph(subj: Sequence[Contour], clip: Sequence[Contour],
                 fill_rule=NON_ZERO, *, clockwise: bool = False,
                 preserve_input_collinear: bool = False,
                 preserve_output_collinear: bool = False,
-                min_output_area: int = 0) -> Optional[OverlayGraph]:
+                min_output_area: int = 0,
+                ogc: bool = False) -> Optional[OverlayGraph]:
     fill_rule = _as_fill_rule(fill_rule)
     segs = build_segments(subj, clip, preserve_input_collinear)
     segs = split_segments(segs)
@@ -73,7 +81,7 @@ def build_graph(subj: Sequence[Contour], clip: Sequence[Contour],
     return OverlayGraph(
         segs, fills, clockwise=clockwise,
         preserve_output_collinear=preserve_output_collinear,
-        min_output_area=min_output_area)
+        min_output_area=min_output_area, ogc=ogc)
 
 
 def overlay(subj: Sequence[Contour], clip: Sequence[Contour], rule,

@@ -1,0 +1,94 @@
+"""OGC-valid extraction (ISO 19125-1: every surface interior is a
+connected point set). Cases ported from the reference's ocg_tests.rs."""
+
+from ioverlay_ray.geometry.overlay import overlay
+
+
+def struct(shapes):
+    return [[len(c) for c in s] for s in shapes]
+
+
+def test_0_shared_vertex_holes_split_interior():
+    subj = [[(0, 0), (5, 0), (5, 5), (0, 5)]]
+    clip = [
+        [(1, 2), (1, 4), (3, 4), (3, 3), (2, 3), (2, 2)],
+        [(2, 1), (2, 2), (3, 2), (3, 3), (4, 3), (4, 1)],
+    ]
+    result = overlay(subj, clip, "difference", "evenodd", ogc=True)
+    s = sorted(struct(result), key=len, reverse=True)
+    assert len(result) == 2
+    assert s[0] == [4, 8]
+    assert s[1] == [4]
+
+
+def test_0_clockwise():
+    subj = [[(0, 0), (5, 0), (5, 5), (0, 5)]]
+    clip = [
+        [(1, 2), (1, 4), (3, 4), (3, 3), (2, 3), (2, 2)],
+        [(2, 1), (2, 2), (3, 2), (3, 3), (4, 3), (4, 1)],
+    ]
+    result = overlay(subj, clip, "difference", "evenodd", ogc=True,
+                     clockwise=True)
+    s = sorted(struct(result), key=len, reverse=True)
+    assert len(result) == 2 and s[0] == [4, 8] and s[1] == [4]
+
+
+def test_1_four_squares_pinwheel():
+    subj = [[(0, 0), (5, 0), (5, 5), (0, 5)]]
+    clip = [
+        [(1, 2), (1, 3), (2, 3), (2, 2)],
+        [(2, 1), (2, 2), (3, 2), (3, 1)],
+        [(2, 3), (2, 4), (3, 4), (3, 3)],
+        [(3, 2), (3, 3), (4, 3), (4, 2)],
+    ]
+    result = overlay(subj, clip, "difference", "evenodd", ogc=True)
+    s = sorted(struct(result), key=len, reverse=True)
+    assert len(result) == 2
+    assert s[0] == [4, 12]
+    assert s[1] == [4]
+
+
+def test_2_checker_diamond():
+    subj = [[(0, 0), (7, 0), (7, 7), (0, 7)]]
+    clip = [
+        [(1, 3), (1, 4), (2, 4), (2, 3)],
+        [(2, 2), (2, 3), (3, 3), (3, 2)],
+        [(2, 4), (2, 5), (3, 5), (3, 4)],
+        [(3, 1), (3, 2), (4, 2), (4, 1)],
+        [(3, 3), (3, 4), (4, 4), (4, 3)],
+        [(3, 5), (3, 6), (4, 6), (4, 5)],
+        [(4, 2), (4, 3), (5, 3), (5, 2)],
+        [(4, 4), (4, 5), (5, 5), (5, 4)],
+        [(5, 3), (5, 4), (6, 4), (6, 3)],
+    ]
+    result = overlay(subj, clip, "difference", "evenodd", ogc=True)
+    assert len(result) == 5
+    sizes = sorted(len(s) for s in result)
+    assert sizes == [1, 1, 1, 1, 2]
+
+
+def test_3_self_touching_union():
+    subj = [[(0, 3), (0, 0), (3, 0), (3, 2), (1, 2), (1, 1), (2, 1), (2, 3)]]
+    result = overlay(subj, [], "union", "evenodd", ogc=True)
+    assert len(result) == 1
+    assert sorted(len(c) for c in result[0]) == [4, 6]
+
+
+def test_4_chained_squares():
+    subj = [[(0, 4), (0, 0), (4, 0), (4, 3), (3, 3), (3, 4)]]
+    clip = [[(1, 2), (1, 1), (2, 1), (2, 2)],
+            [(2, 3), (2, 2), (3, 2), (3, 3)]]
+    result = overlay(subj, clip, "difference", "evenodd", ogc=True)
+    assert len(result) == 1
+    assert sorted(len(c) for c in result[0]) == [4, 4, 6]
+
+
+def test_non_ogc_differs():
+    # without ogc, the shared-vertex holes stay merged in one shape
+    subj = [[(0, 0), (5, 0), (5, 5), (0, 5)]]
+    clip = [
+        [(1, 2), (1, 4), (3, 4), (3, 3), (2, 3), (2, 2)],
+        [(2, 1), (2, 2), (3, 2), (3, 3), (4, 3), (4, 1)],
+    ]
+    plain = overlay(subj, clip, "difference", "evenodd")
+    assert len(plain) == 1  # single shape with disconnected interior
