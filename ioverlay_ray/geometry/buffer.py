@@ -119,6 +119,13 @@ def _cap_pieces(end: FPoint, inward: FPoint, r: float, cap: str,
         step = _clamp_angle(cap_param)
         a0 = math.atan2(-ny, -nx)
         return [[*_arc(end, r, a0, a0 + math.pi, step)]]
+    if isinstance(cap, (list, tuple)):
+        # LineCap::Custom (mesh/style.rs:16-17): template points in a
+        # local frame, +x = outgoing direction, unit = half line width
+        pts = [(end[0] + (dx * px - nx * py) * r,
+                end[1] + (dy * px - ny * py) * r) for px, py in cap]
+        return [[(end[0] + nx * r, end[1] + ny * r), *pts,
+                 (end[0] - nx * r, end[1] - ny * r)]]
     raise ValueError(f"unknown cap {cap}")
 
 

@@ -167,3 +167,12 @@ def test_outline_deflate_grows_hole():
     # hull 20->18, hole 10->12
     assert shapes_area(shrunk) == pytest.approx(18.0 ** 2 - 12.0 ** 2,
                                                 rel=1e-3)
+
+
+def test_stroke_custom_cap():
+    # triangular spear tip: template in local frame (+x out, unit = r)
+    tip = [(0.0, -1.0), (1.5, 0.0), (0.0, 1.0)]
+    shapes = stroke([[(0.0, 0.0), (10.0, 0.0)]], width=2.0,
+                    start_cap="butt", end_cap=tip)
+    # band 20 + triangle area (base 2, height 1.5) = 1.5
+    assert shapes_area(shapes) == pytest.approx(21.5, rel=1e-3)
