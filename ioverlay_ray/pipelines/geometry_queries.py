@@ -109,35 +109,36 @@ def q_pip_count(sf_dir: str) -> pd.DataFrame:
 
 
 def q_knn_centers(sf_dir: str, k: int = 5) -> pd.DataFrame:
-    """kNN: 50 event-derived query points vs part-rect centers; exact
-    integer distances, deterministic tie-break by center id."""
+    """kNN via cell-index ring expansion: part-rect centers are bucketed
+    per grid cell and broadcast once; event-derived query points stream
+    through the RingKnnStage actor pool. Exact integer distances,
+    deterministic tie-break by center id (same oracle as brute force)."""
     import pyarrow.parquet as pq
-    from ..stages.spatial import KnnStage, merge_knn
+    from ..stages.spatial import RingKnnStage
 
-    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
-                       columns=["event_id"]).to_pandas()
-    ev = ev[ev["event_id"] <= 50]
-    queries = [(int(e), int((e * 7) % MOD), int((e * 13) % MOD))
-               for e in ev["event_id"].values]
-    qref = ray.put(queries)
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_size"]).to_pandas()
+    pk = part["p_partkey"].values.astype(np.int64)
+    (ax0, ay0, ax1, ay1), _ = part_rects(pk, part["p_size"].values)
+    centers_ref = ray.put((pk, (ax0 + ax1) // 2, (ay0 + ay1) // 2))
 
-    def centers(batch: pa.Table) -> pa.Table:
-        pk = np.asarray(batch.column("p_partkey").to_pylist(), np.int64)
-        sz = np.asarray(batch.column("p_size").to_pylist(), np.int64)
-        (ax0, ay0, ax1, ay1), _ = part_rects(pk, sz)
+    def to_queries(batch: pa.Table) -> pa.Table:
+        eid = np.asarray(batch.column("event_id").to_pylist(), np.int64)
+        keep = eid <= 50
+        eid = eid[keep]
         return pa.table({
-            "center_id": pa.array(pk, pa.int64()),
-            "cx": pa.array((ax0 + ax1) // 2, pa.int64()),
-            "cy": pa.array((ay0 + ay1) // 2, pa.int64()),
+            "query_id": pa.array(eid, pa.int64()),
+            "qx": pa.array((eid * 7) % MOD, pa.int64()),
+            "qy": pa.array((eid * 13) % MOD, pa.int64()),
         })
 
-    ds = _read(sf_dir, "part", ["p_partkey", "p_size"])
-    cts = ds.map_batches(centers, batch_format="pyarrow")
-    partials = cts.map_batches(KnnStage, batch_format="pyarrow",
-                               fn_constructor_args=(qref, k),
-                               concurrency=_conc()).to_pandas()
-    out = merge_knn(pa.Table.from_pandas(partials), k).to_pandas()
-    return out.astype(np.int64)
+    ds = _read(sf_dir, "events", ["event_id"])
+    qs = ds.map_batches(to_queries, batch_format="pyarrow")
+    out = qs.map_batches(RingKnnStage, batch_format="pyarrow",
+                         fn_constructor_args=(centers_ref, k, 14),
+                         concurrency=_conc()).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True) \
+        .astype(np.int64)
 
 
 def q_rect_relate(sf_dir: str) -> pd.DataFrame:

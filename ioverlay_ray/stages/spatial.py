@@ -132,3 +132,92 @@ def merge_knn(partials: pa.Table, k: int = 5) -> pa.Table:
     df = df[df["rank"] <= k][["query_id", "center_id", "rank"]]
     return pa.Table.from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
+
+
+class RingKnnStage:
+    """kNN via cell-index ring expansion (the H3 ring pattern from the
+    north star): centers are bucketed per grid cell once per actor
+    (broadcast ObjectRef); query points stream through in batches. Each
+    query expands Chebyshev rings from its home cell until the ring's
+    distance lower bound exceeds the current k-th best — exact results,
+    touching only nearby buckets instead of every center.
+
+    centers: (ids, xs, ys) arrays or an ObjectRef to them.
+    """
+
+    def __init__(self, centers, k: int = 5, resolution: int = 8):
+        import ray
+
+        from .tile import cell_id, cell_size
+        if isinstance(centers, ray.ObjectRef):
+            centers = ray.get(centers)
+        ids, xs, ys = (np.asarray(a, np.int64) for a in centers)
+        order = np.argsort(ids, kind="stable")
+        ids, xs, ys = ids[order], xs[order], ys[order]
+        self.k = k
+        self.resolution = resolution
+        self.size = cell_size(resolution)
+        cells = cell_id(xs, ys, resolution)
+        self.index: dict = {}
+        for c in np.unique(cells):
+            m = cells == c
+            self.index[int(c)] = (ids[m], xs[m], ys[m])
+        self._cell_id = cell_id
+
+    def _query(self, qid: int, qx: int, qy: int):
+        from .tile import ring_cells
+        home = int(self._cell_id(np.array([qx]), np.array([qy]),
+                                 self.resolution)[0])
+        cand_i: list = []
+        cand_x: list = []
+        cand_y: list = []
+        seen_rings = 0
+        r = 0
+        kth = None
+        while True:
+            ring = ring_cells(home, r)
+            new = ring if r == 0 else [c for c in ring
+                                       if c not in set(ring_cells(home, r - 1))]
+            for c in new:
+                b = self.index.get(int(c))
+                if b is not None:
+                    cand_i.append(b[0]); cand_x.append(b[1]); cand_y.append(b[2])
+            seen_rings = r
+            n_cand = sum(len(a) for a in cand_i)
+            if n_cand >= self.k:
+                ci = np.concatenate(cand_i)
+                cx = np.concatenate(cand_x)
+                cy = np.concatenate(cand_y)
+                d2 = (cx - qx) ** 2 + (cy - qy) ** 2
+                top = np.lexsort((ci, d2))[:self.k]
+                kth = int(d2[top[-1]])
+                # a center in ring r+1 is at least r*size away
+                if (seen_rings * self.size) ** 2 > kth:
+                    return ci[top], d2[top]
+            r += 1
+            if r > 1 + (1 << 24) // max(1, self.size):
+                # degenerate safeguard: fall back to whatever was found
+                if cand_i:
+                    ci = np.concatenate(cand_i)
+                    cx = np.concatenate(cand_x)
+                    cy = np.concatenate(cand_y)
+                    d2 = (cx - qx) ** 2 + (cy - qy) ** 2
+                    top = np.lexsort((ci, d2))[:self.k]
+                    return ci[top], d2[top]
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qid = np.asarray(batch.column("query_id").to_pylist(), np.int64)
+        qx = np.asarray(batch.column("qx").to_pylist(), np.int64)
+        qy = np.asarray(batch.column("qy").to_pylist(), np.int64)
+        out_q, out_c, out_r = [], [], []
+        for i in range(len(qid)):
+            ids, d2 = self._query(int(qid[i]), int(qx[i]), int(qy[i]))
+            out_q.extend([int(qid[i])] * len(ids))
+            out_c.extend(ids.tolist())
+            out_r.extend(range(1, len(ids) + 1))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "center_id": pa.array(out_c, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+        })

@@ -96,3 +96,24 @@ def test_ann_brute_force(ray_session):
     # a vector's own nearest neighbour is itself
     assert out[(out.query_id == 0) & (out["rank"] == 1)].vec_id.iloc[0] == 0
     assert out[(out.query_id == 1) & (out["rank"] == 1)].vec_id.iloc[0] == 1
+
+
+def test_ring_knn_matches_brute_force(ray_session):
+    import pyarrow as pa
+    from ioverlay_ray.stages.spatial import RingKnnStage
+    rng = np.random.default_rng(11)
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    xs = rng.integers(0, 4096, n).astype(np.int64)
+    ys = rng.integers(0, 4096, n).astype(np.int64)
+    stage = RingKnnStage((ids, xs, ys), k=5, resolution=14)
+    qx = rng.integers(0, 4096, 30).astype(np.int64)
+    qy = rng.integers(0, 4096, 30).astype(np.int64)
+    batch = pa.table({"query_id": np.arange(30, dtype=np.int64),
+                      "qx": qx, "qy": qy})
+    out = stage(batch).to_pandas()
+    for q in range(30):
+        d2 = (xs - qx[q]) ** 2 + (ys - qy[q]) ** 2
+        top = np.lexsort((ids, d2))[:5]
+        got = out[out.query_id == q].sort_values("rank")["center_id"].tolist()
+        assert got == ids[top].tolist(), q
