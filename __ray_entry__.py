@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (rows-only: binary decode paths)
         "q_image_decode_stats": mq.q_image_decode_stats,
         "q_image_embed_topk": mq.q_image_embed_topk,
+        "q_raster_scanlines": mq.q_raster_scanlines,
     }
 
 

@@ -71,3 +71,17 @@ def q_image_embed_topk(sf_dir: str, n_images: int = 256,
         fn_constructor_args=(queries, qids, k), concurrency=2).to_pandas()
     out = merge_topk(pa.Table.from_pandas(partials), k).to_pandas()
     return out.astype(np.int64)
+
+
+def q_raster_scanlines(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
+    """Raster<->vector clipping: per-image scanline coverage of the star
+    annotation via the string clip kernel (rows-only check)."""
+    import ray.data  # noqa: F401
+
+    from ..stages.overlay_stage import AnnotateStage
+    from ..stages.raster import ScanlineRasterStage
+    ds = flagship.images_dataset(n_images)
+    annotated = ds.map_batches(AnnotateStage(4), batch_format="pyarrow")
+    out = annotated.map_batches(ScanlineRasterStage, batch_format="pyarrow",
+                                concurrency=4).to_pandas()
+    return out.sort_values("pair_id").reset_index(drop=True)

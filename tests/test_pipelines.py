@@ -117,3 +117,29 @@ def test_ring_knn_matches_brute_force(ray_session):
         top = np.lexsort((ids, d2))[:5]
         got = out[out.query_id == q].sort_values("rank")["center_id"].tolist()
         assert got == ids[top].tolist(), q
+
+
+def test_scanline_raster_coverage():
+    from ioverlay_ray.stages.raster import scanline_coverage
+    # unit test against a known rect: rows fully covered
+    rect = [[(0, 0), (10, 0), (10, 6), (0, 6)]]
+    rows, cov = scanline_coverage(rect, 0, 10, range(0, 6))
+    assert rows == list(range(6))
+    assert all(c == 20 for c in cov)  # doubled units: width 10 -> 20
+    # triangle: coverage shrinks with height
+    tri = [[(0, 0), (10, 0), (0, 10)]]
+    _, tcov = scanline_coverage(tri, 0, 10, range(0, 10))
+    assert all(tcov[i] > tcov[i + 1] for i in range(9))
+
+
+def test_raster_stage_on_flagship(ray_session):
+    from ioverlay_ray.pipelines import flagship
+    from ioverlay_ray.stages.raster import ScanlineRasterStage
+    from ioverlay_ray.stages.overlay_stage import AnnotateStage
+    ds = flagship.images_dataset(16)
+    annotated = ds.map_batches(AnnotateStage(4), batch_format="pyarrow")
+    out = annotated.map_batches(ScanlineRasterStage, batch_format="pyarrow",
+                                concurrency=2).to_pandas()
+    assert len(out) == 16
+    assert (out["covered_rows"] > 0).all()
+    assert (out["covered_len2"] > 0).all()
