@@ -316,45 +316,78 @@ def _middle_cross(t, o, radius):
 # split/solver_list.rs:14-67, split/snap_radius.rs:5-27)
 # ---------------------------------------------------------------------------
 
-def _candidate_pairs(segs: Segments):
-    """All (i, j>i) pairs with x-overlap (sorted by a) and y-range overlap.
-    Mirrors the list-split pruning (split/solver_list.rs:33-44)."""
+PAIR_BLOCK = 4_000_000  # max candidate pairs materialized at once
+
+
+def _candidate_pair_blocks(segs: Segments):
+    """Yield (i, j>i) candidate-pair blocks with x-overlap (sorted by a)
+    and y-range overlap. Mirrors the list-split pruning
+    (split/solver_list.rs:33-44); blocks bound peak memory so one dense
+    tile can't blow up a worker (the 100TB-regime guard)."""
     n = len(segs)
     # segments sorted by (a, b); pair window: j while a_j.x <= b_i.x
     j_end = np.searchsorted(segs.ax, segs.bx, side="right")
-    counts = j_end - np.arange(1, n + 1)
-    counts = np.maximum(counts, 0)
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    ii = np.repeat(np.arange(n), counts)
-    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    jj = np.arange(total) - np.repeat(offs, counts) + ii + 1
+    counts = np.maximum(j_end - np.arange(1, n + 1), 0)
+    if int(counts.sum()) == 0:
+        return
 
     ymin_i = np.minimum(segs.ay, segs.by)
     ymax_i = np.maximum(segs.ay, segs.by)
-    # keep unless j entirely below i's min or entirely above i's max
-    low = ymin_i[ii]
-    high = ymax_i[ii]
-    ajy = segs.ay[jj]
-    bjy = segs.by[jj]
-    skip = ((low > ajy) & (low > bjy)) | ((high < ajy) & (high < bjy))
-    keep = ~skip
-    return ii[keep], jj[keep]
+    csum = np.concatenate(([0], np.cumsum(counts)))
+
+    i0 = 0
+    while i0 < n:
+        # widest i-range whose pair count stays under the block cap
+        i1 = int(np.searchsorted(csum, csum[i0] + PAIR_BLOCK, "right")) - 1
+        i1 = max(i1, i0 + 1)
+        c = counts[i0:i1]
+        total = int(c.sum())
+        if total == 0:
+            i0 = i1
+            continue
+        ii = np.repeat(np.arange(i0, i1), c)
+        offs = (csum[i0:i1] - csum[i0]).astype(np.int64)
+        jj = np.arange(total) - np.repeat(offs, c) + ii + 1
+
+        low = ymin_i[ii]
+        high = ymax_i[ii]
+        ajy = segs.ay[jj]
+        bjy = segs.by[jj]
+        skip = ((low > ajy) & (low > bjy)) | ((high < ajy) & (high < bjy))
+        keep = ~skip
+        if keep.any():
+            yield ii[keep], jj[keep]
+        i0 = i1
+
+
+def _candidate_pairs(segs: Segments):
+    """All candidate pairs at once (small inputs / tests)."""
+    blocks = list(_candidate_pair_blocks(segs))
+    if not blocks:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return (np.concatenate([b[0] for b in blocks]),
+            np.concatenate([b[1] for b in blocks]))
 
 
 def _find_marks(segs: Segments, radius: int):
     """Classify all candidate pairs; return split marks and whether any
     rounding occurred (split/solver.rs:82-156).
 
-    Marks are (seg_index, px, py) triples.
+    Marks are (seg_index, px, py) triples. Pairs are consumed in
+    bounded-memory blocks (_candidate_pair_blocks).
     """
-    ii, jj = _candidate_pairs(segs)
     m_idx: list = []
     m_px: list = []
     m_py: list = []
-    if len(ii) == 0:
-        return m_idx, m_px, m_py, False
+    any_round = False
+    for ii, jj in _candidate_pair_blocks(segs):
+        r = _classify_pairs(segs, ii, jj, radius, m_idx, m_px, m_py)
+        any_round |= r
+    return m_idx, m_px, m_py, any_round
+
+
+def _classify_pairs(segs: Segments, ii, jj, radius: int,
+                    m_idx: list, m_px: list, m_py: list) -> bool:
 
     tax, tay = segs.ax[ii], segs.ay[ii]
     tbx, tby = segs.bx[ii], segs.by[ii]
@@ -441,7 +474,7 @@ def _find_marks(segs: Segments, radius: int):
             else:  # other_end
                 m_idx.append(i_list[k]); m_px.append(px); m_py.append(py)
 
-    return m_idx, m_px, m_py, any_round
+    return any_round
 
 
 def _apply_marks(segs: Segments, m_idx, m_px, m_py,
