@@ -59,6 +59,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     _harden_worker_imports()
     from ioverlay_ray.pipelines import geometry_queries as gq
+    from ioverlay_ray.pipelines import giant_pip as gp
     from ioverlay_ray.pipelines import media as mq
     from ioverlay_ray.pipelines import relational as rq
     return {
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rect_relate": gq.q_rect_relate,
         "q_clip_segments": gq.q_clip_segments,
         "q_dissolve_area": gq.q_dissolve_area,
+        "q_giant_pip": gp.q_giant_pip,
         # geometry engine (rows-only)
         "q_overlay_fixture_corpus": gq.q_overlay_fixture_corpus,
         "q_flagship_tiles": gq.q_flagship_tiles,
@@ -257,6 +259,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT 2 * COUNT(*) AS union_area2
             FROM (SELECT DISTINCT cx, cy FROM cells)
+        """,
+        "q_giant_pip": """
+            -- the comb polygon's winding formula in closed form:
+            -- base bottom (+1, py>0), top chain (-1, py>2, px%8 in gaps),
+            -- tooth tops (-1, py>h(k), px%8 in the tooth), h(k)=5+(k%5)
+            WITH p AS (
+                SELECT (event_id * 131) % 16000 AS px,
+                       (event_id * 17) % 12 AS py
+                FROM events
+            )
+            SELECT CAST(COUNT(*) FILTER (WHERE py > 0
+                AND NOT (py > 2 AND (px % 8 < 2 OR px % 8 >= 6))
+                AND NOT (px % 8 >= 2 AND px % 8 < 6
+                         AND py > 5 + ((px // 8) % 5))) AS BIGINT)
+                AS n_inside
+            FROM p
         """,
         "q_pip_count": """
             WITH r AS (

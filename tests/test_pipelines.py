@@ -143,3 +143,28 @@ def test_raster_stage_on_flagship(ray_session):
     assert len(out) == 16
     assert (out["covered_rows"] > 0).all()
     assert (out["covered_len2"] > 0).all()
+
+
+def test_giant_pip_fragmentation(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from ioverlay_ray.pipelines.giant_pip import (comb_contour,
+                                                  fragment_edges,
+                                                  giant_pip_count)
+    from ioverlay_ray.stages.spatial import points_in_polygon
+    contour = comb_contour(200)  # spans 1600 world units, 4 strips
+    edges = fragment_edges(contour)
+    # every fragment lives wholly inside one strip
+    eax = edges.column("eax").to_numpy()
+    ebx = edges.column("ebx").to_numpy()
+    strip = edges.column("strip").to_numpy()
+    assert ((eax // 512) == strip).all()
+    assert (((ebx - 1) // 512) == strip).all()
+    # distributed count == local winding count
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 1600, 500).astype(np.int64)
+    py = rng.integers(0, 12, 500).astype(np.int64)
+    pts = ray.data.from_arrow(pa.table({"px": px, "py": py}))
+    got = giant_pip_count(pts, contour)
+    want = int(points_in_polygon(px, py, [contour]).sum())
+    assert got == want
