@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash": rq.q_simhash,
         "q_ann_cosine_topk": rq.q_ann_cosine_topk,
         "q_embedding_neardup": rq.q_embedding_neardup,
+        "q_ann_lsh_buckets": rq.q_ann_lsh_buckets,
         # geometry engine (SQL-checked via arithmetic oracles)
         "q_rect_intersect_area": gq.q_rect_intersect_area,
         "q_pip_count": gq.q_pip_count,

@@ -292,3 +292,23 @@ def q_ann_cosine_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFra
         concurrency=_conc())
     return merge_topk(pa.Table.from_pandas(partials.to_pandas()),
                       k).to_pandas()
+
+
+def q_ann_lsh_buckets(sf_dir: str, n_planes: int = 8) -> pd.DataFrame:
+    """LSH-bucketed ANN scale path: hyperplane signatures -> bucket
+    groupby (deterministic seed; rows-only check). At 10^12 rows this
+    replaces the all-pairs matmul with a bucket-local search."""
+    from ..stages.agg import hash_aggregate
+    from ..stages.ann import HyperplaneLSHStage
+    qt = _small_table(sf_dir, "embeddings", ["embedding"])
+    dim = len(qt.column("embedding")[0].as_py())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    buckets = ds.map_batches(HyperplaneLSHStage, batch_format="pyarrow",
+                             fn_constructor_args=(dim, n_planes),
+                             concurrency=_conc())
+    out = hash_aggregate(buckets, ["bucket"], {
+        "members": ("vec_id", "count"),
+        "min_vec": ("vec_id", "min"),
+        "max_vec": ("vec_id", "max"),
+    }, num_partitions=8).to_pandas()
+    return out.sort_values("bucket").reset_index(drop=True).astype(np.int64)

@@ -168,3 +168,20 @@ def test_giant_pip_fragmentation(ray_session):
     got = giant_pip_count(pts, contour)
     want = int(points_in_polygon(px, py, [contour]).sum())
     assert got == want
+
+
+def test_lsh_bucket_recall(ray_session):
+    """Near-duplicate embeddings land in the same LSH bucket."""
+    import pyarrow as pa
+    from ioverlay_ray.stages.ann import HyperplaneLSHStage
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((20, 16))
+    # pairs (2i, 2i+1) are near-duplicates
+    emb = np.repeat(base, 2, axis=0)
+    emb[1::2] += rng.standard_normal((20, 16)) * 1e-3
+    stage = HyperplaneLSHStage(16, n_planes=8)
+    out = stage(pa.table({"vec_id": np.arange(40, dtype=np.int64),
+                          "embedding": [list(map(float, e)) for e in emb]}))
+    b = out.column("bucket").to_numpy()
+    same = sum(1 for i in range(20) if b[2 * i] == b[2 * i + 1])
+    assert same >= 18  # tiny perturbation rarely flips a hyperplane sign
