@@ -602,7 +602,7 @@ def split_segments(segs: Segments, precision_start: int = 0,
 # strategies build/boolean.rs:96-154)
 # ---------------------------------------------------------------------------
 
-def bottom_windings(segs: Segments, block: int = 2048,
+def bottom_windings(segs: Segments, block: int = 256,
                     with_clip: bool = True):
     """(bot_subj, bot_clip) winding just below each segment's midpoint.
 
@@ -626,24 +626,35 @@ def bottom_windings(segs: Segments, block: int = 2048,
     ux = segs.bx - segs.ax
     uy = segs.by - segs.ay
 
+    # segments are sorted by ax, so each x-contiguous query block only
+    # needs the column window whose x-span can reach it: ax in
+    # (qmin - max_span, qmax]. Turns the stab from O(n^2) into
+    # O(n * local density) for spatially-spread inputs (tiles, packed
+    # job batches).
+    max_span2 = int((tbx2 - tax2).max()) if n else 0
+
     for q0 in range(0, n, block):
         q1 = min(n, q0 + block)
         qmx = mx[q0:q1, None]
         qmy = my[q0:q1, None]
-        cover = (tax2[None, :] <= qmx) & (qmx < tbx2[None, :])
+        qlo = int(qmx.min())
+        qhi = int(qmx.max())
+        c0 = int(np.searchsorted(tax2, qlo - max_span2, side="left"))
+        c1 = int(np.searchsorted(tax2, qhi, side="right"))
+        cover = (tax2[None, c0:c1] <= qmx) & (qmx < tbx2[None, c0:c1])
         # strictly under: cross((b-a), (m - 2a)) > 0
-        cr = ux[None, :] * (qmy - 2 * segs.ay[None, :]) - \
-             uy[None, :] * (qmx - 2 * segs.ax[None, :])
+        cr = ux[None, c0:c1] * (qmy - 2 * segs.ay[None, c0:c1]) - \
+             uy[None, c0:c1] * (qmx - 2 * segs.ax[None, c0:c1])
         under = cover & (cr > 0)
-        bot_subj[q0:q1] = under @ segs.subj
+        bot_subj[q0:q1] = under @ segs.subj[c0:c1]
         if with_clip:
-            bot_clip[q0:q1] = under @ segs.clip
+            bot_clip[q0:q1] = under @ segs.clip[c0:c1]
 
     return bot_subj, bot_clip
 
 
 def compute_fills(segs: Segments, fill_rule: int,
-                  block: int = 2048) -> np.ndarray:
+                  block: int = 256) -> np.ndarray:
     """4-bit SUBJ/CLIP top/bottom fill mask per split segment."""
     if len(segs) == 0:
         return np.zeros(0, dtype=np.uint8)

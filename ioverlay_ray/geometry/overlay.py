@@ -97,6 +97,74 @@ def overlay(subj: Sequence[Contour], clip: Sequence[Contour], rule,
     return graph.extract(rule)
 
 
+def overlay_pack(jobs: Sequence[tuple], rule, fill_rule=NON_ZERO,
+                 margin: int = 4, **options) -> list:
+    """Run MANY small independent overlay jobs in ONE kernel invocation.
+
+    jobs: sequence of (subj_contours, clip_contours). Each job is
+    translated into its own disjoint x-band (power-of-two stride), the
+    combined segment table goes through a single split/fill pass, and
+    outputs are routed back to jobs by x-band. Valid because every
+    kernel stage prunes by x (candidate pairs, winding stab, node
+    build, hole-bind scan) — disjoint bands never interact. This is the
+    batching lever for fleets of tiny geometries: vectorized stages
+    amortize over thousands of segments instead of dozens.
+
+    Returns a list of Shapes, one entry per job (same order).
+    """
+    packs = overlay_pack_all(jobs, [rule], fill_rule, margin, **options)
+    rule_key = _as_rule(rule)
+    return [per_job[rule_key] for per_job in packs]
+
+
+def overlay_pack_all(jobs: Sequence[tuple], rules, fill_rule=NON_ZERO,
+                     margin: int = 4, **options) -> list:
+    """overlay_pack for several rules: one packed split/fill pass, one
+    extract per rule. Returns, per job, {rule_code: Shapes}."""
+    rule_codes = [_as_rule(r) for r in rules]
+    n_jobs = len(jobs)
+    if n_jobs == 0:
+        return []
+
+    spans = []
+    mins = []
+    for subj, clip in jobs:
+        xs = [p[0] for cs in (subj, clip) for c in cs for p in c]
+        if not xs:
+            spans.append(0)
+            mins.append(0)
+        else:
+            spans.append(max(xs) - min(xs))
+            mins.append(min(xs))
+    stride = 1 << max(1, (max(spans) + 2 * margin)).bit_length()
+    if stride * n_jobs >= (1 << 29):
+        # halve the pack if it would overflow the safe coordinate range
+        mid = max(1, n_jobs // 2)
+        if mid == n_jobs:
+            raise ValueError("single job exceeds the coordinate range")
+        return (overlay_pack_all(jobs[:mid], rules, fill_rule, margin,
+                                 **options) +
+                overlay_pack_all(jobs[mid:], rules, fill_rule, margin,
+                                 **options))
+
+    all_subj, all_clip = [], []
+    for k, (subj, clip) in enumerate(jobs):
+        dx = k * stride + margin - mins[k]
+        all_subj.extend([[(x + dx, y) for x, y in c] for c in subj])
+        all_clip.extend([[(x + dx, y) for x, y in c] for c in clip])
+
+    graph = build_graph(all_subj, all_clip, fill_rule, **options)
+    out = [{code: [] for code in rule_codes} for _ in range(n_jobs)]
+    for code in rule_codes:
+        shapes = graph.extract(code) if graph else []
+        for shape in shapes:
+            k = shape[0][0][0] // stride
+            dx = k * stride + margin - mins[k]
+            out[k][code].append([[(x - dx, y) for x, y in c]
+                                 for c in shape])
+    return out
+
+
 def overlay_all(subj, clip, fill_rule=NON_ZERO, rules=None, **options) -> dict:
     """Build the graph once, extract several rules (graph-view pattern)."""
     if rules is None:

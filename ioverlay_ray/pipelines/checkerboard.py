@@ -1,0 +1,110 @@
+"""The reference's headline checkerboard-XOR workload, distributed.
+
+Reference (performance/rust_app/src/test/test_0_checkerboard.rs:100-144):
+subject = n x n squares of side 20 spaced 30 from (0,0); clip =
+(n-1) x (n-1) squares from (15,15); XOR under NonZero; result =
+n^2 + (n-1)^2 polygons. Published: 2.610 s for n=1024 (2,095,105
+polygons, ~0.80 M polygons/s, single machine, rayon MT).
+
+Distributed decomposition (exact for this geometry): squares within one
+family are pairwise disjoint, so every XOR output polygon is one input
+square minus its (<= 4) corner overlaps with the other family:
+
+    XOR = U_s (s \\ clips_touching(s))  U  U_c (c \\ subjects_touching(c))
+
+The partner set comes from grid arithmetic (no shuffle at all — the
+join is implicit in the index math), one difference overlay per row in
+``map_batches``. Result pieces have disjoint interiors, so counting and
+area-summing per row is the whole reduction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+SIDE = 20
+PITCH = 30
+OFFSET = 15
+
+
+def _square(x0: int, y0: int) -> list:
+    return [(x0, y0), (x0 + SIDE, y0), (x0 + SIDE, y0 + SIDE),
+            (x0, y0 + SIDE)]
+
+
+class XorSquareStage:
+    """(family, i, j) rows -> per-square XOR piece counts + area2."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geometry.overlay import overlay_pack
+        from ..stages.geo_arrow import shapes_area2
+        fam = batch.column("family").to_numpy(zero_copy_only=False)
+        ii = batch.column("i").to_numpy(zero_copy_only=False)
+        jj = batch.column("j").to_numpy(zero_copy_only=False)
+        n = self.n
+        jobs = []
+        for r in range(len(fam)):
+            i = int(ii[r]); j = int(jj[r])
+            if fam[r] == 0:
+                subj = [_square(PITCH * i, PITCH * j)]
+                partners = [
+                    _square(OFFSET + PITCH * pi, OFFSET + PITCH * pj)
+                    for pi in (i - 1, i) for pj in (j - 1, j)
+                    if 0 <= pi < n - 1 and 0 <= pj < n - 1]
+            else:
+                subj = [_square(OFFSET + PITCH * i, OFFSET + PITCH * j)]
+                partners = [
+                    _square(PITCH * pi, PITCH * pj)
+                    for pi in (i, i + 1) for pj in (j, j + 1)
+                    if 0 <= pi < n and 0 <= pj < n]
+            jobs.append((subj, partners))
+        packed = overlay_pack(jobs, "difference", "nonzero")
+        n_polys = np.array([len(p) for p in packed], np.int64)
+        area2 = np.array([shapes_area2(p) for p in packed], np.int64)
+        return pa.table({
+            "n_polys": pa.array(n_polys, pa.int64()),
+            "area2": pa.array(area2, pa.int64()),
+        })
+
+
+def checkerboard_xor(n: int, batch_size: int = 512) -> dict:
+    """Run the distributed checkerboard XOR; returns polygon count,
+    total area2 and throughput."""
+    import time
+    rows = []
+    for i in range(n):
+        for j in range(n):
+            rows.append((0, i, j))
+    for i in range(n - 1):
+        for j in range(n - 1):
+            rows.append((1, i, j))
+    t = pa.table({
+        "family": pa.array([r[0] for r in rows], pa.int64()),
+        "i": pa.array([r[1] for r in rows], pa.int64()),
+        "j": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # leave headroom for the producer tasks so the actor pool can't
+    # starve its own input (deadlocks a fully-subscribed local cluster)
+    pool = max(1, cpus - 2)
+    ds = ray.data.from_arrow(t).repartition(cpus * 2)
+    t0 = time.time()
+    out = ds.map_batches(XorSquareStage, batch_format="pyarrow",
+                         fn_constructor_args=(n,),
+                         batch_size=batch_size,
+                         concurrency=pool).to_pandas()
+    dt = time.time() - t0
+    total = int(out["n_polys"].sum())
+    return {
+        "n": n,
+        "polygons": total,
+        "area2": int(out["area2"].sum()),
+        "sec": round(dt, 3),
+        "polygons_per_sec": int(total / dt),
+    }

@@ -64,18 +64,17 @@ class OverlayStage:
         self.clockwise = clockwise
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geometry.overlay import overlay_pack
         subs = batch.column("subj").to_pylist()
         clips = batch.column("clip").to_pylist()
-        results = []
-        n_shapes = []
-        areas2 = []
-        for s, c in zip(subs, clips):
-            shapes = overlay(geo_arrow.shape_to_py(s), geo_arrow.shape_to_py(c),
-                             self.rule, self.fill_rule,
-                             clockwise=self.clockwise)
-            results.append(shapes)
-            n_shapes.append(len(shapes))
-            areas2.append(geo_arrow.shapes_area2(shapes))
+        # the whole batch runs as ONE packed kernel invocation
+        # (overlay_pack): vectorized stages amortize across rows
+        jobs = [(geo_arrow.shape_to_py(s), geo_arrow.shape_to_py(c))
+                for s, c in zip(subs, clips)]
+        results = overlay_pack(jobs, self.rule, self.fill_rule,
+                               clockwise=self.clockwise)
+        n_shapes = [len(shapes) for shapes in results]
+        areas2 = [geo_arrow.shapes_area2(shapes) for shapes in results]
         out = {
             "pair_id": batch.column("pair_id"),
             "tile_id": batch.column("tile_id"),
@@ -101,18 +100,20 @@ class MultiRuleOverlayStage:
         self.clockwise = clockwise
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geometry.overlay import overlay_pack_all
         subs = batch.column("subj").to_pylist()
         clips = batch.column("clip").to_pylist()
         pair_ids = batch.column("pair_id").to_pylist()
         tile_ids = batch.column("tile_id").to_pylist()
+        jobs = [(geo_arrow.shape_to_py(s), geo_arrow.shape_to_py(c))
+                for s, c in zip(subs, clips)]
+        packed = overlay_pack_all(jobs, [code for _, code in self.rules],
+                                  self.fill_rule, clockwise=self.clockwise)
         out_pair, out_tile, out_rule, out_shapes, out_n, out_a = \
             [], [], [], [], [], []
-        for pid, tid, s, c in zip(pair_ids, tile_ids, subs, clips):
-            graph = build_graph(geo_arrow.shape_to_py(s),
-                                geo_arrow.shape_to_py(c),
-                                self.fill_rule, clockwise=self.clockwise)
+        for pid, tid, per_job in zip(pair_ids, tile_ids, packed):
             for name, code in self.rules:
-                shapes = graph.extract(code) if graph else []
+                shapes = per_job[code]
                 out_pair.append(pid)
                 out_tile.append(tid)
                 out_rule.append(code)

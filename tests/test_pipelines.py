@@ -185,3 +185,19 @@ def test_lsh_bucket_recall(ray_session):
     b = out.column("bucket").to_numpy()
     same = sum(1 for i in range(20) if b[2 * i] == b[2 * i + 1])
     assert same >= 18  # tiny perturbation rarely flips a hyperplane sign
+
+
+def test_checkerboard_xor_matches_direct(ray_session):
+    from ioverlay_ray.geometry.overlay import overlay
+    from ioverlay_ray.pipelines.checkerboard import (OFFSET, PITCH, _square,
+                                                     checkerboard_xor)
+    from ioverlay_ray.stages.geo_arrow import shapes_area2
+    n = 4
+    res = checkerboard_xor(n)
+    assert res["polygons"] == n * n + (n - 1) * (n - 1)
+    # direct single-kernel XOR of the full grids agrees on area
+    subj = [_square(PITCH * i, PITCH * j) for i in range(n) for j in range(n)]
+    clip = [_square(OFFSET + PITCH * i, OFFSET + PITCH * j)
+            for i in range(n - 1) for j in range(n - 1)]
+    direct = overlay(subj, clip, "xor", "nonzero")
+    assert res["area2"] == shapes_area2(direct)
