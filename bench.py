@@ -71,10 +71,19 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def run_checkerboard(n: int) -> dict:
+    """The reference's headline workload (checkerboard XOR) distributed;
+    comparable to BASELINE.md's 0.80 M polygons/s single-node number."""
+    from ioverlay_ray.pipelines.checkerboard import checkerboard_xor
+    return checkerboard_xor(n, batch_size=4096)
+
+
 def bench_once(sf_dir: str, num_cpus: int, n_images: int) -> dict:
     _init_ray(num_cpus)
     flag = run_flagship(n_images)
+    checker = run_checkerboard(int(os.environ.get("GRAFT_CHECKER_N", "256")))
     queries = run_queries(sf_dir)
+    queries["checkerboard_xor"] = round(checker["sec"], 3)
     queries["flagship_overlay_join"] = round(flag["sec"], 3)
     total = sum(queries.values())
     import ray
@@ -90,6 +99,8 @@ def bench_once(sf_dir: str, num_cpus: int, n_images: int) -> dict:
         "flagship_pairs": flag["pairs"],
         "flagship_tiles": flag["tiles"],
         "flagship_pairs_per_sec": flag["pairs_per_sec"],
+        "checkerboard_polygons": checker["polygons"],
+        "checkerboard_polygons_per_sec": checker["polygons_per_sec"],
     }
 
 

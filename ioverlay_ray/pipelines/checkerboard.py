@@ -77,17 +77,13 @@ def checkerboard_xor(n: int, batch_size: int = 512) -> dict:
     """Run the distributed checkerboard XOR; returns polygon count,
     total area2 and throughput."""
     import time
-    rows = []
-    for i in range(n):
-        for j in range(n):
-            rows.append((0, i, j))
-    for i in range(n - 1):
-        for j in range(n - 1):
-            rows.append((1, i, j))
+    gi, gj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    hi, hj = np.meshgrid(np.arange(n - 1), np.arange(n - 1), indexing="ij")
     t = pa.table({
-        "family": pa.array([r[0] for r in rows], pa.int64()),
-        "i": pa.array([r[1] for r in rows], pa.int64()),
-        "j": pa.array([r[2] for r in rows], pa.int64()),
+        "family": pa.array(np.concatenate([np.zeros(n * n, np.int64),
+                                           np.ones((n - 1) ** 2, np.int64)])),
+        "i": pa.array(np.concatenate([gi.ravel(), hi.ravel()]).astype(np.int64)),
+        "j": pa.array(np.concatenate([gj.ravel(), hj.ravel()]).astype(np.int64)),
     })
     cpus = int(ray.cluster_resources().get("CPU", 8))
     # leave headroom for the producer tasks so the actor pool can't
