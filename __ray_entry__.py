@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_order_revenue_topk": rq.q_order_revenue_topk,
         "q_part_brands": rq.q_part_brands,
         "q_events_daily": rq.q_events_daily,
+        "q_event_sessions": rq.q_event_sessions,
         # training-data ops
         "q_doc_dedup_exact": rq.q_doc_dedup_exact,
         "q_doc_token_stats": rq.q_doc_token_stats,
@@ -136,6 +137,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "q_event_sessions": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(CASE WHEN prev IS NULL
+                                OR ts - prev > INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM e
+            )
+            SELECT user_id,
+                   CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+                   COUNT(*) AS n_events,
+                   CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT)
+                       AS duration_s
+            FROM s GROUP BY user_id, sid
         """,
         "q_doc_dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text

@@ -312,3 +312,36 @@ def q_ann_lsh_buckets(sf_dir: str, n_planes: int = 8) -> pd.DataFrame:
         "max_vec": ("vec_id", "max"),
     }, num_partitions=8).to_pandas()
     return out.sort_values("bucket").reset_index(drop=True).astype(np.int64)
+
+
+def q_event_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based sessionization (the stateful streaming-window op):
+    events hash-partition by user, each group sorts its timestamps and
+    cuts sessions at gaps > 30 min — vectorized numpy inside map_groups,
+    matching the SQL lag/cumsum window oracle."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("ts")
+        ts = df["ts"].astype("int64").to_numpy()  # microseconds
+        new = np.concatenate(([True], np.diff(ts) > gap_us))
+        sid = np.cumsum(new)
+        out = pd.DataFrame({"sid": sid, "ts": ts})
+        g = out.groupby("sid")["ts"].agg(["min", "max", "size"])
+        return pa.table({
+            "user_id": pa.array([int(df["user_id"].iloc[0])] * len(g),
+                                pa.int64()),
+            "session_start": pa.array(g["min"].to_numpy() // 1_000_000,
+                                      pa.int64()),
+            "n_events": pa.array(g["size"].to_numpy().astype(np.int64),
+                                 pa.int64()),
+            "duration_s": pa.array(
+                g["max"].to_numpy() // 1_000_000
+                - g["min"].to_numpy() // 1_000_000, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = ds.groupby("user_id").map_groups(
+        sessionize, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["user_id", "session_start"]) \
+        .reset_index(drop=True)
