@@ -497,6 +497,39 @@ def _apply_marks(segs: Segments, m_idx, m_px, m_py,
     marked_set_mask = np.zeros(len(segs), dtype=bool)
     marked_set_mask[marked] = True
 
+    # fast path: segments with exactly ONE strictly-interior mark (the
+    # common case by far) subdivide vectorized into two halves with the
+    # original counts and no direction flip (a < p < b along a
+    # normalized segment)
+    fast_segs = None
+    if len(idx):
+        counts = np.bincount(idx, minlength=len(segs))
+        one = counts[idx] == 1
+        if one.any():
+            si = idx[one]
+            spx = px[one]
+            spy = py[one]
+            a_lt_p = (segs.ax[si] < spx) | ((segs.ax[si] == spx) &
+                                            (segs.ay[si] < spy))
+            p_lt_b = (spx < segs.bx[si]) | ((spx == segs.bx[si]) &
+                                            (spy < segs.by[si]))
+            ok = a_lt_p & p_lt_b
+            if ok.any():
+                si_ok = si[ok]
+                spx_ok = spx[ok]
+                spy_ok = spy[ok]
+                fast_segs = Segments(
+                    np.concatenate([segs.ax[si_ok], spx_ok]),
+                    np.concatenate([segs.ay[si_ok], spy_ok]),
+                    np.concatenate([spx_ok, segs.bx[si_ok]]),
+                    np.concatenate([spy_ok, segs.by[si_ok]]),
+                    np.concatenate([segs.subj[si_ok], segs.subj[si_ok]]),
+                    np.concatenate([segs.clip[si_ok], segs.clip[si_ok]]))
+                handled = np.zeros(len(segs), dtype=bool)
+                handled[si_ok] = True
+                slow_keep = ~handled[idx]
+                idx, px, py = idx[slow_keep], px[slow_keep], py[slow_keep]
+
     out_ax, out_ay, out_bx, out_by, out_subj, out_clip = [], [], [], [], [], []
 
     ax_l = segs.ax.tolist(); ay_l = segs.ay.tolist()
@@ -543,7 +576,10 @@ def _apply_marks(segs: Segments, m_idx, m_px, m_py,
     untouched = ~marked_set_mask
     untouched_segs = segs.take(untouched)
     new = Segments(out_ax, out_ay, out_bx, out_by, out_subj, out_clip)
-    return sort_merge(Segments.concat([untouched_segs, new]), string_clip)
+    parts = [untouched_segs, new]
+    if fast_segs is not None:
+        parts.append(fast_segs)
+    return sort_merge(Segments.concat(parts), string_clip)
 
 
 def _order_sub_marks(pts, a, b):
