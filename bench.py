@@ -60,7 +60,7 @@ def run_queries(sf_dir: str) -> dict:
              "q_minhash_bands", "q_ann_cosine_topk", "q_rect_intersect_area",
              "q_pip_count", "q_knn_centers", "q_overlay_fixture_corpus",
              "q_rect_relate", "q_clip_segments", "q_dissolve_area",
-             "q_image_decode_stats"]
+             "q_image_decode_stats", "q_event_sessions", "q_giant_pip"]
     out = {}
     for name in names:
         t0 = time.time()
