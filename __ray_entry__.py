@@ -33,11 +33,19 @@ def _harden_worker_imports() -> None:
     if os.getcwd() == _REPO:
         return
     try:
+        import importlib
+        import pkgutil
+
         from ray import cloudpickle
         import ioverlay_ray  # noqa: F401
-        # import the full surface first so every module gets registered
-        from ioverlay_ray.pipelines import dissolve, flagship, geometry_queries, media, relational  # noqa: F401
-        from ioverlay_ray.stages import ann, dedup, multimodal, overlay_stage, spatial, text  # noqa: F401
+        # import EVERY module of the package so all of them get
+        # registered by value (workers have no repo on sys.path)
+        for m in pkgutil.walk_packages(ioverlay_ray.__path__,
+                                       prefix="ioverlay_ray."):
+            try:
+                importlib.import_module(m.name)
+            except Exception:
+                pass
         for name, mod in list(sys.modules.items()):
             if name.startswith("ioverlay_ray") and mod is not None:
                 try:

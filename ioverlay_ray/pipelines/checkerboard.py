@@ -25,6 +25,9 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..geometry.overlay import overlay_pack
+from ..stages.geo_arrow import shapes_area2
+
 SIDE = 20
 PITCH = 30
 OFFSET = 15
@@ -42,8 +45,6 @@ class XorSquareStage:
         self.n = n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..geometry.overlay import overlay_pack
-        from ..stages.geo_arrow import shapes_area2
         fam = batch.column("family").to_numpy(zero_copy_only=False)
         ii = batch.column("i").to_numpy(zero_copy_only=False)
         jj = batch.column("j").to_numpy(zero_copy_only=False)

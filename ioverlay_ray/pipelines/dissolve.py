@@ -31,6 +31,9 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..geometry.overlay import simplify_shape
+from ..stages.geo_arrow import shapes_area2
+
 RINGS = pa.list_(pa.list_(pa.int64()))  # shape = rings, ring = flat x,y pairs
 
 
@@ -124,7 +127,6 @@ def _union_rows(rows: List[list]) -> List[list]:
     """Union a list of shapes (each = list of contours) via the kernel,
     decomposed into bbox-overlap components first so disjoint geometry
     costs O(n log n) instead of feeding one giant overlay."""
-    from ..geometry.overlay import simplify_shape
     if len(rows) <= 1:
         return list(rows)
     out: List[list] = []
@@ -217,7 +219,6 @@ def dissolve(ds: "ray.data.Dataset", base: int = 64, levels: int = 5,
 
 def dissolve_area2(ds: "ray.data.Dataset", **kw) -> int:
     """Total 2x-area of the dissolved union (holes subtract)."""
-    from ..stages.geo_arrow import shapes_area2
     out = dissolve(ds, **kw)
 
     def area(batch: pa.Table) -> pa.Table:

@@ -22,6 +22,8 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+from ..sources.synth import phash64 as _phash64
+
 
 def _decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
     return np.frombuffer(zlib.decompress(data), np.uint8).reshape(h, w, 3)
@@ -52,8 +54,7 @@ class DecodeStage:
         self.codecs = dict(_CODECS)  # per-actor dispatch (built once)
         self.check_phash = check_phash
         if check_phash:
-            from ..sources.synth import phash64
-            self._phash = phash64
+            self._phash = _phash64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column("bytes").to_pylist()

@@ -14,7 +14,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..geometry import kernel
-from ..geometry.overlay import build_graph, overlay
+from ..geometry.overlay import build_graph, overlay, overlay_pack, overlay_pack_all
+from ..sources.synth import annotations_for_batch
 from . import geo_arrow, tile
 
 
@@ -29,7 +30,6 @@ class AnnotateStage:
         self.resolution = resolution
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..sources.synth import annotations_for_batch
         ids = batch.column("image_id").to_pylist()
         indices = [int(s.rsplit("_", 1)[1]) for s in ids]
         ws = batch.column("w").to_pylist()
@@ -64,7 +64,6 @@ class OverlayStage:
         self.clockwise = clockwise
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..geometry.overlay import overlay_pack
         subs = batch.column("subj").to_pylist()
         clips = batch.column("clip").to_pylist()
         # the whole batch runs as ONE packed kernel invocation
@@ -100,7 +99,6 @@ class MultiRuleOverlayStage:
         self.clockwise = clockwise
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..geometry.overlay import overlay_pack_all
         subs = batch.column("subj").to_pylist()
         clips = batch.column("clip").to_pylist()
         pair_ids = batch.column("pair_id").to_pylist()

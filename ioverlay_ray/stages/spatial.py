@@ -13,6 +13,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .tile import cell_id as _cell_id
+from .tile import cell_size as _cell_size
+from .tile import ring_cells as _ring_cells
+
 
 def winding_numbers(px: np.ndarray, py: np.ndarray, contour: list) -> np.ndarray:
     """Winding number of each point w.r.t. one closed contour.
@@ -147,8 +151,6 @@ class RingKnnStage:
 
     def __init__(self, centers, k: int = 5, resolution: int = 8):
         import ray
-
-        from .tile import cell_id, cell_size
         if isinstance(centers, ray.ObjectRef):
             centers = ray.get(centers)
         ids, xs, ys = (np.asarray(a, np.int64) for a in centers)
@@ -156,16 +158,16 @@ class RingKnnStage:
         ids, xs, ys = ids[order], xs[order], ys[order]
         self.k = k
         self.resolution = resolution
-        self.size = cell_size(resolution)
-        cells = cell_id(xs, ys, resolution)
+        self.size = _cell_size(resolution)
+        cells = _cell_id(xs, ys, resolution)
         self.index: dict = {}
         for c in np.unique(cells):
             m = cells == c
             self.index[int(c)] = (ids[m], xs[m], ys[m])
-        self._cell_id = cell_id
+        self._cell_id = _cell_id
 
     def _query(self, qid: int, qx: int, qy: int):
-        from .tile import ring_cells
+        ring_cells = _ring_cells
         home = int(self._cell_id(np.array([qx]), np.array([qy]),
                                  self.resolution)[0])
         cand_i: list = []
