@@ -177,3 +177,38 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 ** 2 / mse)
+
+
+class AudioFeatureStage:
+    """'Audio' = zlib-compressed int16 PCM mono + sample_rate metadata.
+    Emits per-clip features (duration, RMS, zero-crossing rate, peak) —
+    the decode/feature shape for audio payload columns. Real PCM codecs
+    (mp3/ogg) would dispatch to an audio lib; absent here, fmt='pcm'
+    is the real path and others raise NotImplementedError."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, dur_ms, rms, zcr_e3, peak = [], [], [], [], []
+        for aid, blob, sr, fmt in zip(batch.column("audio_id").to_pylist(),
+                                      batch.column("bytes").to_pylist(),
+                                      batch.column("sample_rate").to_pylist(),
+                                      batch.column("fmt").to_pylist()):
+            if fmt != "pcm":
+                raise NotImplementedError(
+                    f"codec {fmt!r} needs an audio lib; synthetic data "
+                    "uses fmt='pcm'")
+            pcm = np.frombuffer(zlib.decompress(blob), np.int16)
+            ids.append(aid)
+            dur_ms.append(int(len(pcm) * 1000 / sr))
+            rms.append(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))))
+            sign = np.sign(pcm[pcm != 0]) if (pcm != 0).any() else np.array([1])
+            zcr = int((sign[1:] != sign[:-1]).sum()) if len(sign) > 1 else 0
+            zcr_e3.append(int(zcr * 1000 / max(1, len(pcm))))
+            peak.append(int(np.abs(pcm.astype(np.int64)).max()) if len(pcm)
+                        else 0)
+        return pa.table({
+            "audio_id": pa.array(ids, pa.string()),
+            "duration_ms": pa.array(dur_ms, pa.int64()),
+            "rms": pa.array(rms, pa.float64()),
+            "zcr_e3": pa.array(zcr_e3, pa.int64()),
+            "peak": pa.array(peak, pa.int64()),
+        })

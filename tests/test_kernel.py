@@ -106,3 +106,21 @@ def test_overlay_hole():
     res = overlay(subj, [], "subject", "evenodd")
     assert len(res) == 1
     assert len(res[0]) == 2  # hull + hole
+
+
+def test_overlay_pack_matches_individual():
+    from ioverlay_ray.geometry.overlay import overlay, overlay_pack
+    import numpy as np
+    rng = np.random.default_rng(9)
+    jobs = []
+    for _ in range(40):
+        x0, y0 = rng.integers(0, 1000, 2)
+        subj = [[(int(x0), int(y0)), (int(x0) + 50, int(y0)),
+                 (int(x0) + 50, int(y0) + 50), (int(x0), int(y0) + 50)]]
+        dx, dy = rng.integers(-30, 30, 2)
+        clip = [[(p[0] + int(dx), p[1] + int(dy)) for p in subj[0]]]
+        jobs.append((subj, clip))
+    for rule in ("intersect", "union", "xor"):
+        packed = overlay_pack(jobs, rule, "nonzero")
+        for (s, c), got in zip(jobs, packed):
+            assert got == overlay(s, c, rule, "nonzero")

@@ -86,3 +86,35 @@ def test_png_decode_is_gated():
     })
     with pytest.raises(NotImplementedError):
         stage(batch)
+
+
+def test_audio_features(ray_session):
+    from ioverlay_ray.stages.multimodal import AudioFeatureStage
+    rng = np.random.default_rng(7)
+    sr = 16000
+    tone = (np.sin(np.arange(sr) * 2 * np.pi * 440 / sr) * 10000) \
+        .astype(np.int16)
+    noise = rng.integers(-500, 500, sr // 2).astype(np.int16)
+    t = pa.table({
+        "audio_id": ["tone", "noise"],
+        "sample_rate": [sr, sr],
+        "fmt": ["pcm", "pcm"],
+        "bytes": [zlib.compress(tone.tobytes(), 1),
+                  zlib.compress(noise.tobytes(), 1)],
+    })
+    out = ray.data.from_arrow(t).map_batches(
+        AudioFeatureStage, batch_format="pyarrow", concurrency=1).to_pandas()
+    tone_row = out[out.audio_id == "tone"].iloc[0]
+    noise_row = out[out.audio_id == "noise"].iloc[0]
+    assert tone_row["duration_ms"] == 1000
+    assert noise_row["duration_ms"] == 500
+    assert tone_row["rms"] > noise_row["rms"]
+    assert noise_row["zcr_e3"] > tone_row["zcr_e3"]  # noise crosses more
+
+
+def test_pcm_only_gate():
+    from ioverlay_ray.stages.multimodal import AudioFeatureStage
+    t = pa.table({"audio_id": ["x"], "sample_rate": [8000],
+                  "fmt": ["mp3"], "bytes": [b""]})
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage()(t)
