@@ -34,9 +34,12 @@ def images_dataset(n_images: int = 512, seed: int = 42,
 
         @ray.remote
         def gen_shard(s0: int, count: int, fn: str):
+            import os as _os
             from ioverlay_ray.sources.synth import make_images_table_range
             t = make_images_table_range(s0, s0 + count, seed)
-            pq.write_table(t, fn)
+            tmp = fn + f".tmp{_os.getpid()}"
+            pq.write_table(t, tmp)
+            _os.replace(tmp, fn)  # atomic: concurrent generators converge
 
         shard = 1024
         refs = []
