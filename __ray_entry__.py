@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_clip_segments": gq.q_clip_segments,
         "q_dissolve_area": gq.q_dissolve_area,
         "q_giant_pip": gp.q_giant_pip,
+        "q_tiled_overlay": gq.q_tiled_overlay,
         # geometry engine (rows-only)
         "q_overlay_fixture_corpus": gq.q_overlay_fixture_corpus,
         "q_flagship_tiles": gq.q_flagship_tiles,

@@ -3,11 +3,11 @@
 Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
 (per-pipeline sec), "sf", "num_cpus", ...extras}.
 
---scaling runs the headline overlay join twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both
-throughputs plus efficiency = (T8_cpus_rate4x expectation): see
-BASELINE.md. (Real cluster scaling is evidenced by parallelism levels
-in this sandbox.)
+--scaling runs the 4-rule flagship join in FRESH processes at
+num_cpus=N and 4N (default 8 -> 32) on the same input, idle cores
+busy-spun for frequency parity, and reports both throughputs plus
+efficiency = (rate_4N / rate_N) / 4. See BASELINE.md. (Real cluster
+scaling is evidenced by parallelism levels in this sandbox.)
 """
 
 from __future__ import annotations

@@ -284,3 +284,31 @@ def q_flagship_tiles(sf_dir: str, n_images: int = 512) -> pd.DataFrame:
     res = flagship.overlay_join(ds, "intersect")
     return flagship.tile_summary(res).to_pandas().sort_values(
         "tile_id").reset_index(drop=True)
+
+
+def q_tiled_overlay(sf_dir: str) -> pd.DataFrame:
+    """Tile-distributed overlay with cross-strip chain stitching on a
+    deterministic multi-polygon scene; per-rule shape counts + areas
+    (rows-only; region equality vs the single kernel is asserted in
+    tests/test_tiled_overlay.py)."""
+    from ..pipelines.tiled_overlay import tiled_overlay_ray
+    from ..stages.geo_arrow import shapes_area2
+
+    def rect(x0, y0, w, h):
+        return [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+
+    def diamond(cx, cy, r):
+        return [(cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r)]
+
+    subj = [rect(64 * i, 40 * (i % 7), 200, 160) for i in range(0, 40, 3)]
+    clip = [diamond(100 + 90 * i, 150 + 35 * (i % 5), 120)
+            for i in range(12)]
+    rows = []
+    for rule in ("union", "intersect", "difference", "xor"):
+        shapes = tiled_overlay_ray(subj, clip, rule, "nonzero", strip_w=256)
+        rows.append((rule, len(shapes),
+                     sum(len(s) - 1 for s in shapes),
+                     shapes_area2(shapes)))
+    return pd.DataFrame(rows, columns=["rule", "n_shapes", "n_holes",
+                                       "area2"]).astype(
+        {"n_shapes": np.int64, "n_holes": np.int64, "area2": np.int64})
