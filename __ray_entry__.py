@@ -175,7 +175,10 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_token_stats": """
             SELECT doc_id,
                    CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                   CAST(length(text) AS BIGINT) AS n_chars
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(array_length(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]'))
+                       AS BIGINT) AS n_subtokens
             FROM documents
         """,
         "q_doc_quality": """

@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _PUNCT_RE = re.compile(r"[^.!?]")
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space
+_SUBTOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 _UPPER_RE = re.compile(r"[^A-Z]")
 _DIGIT_RE = re.compile(r"[^0-9]")
 
@@ -34,10 +36,12 @@ def token_stats(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
     n_tokens = [len(t.split(" ")) for t in texts]
     n_chars = [len(t) for t in texts]
+    n_subtokens = [len(_SUBTOKEN_RE.findall(t)) for t in texts]
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_tokens": pa.array(n_tokens, pa.int64()),
         "n_chars": pa.array(n_chars, pa.int64()),
+        "n_subtokens": pa.array(n_subtokens, pa.int64()),
     })
 
 
