@@ -20,14 +20,17 @@ Key invariants making per-strip work exact:
   (is_fill_top -> travel +x), so stitched rings come out CCW for
   hulls and CW for holes.
 
-Snap caveat: cross points here are computed from FRAGMENT endpoints;
-when a crossing's exact coordinate is a half-integer tie, its snap can
-land one grid cell away from the single-kernel result (which computes
-from the full edges — the reference keeps decomposition invariance by
-applying split marks to PARENT segments, split/solver_fragment.rs:
-152-178). The difference is bounded by one grid cell per such tie;
-full bit-parity would require threading parent-edge coordinates
-through the per-strip split, which is future work.
+Exactness: bit-parity with the single kernel holds for rectilinear
+geometry and slope +-1 edges (border cuts land exactly on the lines).
+For arbitrary slopes a border cut floor-rounds onto the grid, so the
+distributed boundary deviates from the single-kernel edge by < 1 grid
+unit along each border crossing (and a half-integer crossing tie may
+snap one cell differently) — the region symmetric difference is
+bounded by ~1 cell per border/crossing event. Full bit-parity needs
+the reference's architecture of applying split marks to PARENT
+segments with a cross-strip mark shuffle per snap round
+(split/solver_fragment.rs:152-178; flagged in SURVEY.md section 7.3)
+— a round-2 item (see NOTES.md).
 """
 
 from __future__ import annotations
