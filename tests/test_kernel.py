@@ -124,3 +124,40 @@ def test_overlay_pack_matches_individual():
         packed = overlay_pack(jobs, rule, "nonzero")
         for (s, c), got in zip(jobs, packed):
             assert got == overlay(s, c, rule, "nonzero")
+
+
+def test_option_min_output_area():
+    from ioverlay_ray.geometry.overlay import overlay
+    subj = [[(0, 0), (100, 0), (100, 100), (0, 100)]]
+    clip = [[(200, 0), (203, 0), (203, 3), (200, 3)]]  # tiny distant square
+    out = overlay(subj, clip, "union", "nonzero")
+    assert len(out) == 2
+    filtered = overlay(subj, clip, "union", "nonzero", min_output_area=50)
+    assert len(filtered) == 1  # 3x3 (area 9) dropped
+
+
+def test_option_output_direction():
+    from ioverlay_ray.geometry.overlay import overlay
+    subj = [[(0, 0), (30, 0), (30, 30), (0, 30)]]
+    clip = [[(10, 10), (20, 10), (20, 20), (10, 20)]]
+
+    def area2(c):
+        return sum(c[i - 1][0] * c[i][1] - c[i][0] * c[i - 1][1]
+                   for i in range(len(c)))
+
+    ccw = overlay(subj, clip, "difference", "nonzero")
+    assert area2(ccw[0][0]) > 0 and area2(ccw[0][1]) < 0  # hull CCW, hole CW
+    cw = overlay(subj, clip, "difference", "nonzero", clockwise=True)
+    assert area2(cw[0][0]) < 0 and area2(cw[0][1]) > 0
+
+
+def test_option_preserve_collinear():
+    from ioverlay_ray.geometry.overlay import overlay
+    # square with a redundant midpoint on the bottom edge
+    subj = [[(0, 0), (5, 0), (10, 0), (10, 10), (0, 10)]]
+    default = overlay(subj, [], "subject", "nonzero")
+    assert len(default[0][0]) == 4  # collinear midpoint dropped
+    kept = overlay(subj, [], "subject", "nonzero",
+                   preserve_input_collinear=True,
+                   preserve_output_collinear=True)
+    assert len(kept[0][0]) == 5    # midpoint retained
