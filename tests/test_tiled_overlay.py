@@ -84,3 +84,21 @@ def test_ray_pipeline_matches_local(ray_session):
         a = [c for s in local for c in s]
         b = [c for s in dist for c in s]
         assert abs(shapes_area2(overlay(a, b, "xor", "nonzero"))) == 0
+
+
+def test_scene_scale_smoke(ray_session):
+    """Wide scene across many strips: distributed union stays correct
+    (area equality vs the worker-local path) at 1000-polygon scale."""
+    from ioverlay_ray.pipelines.tiled_overlay import tiled_overlay_ray
+    rng = np.random.default_rng(1)
+    n = 500
+    subj = [rect(int(x), int(y), int(w), int(h)) for x, y, w, h in
+            zip(rng.integers(0, 10000, n), rng.integers(0, 1500, n),
+                rng.integers(20, 200, n), rng.integers(20, 200, n))]
+    clip = [diamond(int(x), int(y), int(r)) for x, y, r in
+            zip(rng.integers(100, 10000, n), rng.integers(100, 1500, n),
+                rng.integers(20, 150, n))]
+    dist = tiled_overlay_ray(subj, clip, "union", "nonzero", strip_w=512)
+    local = tiled_overlay(subj, clip, "union", "nonzero", strip_w=512)
+    assert shapes_area2(dist) == shapes_area2(local)
+    assert len(dist) == len(local)
