@@ -92,3 +92,47 @@ def test_non_ogc_differs():
     ]
     plain = overlay(subj, clip, "difference", "evenodd")
     assert len(plain) == 1  # single shape with disconnected interior
+
+
+def test_5_chained_squares_inside():
+    subj = [[(0, 4), (0, 0), (4, 0), (4, 4)]]
+    clip = [[(1, 2), (1, 1), (2, 1), (2, 2)],
+            [(2, 3), (2, 2), (3, 2), (3, 3)]]
+    for cw in (False, True):
+        result = overlay(subj, clip, "difference", "evenodd", ogc=True,
+                         clockwise=cw)
+        assert len(result) == 1
+        assert sorted(len(c) for c in result[0]) == [4, 4, 4]
+
+
+def test_6_holes_touching_notch():
+    subj = [[(0, 3), (0, 0), (5, 0), (5, 3), (3, 3), (3, 2), (2, 2), (2, 3)]]
+    clip = [[(1, 2), (1, 1), (2, 1), (2, 2)],
+            [(3, 2), (3, 1), (4, 1), (4, 2)]]
+    result = overlay(subj, clip, "difference", "evenodd", ogc=True)
+    assert len(result) == 1
+    assert sorted(len(c) for c in result[0]) == [4, 4, 8]
+
+
+def test_7_four_squares_vertex_ring():
+    subj = [
+        [(0, 2), (0, 1), (1, 1), (1, 2)],
+        [(2, 2), (2, 1), (3, 1), (3, 2)],
+        [(1, 1), (1, 0), (2, 0), (2, 1)],
+        [(1, 3), (1, 2), (2, 2), (2, 3)],
+    ]
+    result = overlay(subj, [], "union", "evenodd", ogc=True)
+    assert len(result) == 4
+    assert all(len(s) == 1 and len(s[0]) == 4 for s in result)
+
+
+def test_8_union_fills_center():
+    subj = [[(0, 4), (0, 0), (5, 0), (5, 4), (3, 4), (3, 3), (4, 3),
+             (4, 2), (3, 2), (3, 1), (2, 1), (2, 2), (1, 2), (1, 3),
+             (2, 3), (2, 4)]]
+    clip = [[(2, 3), (2, 2), (3, 2), (3, 3)]]
+    result = overlay(subj, clip, "union", "evenodd", ogc=True)
+    assert len(result) == 2
+    sizes = sorted(len(s[0]) for s in result)
+    assert sizes == [4, 16]
+    assert all(len(s) == 1 for s in result)
