@@ -136,3 +136,59 @@ def test_8_union_fills_center():
     sizes = sorted(len(s[0]) for s in result)
     assert sizes == [4, 16]
     assert all(len(s) == 1 for s in result)
+
+
+def test_9_touching_diamonds_in_notched_square():
+    subj = [
+        [(-3, 0), (-3, -3), (0, -3), (0, 0), (3, 0), (3, 3), (0, 3), (0, 0)],
+        [(-1, -2), (-2, -1), (0, 0), (1, 2), (2, 1), (0, 0)],
+    ]
+    result = overlay(subj, [], "union", "evenodd", ogc=True)
+    assert len(result) == 2
+    for s in result:
+        assert sorted(len(c) for c in s) == [3, 4]
+
+
+def test_10_triangles_sharing_origin():
+    subj = [
+        [(0, 0), (-6, 2), (-2, -6)],
+        [(-3, 0), (0, 0), (-3, -1)],
+        [(0, 0), (4, -6), (4, 6)],
+    ]
+    result = overlay(subj, [], "union", "nonzero", ogc=True)
+    sizes = sorted(len(s) for s in result)
+    assert sizes == [1, 2]
+
+
+def test_11_star_with_spoke_holes():
+    subj = [
+        [(-5, 5), (-4, 1), (0, 0), (-4, -1), (-5, -5), (0, 0), (5, -5),
+         (4, -1), (0, 0), (4, 1), (5, 5), (0, 0)],
+        [(-3, -2), (-3, -1), (0, 0), (-3, 1), (-3, 2), (0, 0), (3, 2),
+         (3, 1), (0, 0), (3, -1), (3, -2), (0, 0)],
+    ]
+    result = overlay(subj, [], "union", "nonzero", ogc=True)
+    assert len(result) == 4
+    for s in result:
+        assert len(s) == 2
+        assert len(s[0]) == 3 and len(s[1]) == 3
+
+
+def test_checkerboard_a_family():
+    # lattice of crossing bars: interior splits into (n^2 + (n-1)^2)
+    # cells plus the outer frame (ocg_tests.rs checkerboard_a)
+    for n in (4, 7, 10):
+        m = n
+        x0 = y0 = 1
+        x1 = y1 = 2 * (m + 1)
+        subj = [[(x0 - 1, y1 + 1), (x0 - 1, y0 - 1), (x1 + 1, y0 - 1),
+                 (x1 + 1, y1 + 1)]]
+        for i in range(m):
+            x = 2 * (i + 1)
+            subj.append([(x, y0), (x, y1), (x + 1, y1), (x + 1, y0)])
+            y = 2 * (i + 1)
+            subj.append([(x0, y), (x0, y + 1), (x1, y + 1), (x1, y)])
+        result = overlay(subj, [], "subject", "evenodd", ogc=True)
+        assert len(result) == n * n + (n - 1) * (n - 1) + 1, n
+        with_hole = [s for s in result if len(s) > 1]
+        assert len(with_hole) == 1 and len(with_hole[0]) == 2
