@@ -161,3 +161,42 @@ def test_option_preserve_collinear():
                    preserve_input_collinear=True,
                    preserve_output_collinear=True)
     assert len(kept[0][0]) == 5    # midpoint retained
+
+
+def test_simplify_suite():
+    """Ported simplify_tests.rs structural cases."""
+    from ioverlay_ray.geometry.overlay import simplify_shape
+
+    # tiny clean rect survives with collinear preservation
+    r0 = simplify_shape([[(10614, 4421), (10609, 4421), (10609, 4415),
+                          (10614, 4415)]], "nonzero",
+                        preserve_input_collinear=True,
+                        preserve_output_collinear=True)
+    assert len(r0) == 1 and len(r0[0]) == 1
+
+    # 8 squares forming a ring around a missing center -> one shape,
+    # one hole
+    def square(px, py):
+        return [(-5 + px, -5 + py), (-5 + px, 5 + py), (5 + px, 5 + py),
+                (5 + px, -5 + py)]
+
+    ring = [square(x, y) for x, y in
+            ((-10, -10), (-10, 0), (-10, 10), (0, -10), (0, 10),
+             (10, -10), (10, 0), (10, 10))]
+    r1 = simplify_shape(ring, "nonzero",
+                        preserve_input_collinear=True,
+                        preserve_output_collinear=True)
+    assert len(r1) == 1 and len(r1[0]) == 2
+
+    # self-intersecting 'N' path resolves to valid output
+    r3 = simplify_shape([[(0, 0), (3, 1), (0, 3), (3, 0)]], "nonzero")
+    assert len(r3) >= 1
+
+    # hole triangle touching the hull: 7-point contour with collinear
+    # output preserved
+    r4 = simplify_shape([
+        [(-5, 0), (0, 0), (0, 5)],
+        [(-3, 2), (-1, 2), (-1, 1)],
+    ], "nonzero", preserve_output_collinear=True)
+    assert len(r4) == 1 and len(r4[0]) == 1
+    assert len(r4[0][0]) == 7

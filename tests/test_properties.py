@@ -70,3 +70,32 @@ def test_triangle_identities(ts, cs):
     a = {k: shapes_area2(v) for k, v in res.items()}
     assert a["union"] + a["intersect"] == a["subject"] + a["clip"]
     assert a["union"] >= max(a["subject"], a["clip"])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(4, 16), st.integers(0, 359), st.integers(50, 400))
+def test_dynamic_star_union(corners, angle_deg, radius):
+    """Rotating/scaling star sweep (the dynamic_tests.rs analog):
+    subject star union clip star is never empty and hulls come out CCW."""
+    import math
+    from ioverlay_ray.geometry.overlay import overlay
+
+    def star(cx, cy, r0, r1, n, rot):
+        pts = []
+        for i in range(2 * n):
+            r = r0 if i % 2 == 0 else r1
+            a = rot + math.pi * i / n
+            pts.append((cx + int(r * math.cos(a)),
+                        cy + int(r * math.sin(a))))
+        return pts
+
+    rot = math.radians(angle_deg)
+    subj = [star(0, 0, radius, radius // 2, corners, rot)]
+    clip = [star(radius // 3, 0, radius, radius // 2, corners, -rot)]
+    out = overlay(subj, clip, "union", "nonzero")
+    assert out
+    for shape in out:
+        a2 = sum(shape[0][i - 1][0] * shape[0][i][1]
+                 - shape[0][i][0] * shape[0][i - 1][1]
+                 for i in range(len(shape[0])))
+        assert a2 > 0  # hull CCW
