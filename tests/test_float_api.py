@@ -102,3 +102,22 @@ def test_decompose_contours():
     assert sorted(len(l) for l in loops) == [3, 3]
     assert decompose_contours([bow]) == [[(2, 2), (2, 0), (0, 2), (0, 0)]] \
         or len(decompose_contours([bow])) == 1
+
+
+def test_vector_extraction_subject_square():
+    """vector_tests.rs test_0 analog: subject-rule edge extraction of a
+    square with an inner clip square yields exactly the 4 outer edges,
+    each subject-filled on one side."""
+    from ioverlay_ray.geometry.kernel import SUBJ_BOTH
+    subj = [[(-10240, -10240), (-10240, 10240), (10240, 10240),
+             (10240, -10240)]]
+    clip = [[(-5120, -5120), (-5120, 5120), (5120, 5120), (5120, -5120)]]
+    vecs = extract_vectors(subj, clip, "subject", "nonzero")
+    assert len(vecs) == 4
+    pts = set()
+    for ax, ay, bx, by, fill in vecs:
+        assert (fill & SUBJ_BOTH) in (1, 2)  # boundary, one side filled
+        pts.add((ax, ay))
+        pts.add((bx, by))
+    assert pts == {(-10240, -10240), (-10240, 10240),
+                   (10240, 10240), (10240, -10240)}
