@@ -192,3 +192,49 @@ def test_checkerboard_a_family():
         assert len(result) == n * n + (n - 1) * (n - 1) + 1, n
         with_hole = [s for s in result if len(s) > 1]
         assert len(with_hole) == 1 and len(with_hole[0]) == 2
+
+
+def test_random_grid_holes():
+    """ocg_tests.rs random_grid_holes analog: clip random unit cells out
+    of an n x n square under OGC; the shape count must equal the number
+    of 4-connected components of the remaining cells (corner-touching
+    cells are split, per ISO 19125-1)."""
+    import numpy as np
+
+    def components4(keep):
+        n = keep.shape[0]
+        seen = np.zeros_like(keep, dtype=bool)
+        count = 0
+        for sy in range(n):
+            for sx in range(n):
+                if not keep[sy, sx] or seen[sy, sx]:
+                    continue
+                count += 1
+                stack = [(sy, sx)]
+                seen[sy, sx] = True
+                while stack:
+                    y, x = stack.pop()
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        yy, xx = y + dy, x + dx
+                        if 0 <= yy < n and 0 <= xx < n and keep[yy, xx] \
+                                and not seen[yy, xx]:
+                            seen[yy, xx] = True
+                            stack.append((yy, xx))
+        return count
+
+    n = 8
+    for seed in range(24):
+        rng = np.random.default_rng(seed)
+        clipped = rng.random((n, n)) < 0.35
+        if clipped.all() or not clipped.any():
+            continue
+        subj = [[(0, 0), (n, 0), (n, n), (0, n)]]
+        clip = [[(x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1)]
+                for y in range(n) for x in range(n) if clipped[y, x]]
+        result = overlay(subj, clip, "difference", "evenodd", ogc=True)
+        want = components4(~clipped)
+        assert len(result) == want, (seed, len(result), want)
+        for shape in result:
+            assert shape
+            for contour in shape:
+                assert len(contour) >= 3
