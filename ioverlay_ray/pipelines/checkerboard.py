@@ -87,15 +87,13 @@ def checkerboard_xor(n: int, batch_size: int = 512) -> dict:
         "j": pa.array(np.concatenate([gj.ravel(), hj.ravel()]).astype(np.int64)),
     })
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    # leave headroom for the producer tasks so the actor pool can't
-    # starve its own input (deadlocks a fully-subscribed local cluster)
-    pool = max(1, cpus - 2)
     ds = ray.data.from_arrow(t).repartition(cpus * 2)
+    # the stage's only state is ``n`` — a task pool beats an actor pool
+    # here (no per-actor startup; tasks autoscale with the cluster)
+    stage = XorSquareStage(n)
     t0 = time.time()
-    out = ds.map_batches(XorSquareStage, batch_format="pyarrow",
-                         fn_constructor_args=(n,),
-                         batch_size=batch_size,
-                         concurrency=pool).to_pandas()
+    out = ds.map_batches(lambda b: stage(b), batch_format="pyarrow",
+                         batch_size=batch_size).to_pandas()
     dt = time.time() - t0
     total = int(out["n_polys"].sum())
     return {
