@@ -10,8 +10,6 @@ groupby at scale.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 

@@ -17,7 +17,6 @@ lifecycle, output layout) is identical either way.
 from __future__ import annotations
 
 import zlib
-from typing import Optional
 
 import numpy as np
 import pyarrow as pa

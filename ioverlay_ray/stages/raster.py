@@ -11,7 +11,6 @@ lines in general position (string/clip.rs).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..geometry.string_ops import clip_paths

@@ -11,9 +11,7 @@ from __future__ import annotations
 import hashlib
 import re
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 _PUNCT_RE = re.compile(r"[^.!?]")
 # BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space
