@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_lang": rq.q_doc_lang,
         "q_doc_fingerprint": rq.q_doc_fingerprint,
         "q_minhash_bands": rq.q_minhash_bands,
+        "q_jaccard_verify": rq.q_jaccard_verify,
         "q_simhash": rq.q_simhash,
         "q_ann_cosine_topk": rq.q_ann_cosine_topk,
         "q_embedding_neardup": rq.q_embedding_neardup,

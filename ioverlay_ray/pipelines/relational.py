@@ -345,3 +345,45 @@ def q_event_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         sessionize, batch_format="pyarrow").to_pandas()
     return out.sort_values(["user_id", "session_start"]) \
         .reset_index(drop=True)
+
+
+def q_jaccard_verify(sf_dir: str, threshold_e3: int = 300) -> pd.DataFrame:
+    """Near-dup detection end to end: MinHash+LSH candidate pairs are
+    VERIFIED with exact n-gram Jaccard (broadcast text lookup, verify
+    stage in map_batches); emits pairs with jaccard >= threshold."""
+    from ..stages.dedup import jaccard
+    cand = q_minhash_bands(sf_dir)
+    if len(cand) == 0:
+        return pd.DataFrame({"min_doc": pd.Series([], dtype=np.int64),
+                             "max_doc": pd.Series([], dtype=np.int64),
+                             "jaccard_e3": pd.Series([], dtype=np.int64)})
+    texts_t = _small_table(sf_dir, "documents", ["doc_id", "text"])
+    lookup = dict(zip(texts_t.column("doc_id").to_pylist(),
+                      texts_t.column("text").to_pylist()))
+    ref = ray.put(lookup)
+
+    class Verify:
+        def __init__(self, ref, thr):
+            self.lookup = ray.get(ref)
+            self.thr = thr
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("min_doc").to_pylist()
+            b = batch.column("max_doc").to_pylist()
+            oa, ob, oj = [], [], []
+            for x, y in zip(a, b):
+                j = int(round(jaccard(self.lookup[x], self.lookup[y]) * 1000))
+                if j >= self.thr:
+                    oa.append(x); ob.append(y); oj.append(j)
+            return pa.table({
+                "min_doc": pa.array(oa, pa.int64()),
+                "max_doc": pa.array(ob, pa.int64()),
+                "jaccard_e3": pa.array(oj, pa.int64()),
+            })
+
+    ds = ray.data.from_pandas(cand)
+    out = ds.map_batches(Verify, batch_format="pyarrow",
+                         fn_constructor_args=(ref, threshold_e3),
+                         concurrency=2).to_pandas()
+    return out.sort_values(["min_doc", "max_doc"]).reset_index(drop=True) \
+        .astype(np.int64)
