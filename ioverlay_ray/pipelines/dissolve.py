@@ -19,7 +19,11 @@ is embarrassingly parallel across cells; the shuffle volume shrinks
 geometrically per level because unions merge geometry. Skewed cells are
 bounded by `max_group_rows` — oversized groups union in chunks
 (combiner) before the final per-cell union, the groupby-side analog of
-salting (SURVEY.md §4).
+salting (SURVEY.md §4). Two short-circuits keep shallow data cheap:
+empty levels are skipped entirely (one histogram pass), and once every
+input level has been absorbed, merged shapes strictly interior to their
+cell are emitted as FINAL instead of riding every remaining shuffle —
+for small-object corpora the bulk of the data exits after round one.
 """
 
 from __future__ import annotations
@@ -180,12 +184,30 @@ def dissolve(ds: "ray.data.Dataset", base: int = 64, levels: int = 5,
             "rings": batch.column("rings"),
         })
 
-    current = ds.map_batches(assign, batch_format="pyarrow")
+    current = ds.map_batches(assign, batch_format="pyarrow").materialize()
+
+    # one cheap histogram pass: shuffle rounds only run for levels that
+    # actually hold geometry (deep hierarchies over shallow data would
+    # otherwise pay a pass-through shuffle per empty level)
+    present = set(
+        r["level"] for r in
+        current.groupby("level").count().take_all())
+    max_input = max(present) if present else 0
+    finals = []
 
     for lev in range(levels):
         last = lev == levels - 1
+        if lev not in present and not last:
+            continue
+        # merged output of level lev lands on lev+1 (or the root)
+        present.add(levels - 1 if lev + 1 == levels - 1 else lev + 1)
+        # once every ORIGINAL input level has been absorbed, a merged
+        # shape strictly inside its cell can never meet more geometry:
+        # emit it as FINAL (level = -1) and skip all further shuffles
+        may_finalize = lev >= max_input and not last
 
-        def union_level(group: pa.Table, lev=lev, last=last) -> pa.Table:
+        def union_level(group: pa.Table, lev=lev, last=last,
+                        may_finalize=may_finalize) -> pa.Table:
             if len(group) == 0:
                 return pa.table({"level": pa.array([], pa.int64()),
                                  "cell": pa.array([], pa.int64()),
@@ -202,7 +224,20 @@ def dissolve(ds: "ray.data.Dataset", base: int = 64, levels: int = 5,
                 ncell = 0  # root
             else:
                 ncell = int(parent_cell(np.array([gcell], np.int64))[0])
-            return _union_group(group, nxt, ncell, max_group_rows)
+            out = _union_group(group, nxt, ncell, max_group_rows)
+            if not may_finalize or len(out) == 0:
+                return out
+            size = base << lev
+            lo_x = (gcell >> 20) * size
+            lo_y = (gcell & 0xFFFFF) * size
+            lvl = out.column("level").to_numpy(zero_copy_only=False).copy()
+            for i, rings in enumerate(out.column("rings").to_pylist()):
+                xs = rings[0][0::2]
+                ys = rings[0][1::2]
+                if min(xs) > lo_x and max(xs) < lo_x + size and \
+                        min(ys) > lo_y and max(ys) < lo_y + size:
+                    lvl[i] = -1
+            return out.set_column(0, "level", pa.array(lvl, pa.int64()))
 
         # single combined key so one shuffle handles (level, cell)
         def keyed(batch: pa.Table) -> pa.Table:
@@ -214,6 +249,11 @@ def dissolve(ds: "ray.data.Dataset", base: int = 64, levels: int = 5,
                    .groupby("gkey")
                    .map_groups(union_level, batch_format="pyarrow"))
         current = current.materialize()
+        if may_finalize:
+            finals.append(current.filter(expr="level == -1").materialize())
+            current = current.filter(expr="level >= 0").materialize()
+    for f in finals:
+        current = current.union(f)
     return current
 
 
