@@ -18,7 +18,7 @@ rects = st.lists(
     min_size=1, max_size=6)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(rects, rects)
 def test_inclusion_exclusion(subj_r, clip_r):
     """area(union) + area(intersect) == area(subj region) + area(clip
@@ -34,7 +34,7 @@ def test_inclusion_exclusion(subj_r, clip_r):
     assert a["xor"] == a["union"] - a["intersect"]
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(rects)
 def test_union_idempotent(rs):
     subj = [rect(*r) for r in rs]
@@ -44,7 +44,7 @@ def test_union_idempotent(rs):
     assert shapes_area2(once) == shapes_area2(twice)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(rects, rects)
 def test_intersect_commutes(subj_r, clip_r):
     subj = [rect(*r) for r in subj_r]
@@ -60,7 +60,7 @@ triangles = st.lists(
     min_size=1, max_size=4)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(triangles, triangles)
 def test_triangle_identities(ts, cs):
     subj = [[(x, y), (x + w, y), (x, y + h)] for x, y, w, h in ts]
@@ -72,7 +72,7 @@ def test_triangle_identities(ts, cs):
     assert a["union"] >= max(a["subject"], a["clip"])
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(st.integers(4, 16), st.integers(0, 359), st.integers(50, 400))
 def test_dynamic_star_union(corners, angle_deg, radius):
     """Rotating/scaling star sweep (the dynamic_tests.rs analog):
