@@ -72,3 +72,25 @@ def test_dissolve_overlapping_merge(ray_session):
     assert len(out) == 1
     shape = rings_to_shape(out["rings"].iloc[0])
     assert len(shape) == 1  # no holes
+
+
+def test_dissolve_with_holes(ray_session):
+    """Donut (hull + hole) unioned with a rect that plugs the hole ->
+    one solid square; hole rings ride the rings encoding."""
+    donut = [[0, 0, 100, 0, 100, 100, 0, 100],       # hull CCW
+             [30, 30, 30, 70, 70, 70, 70, 30]]       # hole CW
+    plug = [[30, 30, 70, 30, 70, 70, 30, 70]]
+    t = pa.table({
+        "rings": pa.array([donut, plug], pa.list_(pa.list_(pa.int64()))),
+        "x0": pa.array([0, 30], pa.int64()),
+        "y0": pa.array([0, 30], pa.int64()),
+        "x1": pa.array([100, 70], pa.int64()),
+        "y1": pa.array([100, 70], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t)
+    out = dissolve(ds, base=64, levels=3).to_pandas()
+    assert len(out) == 1
+    shape = rings_to_shape(out["rings"].iloc[0])
+    assert len(shape) == 1          # hole filled
+    assert dissolve_area2(ray.data.from_arrow(t), base=64, levels=3) \
+        == 2 * 100 * 100

@@ -223,7 +223,7 @@ def test_random_grid_holes():
         return count
 
     n = 8
-    for seed in range(24):
+    for seed in range(64):
         rng = np.random.default_rng(seed)
         clipped = rng.random((n, n)) < 0.35
         if clipped.all() or not clipped.any():
