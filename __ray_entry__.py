@@ -182,6 +182,37 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_subtokens
             FROM documents
         """,
+        "q_doc_lang": """
+            WITH p AS (
+                SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
+            ), sc AS (
+                SELECT doc_id,
+                  (length(s)-length(replace(s,' the ','')))/5
+                + (length(s)-length(replace(s,' and ','')))/5
+                + (length(s)-length(replace(s,' of ','')))/4
+                + (length(s)-length(replace(s,' ing ','')))/5 AS en_s,
+                  (length(s)-length(replace(s,' der ','')))/5
+                + (length(s)-length(replace(s,' und ','')))/5
+                + (length(s)-length(replace(s,' die ','')))/5
+                + (length(s)-length(replace(s,' sch','')))/4 AS de_s,
+                  (length(s)-length(replace(s,' le ','')))/4
+                + (length(s)-length(replace(s,' les ','')))/5
+                + (length(s)-length(replace(s,' de ','')))/4
+                + (length(s)-length(replace(s,' une ','')))/5 AS fr_s,
+                  (length(s)-length(replace(s,' el ','')))/4
+                + (length(s)-length(replace(s,' los ','')))/5
+                + (length(s)-length(replace(s,' que ','')))/5
+                + (length(s)-length(replace(s,' una ','')))/5 AS es_s
+                FROM p
+            )
+            SELECT doc_id,
+                   CASE WHEN GREATEST(en_s, de_s, fr_s, es_s) = 0 THEN 'und'
+                        WHEN en_s = GREATEST(en_s, de_s, fr_s, es_s) THEN 'en'
+                        WHEN de_s = GREATEST(en_s, de_s, fr_s, es_s) THEN 'de'
+                        WHEN fr_s = GREATEST(en_s, de_s, fr_s, es_s) THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM sc
+        """,
         "q_doc_quality": """
             SELECT doc_id,
                    CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS n_punct,
