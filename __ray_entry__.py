@@ -220,6 +220,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
             FROM documents
         """,
+        "q_doc_fingerprint": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks,
+                       trim(text) = '' AS empty
+                FROM documents
+            ), w AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, GREATEST(1, array_length(toks) - 7)))
+                           AS i
+                FROM t WHERE NOT empty
+            ), h AS (
+                SELECT doc_id,
+                       MIN(md5_number_upper(
+                           array_to_string(toks[i + 1:i + 8], ' '))) AS m
+                FROM w GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN m >= 9223372036854775808
+                        THEN m - 18446744073709551616
+                        ELSE m END AS BIGINT) AS fingerprint
+            FROM h
+            UNION ALL
+            SELECT doc_id, 0 AS fingerprint FROM t WHERE empty
+        """,
         "q_ann_cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe

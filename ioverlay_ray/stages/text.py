@@ -89,7 +89,8 @@ def fingerprint(batch: pa.Table) -> pa.Table:
         best = (1 << 64) - 1
         for i in range(0, max(1, len(toks) - 7)):
             window = " ".join(toks[i:i + 8]).encode()
-            h = int.from_bytes(hashlib.md5(window).digest()[:8], "big")
+            # little-endian to match DuckDB's md5_number_upper oracle
+            h = int.from_bytes(hashlib.md5(window).digest()[:8], "little")
             if h < best:
                 best = h
         fps.append(best - (1 << 64) if best >= (1 << 63) else best)
