@@ -245,6 +245,38 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 0 AS fingerprint FROM t WHERE empty
         """,
+        "q_simhash": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks,
+                       trim(text) = '' AS empty
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(toks) AS tk FROM t WHERE NOT empty
+            ), b AS (
+                SELECT doc_id, md5_number_upper(tk) AS hv,
+                       unnest(range(0, 64)) AS k
+                FROM tok
+            ), acc AS (
+                SELECT doc_id, k,
+                       SUM(CASE WHEN (hv >> CAST(k AS INTEGER)) & 1 = 1
+                           THEN 1 ELSE -1 END) AS a
+                FROM b GROUP BY doc_id, k
+            ), v AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN a > 0
+                           THEN CAST(1 AS HUGEINT) << CAST(k AS INTEGER)
+                           ELSE 0 END) AS val
+                FROM acc GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN val >= CAST(9223372036854775808 AS HUGEINT)
+                        THEN val - CAST(18446744073709551616 AS HUGEINT)
+                        ELSE val END AS BIGINT) AS simhash
+            FROM v
+            UNION ALL
+            SELECT doc_id, 0 AS simhash FROM t WHERE empty
+        """,
         "q_ann_cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe

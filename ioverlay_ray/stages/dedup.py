@@ -109,8 +109,10 @@ class SimHashStage:
             if not toks:
                 out.append(0)
                 continue
+            # little-endian first-8 bytes == DuckDB md5_number_upper
             hv = np.array(
-                [int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                [int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                                "little")
                  for tok in toks], dtype=np.uint64)
             bits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)
             acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
