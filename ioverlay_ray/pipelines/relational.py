@@ -387,3 +387,15 @@ def q_jaccard_verify(sf_dir: str, threshold_e3: int = 300) -> pd.DataFrame:
                          concurrency=2).to_pandas()
     return out.sort_values(["min_doc", "max_doc"]).reset_index(drop=True) \
         .astype(np.int64)
+
+
+def q_doc_minhash(sf_dir: str) -> pd.DataFrame:
+    """Full MinHash signatures per document as a comma-joined string
+    (SQL-checked against the permutation arithmetic oracle)."""
+    from ..stages.dedup import MinHashStage
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow",
+                          concurrency=_conc()).to_pandas()
+    sigs["sig"] = sigs["minhash"].map(
+        lambda v: ",".join(str(int(x)) for x in v))
+    return sigs[["doc_id", "sig"]].sort_values("doc_id")         .reset_index(drop=True)

@@ -52,12 +52,15 @@ class MinHashStage:
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray:
-        import zlib
         sh = _shingles(text, self.k)
         if not sh:
             return np.zeros(self.num_perm, dtype=np.int64)
-        hv = np.fromiter((zlib.crc32(s.encode()) & 0x7FFFFFFF for s in sh),
-                         dtype=np.int64, count=len(sh))
+        # 31-bit md5-based shingle hash, little-endian first 8 bytes ==
+        # DuckDB md5_number_upper & 0x7FFFFFFF (SQL-reproducible)
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                            "little") & 0x7FFFFFFF for s in sh),
+            dtype=np.int64, count=len(sh))
         # one (num_perm x n_shingles) int64 matrix, no Python loop:
         # products stay < 2^62 because both factors are < 2^31
         vals = (self.a[:, None] * hv[None, :] + self.b[:, None]) % self._P31
