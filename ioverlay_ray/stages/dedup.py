@@ -90,8 +90,11 @@ class LSHBandStage:
         out_key, out_id = [], []
         for doc_id, sig in zip(ids, sigs):
             for b in range(self.bands):
-                chunk = tuple(sig[b * self.rows:(b + 1) * self.rows])
-                key = hashlib.md5(repr((b, chunk)).encode()).hexdigest()[:16]
+                chunk = sig[b * self.rows:(b + 1) * self.rows]
+                # canonical "<band>:v,v,v,v" form so DuckDB's md5 oracle
+                # reproduces the key exactly
+                canon = f"{b}:" + ",".join(str(int(v)) for v in chunk)
+                key = hashlib.md5(canon.encode()).hexdigest()[:16]
                 out_key.append(key)
                 out_id.append(doc_id)
         return pa.table({
