@@ -111,6 +111,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _planes_cte(dim: int = 64, n_planes: int = 8, seed: int = 11) -> str:
+    """The hyperplane-LSH projection as a SQL VALUES literal — the SAME
+    numpy generator call as stages/ann.py HyperplaneLSHStage, with
+    repr() floats (exact double round-trip), so DuckDB reproduces the
+    bucket signs bit-for-bit."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(v)) for v in planes[:, i]))
+        for i in range(n_planes))
+    return f"planes(pid, pv) AS (VALUES {rows})"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_pricing_summary": """
@@ -436,19 +451,45 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
         """,
-        "q_embedding_neardup": """
-            WITH n AS (
+        "q_embedding_neardup": f"""
+            -- LSH-bucketed near-dup: same-bucket pairs only (the scale
+            -- path), buckets from the literal seed-11 hyperplanes
+            WITH {_planes_cte()},
+            n AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                 FROM embeddings
+            ), b AS (
+                SELECT n.vec_id,
+                       CAST(SUM(CASE WHEN list_dot_product(n.e, p.pv) > 0
+                            THEN 1 << p.pid ELSE 0 END) AS BIGINT) AS bucket
+                FROM n CROSS JOIN planes p GROUP BY n.vec_id
             ), pairs AS (
-                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                       list_cosine_similarity(a.e, b.e) AS sim
-                FROM n a JOIN n b ON a.vec_id < b.vec_id
+                SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                       list_cosine_similarity(na.e, nb.e) AS sim
+                FROM b a JOIN b b2
+                  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+                JOIN n na ON na.vec_id = a.vec_id
+                JOIN n nb ON nb.vec_id = b2.vec_id
             )
             SELECT id_a, id_b,
                    CAST(ROUND(sim * 1000) AS BIGINT) AS sim_e3
             FROM pairs WHERE sim > 0.4
             ORDER BY id_a, id_b
+        """,
+        "q_ann_lsh_buckets": f"""
+            WITH {_planes_cte()},
+            n AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), b AS (
+                SELECT n.vec_id,
+                       CAST(SUM(CASE WHEN list_dot_product(n.e, p.pv) > 0
+                            THEN 1 << p.pid ELSE 0 END) AS BIGINT) AS bucket
+                FROM n CROSS JOIN planes p GROUP BY n.vec_id
+            )
+            SELECT bucket, COUNT(*) AS members,
+                   MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
         "q_rect_intersect_area": """
             WITH r AS (

@@ -6,7 +6,14 @@ bounding rect, a power-of-two scale maps the longer span into the safe
 integer range (|c| < 2^29 so the exact kernel never overflows), then
 x_int = round((x - offset) * scale). A caller-fixed scale gives
 cross-call consistency (FixedScaleFloatRelate, float/scale.rs:394+) —
-the default in distributed pipelines so every tile agrees on the grid.
+the default in distributed pipelines so every tile agrees on the grid:
+with a fixed scale the offsets are snapped onto multiples of 1/scale,
+so every fixed-scale adapter quantizes onto the SAME global lattice
+regardless of its local bounding box.
+
+A caller-fixed scale that would push quantized bounds past the safe
+range raises ValueError, mirroring the reference's
+FixedScaleOverlayError::ScaleTooLarge (float/scale.rs:14-47).
 """
 
 from __future__ import annotations
@@ -34,6 +41,22 @@ class FloatPointAdapter:
             # largest power of two that keeps coordinates within 2^29
             k = math.floor(math.log2(SAFE_SPAN / span))
             scale = float(2 ** k)
+        else:
+            scale = float(scale)
+            if not (scale > 0 and math.isfinite(scale)):
+                raise ValueError(f"invalid fixed scale {scale}")
+            # fixed scale => shared global lattice: snap the offsets to
+            # multiples of 1/scale so two adapters with the same scale
+            # but different bounding boxes agree on every grid point
+            self.offset_x = round(self.offset_x * scale) / scale
+            self.offset_y = round(self.offset_y * scale) / scale
+            # ScaleTooLarge check: quantized bounds must stay safe
+            half = max(abs(x_max - self.offset_x), abs(x_min - self.offset_x),
+                       abs(y_max - self.offset_y), abs(y_min - self.offset_y))
+            if half * scale > SAFE_SPAN / 2:
+                raise ValueError(
+                    f"fixed scale {scale} quantizes span {2 * half} past the "
+                    f"safe integer range 2^29 (ScaleTooLarge)")
         self.scale = float(scale)
         self.inv_scale = 1.0 / self.scale
 

@@ -28,7 +28,24 @@ from typing import Iterable, Sequence
 
 import numpy as np
 
-MAX_COORD = 1 << 30  # hard invariant from the reference exact math
+MAX_COORD = (1 << 30) - 1  # |c| < 2^30: the reference's exact-math bound
+# (split/cross_solver.rs:221-222). At this bound every vectorized int64
+# intermediate in this kernel stays safe: orientation signs are
+# (<2^31)x(<2^31) < 2^62, and the doubled-midpoint winding stab peaks at
+# (2^31-1)x(2^32-2) < 2^63-1. Enforced at the segment-build entry
+# points, mirroring the reference's checked adapter/engine bounds
+# (float/scale.rs:14-47).
+
+
+def check_coords(*arrays) -> None:
+    """Raise if any coordinate magnitude exceeds MAX_COORD."""
+    for arr in arrays:
+        a = np.asarray(arr, dtype=np.int64)
+        if len(a) and int(np.abs(a).max()) > MAX_COORD:
+            raise ValueError(
+                f"coordinate magnitude {int(np.abs(a).max())} exceeds the "
+                f"kernel safe bound {MAX_COORD} (< 2^30); quantize with a "
+                f"smaller scale")
 
 SUBJ_TOP = 1
 SUBJ_BOTTOM = 2
@@ -181,7 +198,9 @@ def build_segments(subj_contours: Sequence, clip_contours: Sequence,
                     subj.append(w); clip.append(0)
                 else:
                     subj.append(0); clip.append(w)
-    return Segments(ax, ay, bx, by, subj, clip)
+    segs = Segments(ax, ay, bx, by, subj, clip)
+    check_coords(segs.ax, segs.ay, segs.bx, segs.by)
+    return segs
 
 
 # ---------------------------------------------------------------------------

@@ -45,7 +45,15 @@ class Relation:
         fr = _as_fill_rule(fill_rule)
         segs = split_segments(build_segments(subj_contours, clip_contours))
         fills = compute_fills(segs, fr)
+        self._init_from(segs, fills)
 
+    @classmethod
+    def _from_slice(cls, segs, fills) -> "Relation":
+        r = cls.__new__(cls)
+        r._init_from(segs, fills)
+        return r
+
+    def _init_from(self, segs, fills):
         has_subj = (fills & SUBJ_BOTH) != 0
         has_clip = (fills & CLIP_BOTH) != 0
         self._subj_present = bool(has_subj.any())
@@ -111,6 +119,52 @@ def relate(subj_contours, clip_contours, predicate: str,
     """One-shot predicate evaluation by name."""
     r = Relation(subj_contours, clip_contours, fill_rule)
     return getattr(r, predicate)()
+
+
+def relate_pack(jobs: Sequence[tuple], fill_rule="evenodd") -> list:
+    """Evaluate predicates for MANY small (subj, clip) jobs in ONE
+    split+fill pass (the packed-kernel batching lever, same x-band
+    translation trick as overlay.overlay_pack).
+
+    Each job is shifted into a disjoint power-of-two x-band; every kernel
+    stage prunes by x, so bands never interact and the combined segment
+    table is sliced back per band for flag computation. Returns one
+    ``Relation`` per job (same order)."""
+    fr = _as_fill_rule(fill_rule)
+    n_jobs = len(jobs)
+    if n_jobs == 0:
+        return []
+    spans, mins = [], []
+    for subj, clip in jobs:
+        xs = [p[0] for cs in (subj, clip) for c in cs for p in c]
+        spans.append((max(xs) - min(xs)) if xs else 0)
+        mins.append(min(xs) if xs else 0)
+    margin = 4
+    stride = 1 << max(1, (max(spans) + 2 * margin)).bit_length()
+    if stride * n_jobs >= (1 << 29):
+        mid = max(1, n_jobs // 2)
+        if mid == n_jobs:
+            raise ValueError("single job exceeds the coordinate range")
+        return (relate_pack(jobs[:mid], fill_rule) +
+                relate_pack(jobs[mid:], fill_rule))
+
+    all_subj, all_clip = [], []
+    for k, (subj, clip) in enumerate(jobs):
+        dx = k * stride + margin - mins[k]
+        all_subj.extend([[(x + dx, y) for x, y in c] for c in subj])
+        all_clip.extend([[(x + dx, y) for x, y in c] for c in clip])
+
+    segs = split_segments(build_segments(all_subj, all_clip))
+    fills = compute_fills(segs, fr)
+    # segments come out sorted by ax -> bands are contiguous runs
+    band_of = segs.ax // stride
+    bounds = np.searchsorted(band_of, np.arange(n_jobs + 1))
+    out = []
+    for k in range(n_jobs):
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        out.append(Relation._from_slice(segs.take(slice(lo, hi)),
+                                        fills[lo:hi]))
+    return out
 
 
 def bbox_may_intersect(a_min, a_max, b_min, b_max) -> bool:

@@ -96,7 +96,10 @@ def build_string_segments(shape_contours: Sequence, string_paths: Sequence,
                 add_line(prev, p)
                 prev = p
 
-    return Segments(ax, ay, bx, by, subj, clip)
+    segs = Segments(ax, ay, bx, by, subj, clip)
+    from .kernel import check_coords
+    check_coords(segs.ax, segs.ay, segs.bx, segs.by)
+    return segs
 
 
 # ---------------------------------------------------------------------------
@@ -409,6 +412,53 @@ def clip_paths(shape_contours: Sequence, string_paths: Sequence,
     links = build_links(segs, fills, mask)
     connect_nodes(links)
     return _clip_walk(links)
+
+
+def clip_paths_pack(jobs: Sequence[tuple], fill_rule="evenodd",
+                    boundary_included: bool = False) -> list:
+    """Clip MANY small (shape_contours, string_paths) jobs in ONE string
+    split/fill pass (x-band packing, see overlay.overlay_pack). Returns
+    per job a pair (inside_paths, outside_paths) — both invert variants
+    from the same fills, two link walks."""
+    fr = _as_fill_rule(fill_rule)
+    n_jobs = len(jobs)
+    if n_jobs == 0:
+        return []
+    spans, mins = [], []
+    for shape, paths in jobs:
+        xs = [p[0] for cs in (shape, paths) for c in cs for p in c]
+        spans.append((max(xs) - min(xs)) if xs else 0)
+        mins.append(min(xs) if xs else 0)
+    margin = 4
+    stride = 1 << max(1, (max(spans) + 2 * margin)).bit_length()
+    if stride * n_jobs >= (1 << 29):
+        mid = max(1, n_jobs // 2)
+        if mid == n_jobs:
+            raise ValueError("single job exceeds the coordinate range")
+        return (clip_paths_pack(jobs[:mid], fill_rule, boundary_included) +
+                clip_paths_pack(jobs[mid:], fill_rule, boundary_included))
+
+    all_shape, all_paths = [], []
+    for k, (shape, paths) in enumerate(jobs):
+        dx = k * stride + margin - mins[k]
+        all_shape.extend([[(x + dx, y) for x, y in c] for c in shape])
+        all_paths.extend([[(x + dx, y) for x, y in c] for c in paths])
+
+    segs = build_string_segments(all_shape, all_paths)
+    segs = split_segments(segs, string_clip=True)
+    out = [([], []) for _ in range(n_jobs)]
+    if len(segs) == 0:
+        return out
+    fills = compute_string_fills(segs, fr)
+    for slot, invert in ((0, False), (1, True)):
+        mask = clip_include_mask(fills, invert, boundary_included)
+        links = build_links(segs, fills.copy(), mask)
+        connect_nodes(links)
+        for path in _clip_walk(links):
+            k = path[0][0] // stride
+            dx = k * stride + margin - mins[k]
+            out[k][slot].append([(x - dx, y) for x, y in path])
+    return out
 
 
 def slice_by_paths(shape_contours: Sequence, string_paths: Sequence,

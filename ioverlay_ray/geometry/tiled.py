@@ -1,36 +1,39 @@
-"""Tile-distributed boolean overlay with cross-strip chain stitching.
+"""Tile-distributed boolean overlay — BIT-EXACT with the single kernel.
 
-The full distributed regime from SURVEY.md §7 step 4: both input
-multipolygons are FRAGMENTED at x-strip borders, every strip resolves
-its own intersections and fills locally (fragmentation makes the
-winding stab strip-local — every edge whose half-open x-span covers a
-point lives in that point's strip), and each strip emits its piece of
-the result boundary as ORIENTED CHAINS cut at the borders. A final
-stitch pass — tiny compared to the input — joins chains across strips
-into closed rings.
+Round-2 re-architecture following the reference's fragment model
+(split/solver_fragment.rs:107-178, split/grid_layout.rs): segments are
+NEVER cut at strip borders. Instead:
 
-Key invariants making per-strip work exact:
-- crossings strictly inside a strip involve only that strip's
-  fragments; crossings exactly on a border are fragment ENDPOINTS on
-  both sides (no split needed);
-- a vertical edge lying on a border belongs to the RIGHT strip (the
-  half-open [ax, bx) cover rule means only right-strip edges cover
-  that x);
-- every included boundary segment is oriented REGION-ON-LEFT
-  (is_fill_top -> travel +x), so stitched rings come out CCW for
-  hulls and CW for holes.
+1. SPLIT: every whole parent segment is REPLICATED into each x-bin its
+   half-open span [ax, bx) covers (the `Fragment` analog: same segment,
+   per-bin membership). Each bin classifies its local pairs with the
+   exact cross solver on the WHOLE segments, so every mark point is the
+   same integer the single kernel computes; a pair sharing several bins
+   emits identical duplicate marks, deduplicated by the sort+dedup in
+   `_apply_marks` (split/solver.rs:158-251 does the same). Marks apply
+   to PARENT segments globally (the cross-bin "mark shuffle"), and the
+   snap-radius loop iterates exactly like `split_segments`. A vertical
+   segment lying exactly ON a border replicates one bin LEFT as well —
+   the `on_border_split` case (solver_fragment.rs:180-218): segments
+   ending at that border live only in the left bin, and their endpoints
+   can split the vertical.
+   => `binned_split` produces the IDENTICAL segment set as
+   `kernel.split_segments` (asserted in tests on random scenes).
 
-Exactness: bit-parity with the single kernel holds for rectilinear
-geometry and slope +-1 edges (border cuts land exactly on the lines).
-For arbitrary slopes a border cut floor-rounds onto the grid, so the
-distributed boundary deviates from the single-kernel edge by < 1 grid
-unit along each border crossing (and a half-integer crossing tie may
-snap one cell differently) — the region symmetric difference is
-bounded by ~1 cell per border/crossing event. Full bit-parity needs
-the reference's architecture of applying split marks to PARENT
-segments with a cross-strip mark shuffle per snap round
-(split/solver_fragment.rs:152-178; flagged in SURVEY.md section 7.3)
-— a round-2 item (see NOTES.md).
+2. FILL: each split segment is replicated to every strip its span
+   covers; the strip containing its doubled-midpoint x OWNS it and
+   computes its winding stab from all local replicas — the local cover
+   set equals the global cover set for that x, so fills are bit-equal
+   to `compute_fills` (the "winding carry-in" from SURVEY 7.2 realized
+   as replication instead of a prefix-sum shuffle).
+
+3. EXTRACT: included boundary edges (region-on-left oriented) are owned
+   by the strip of their TAIL point; all outgoing edges of a node
+   therefore live in the node's strip. A strip walks chains with the
+   leftmost-turn successor rule, breaking at any node that has REMOTE
+   incoming edges (local_in < local_out detects this exactly). Chains
+   end/start at TRUE nodes — no synthetic border vertices — so stitched
+   rings carry exactly the single kernel's boundary geometry.
 """
 
 from __future__ import annotations
@@ -40,197 +43,363 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from .extract import join_holes, _left_bottom_segment
-from .kernel import (RULE_NAMES, FILL_RULE_NAMES, Segments, compute_fills,
-                     is_fill_top, rule_include_mask, sort_merge,
-                     split_segments, contour_to_edges)
+from .kernel import (FILL_RULE_NAMES, RULE_NAMES, Segments,
+                     _apply_marks, _candidate_pair_blocks, _classify_pairs,
+                     bottom_windings, build_segments, is_fill_top,
+                     rule_include_mask, sort_merge)
 
 Point = Tuple[int, int]
 
+DEFAULT_STRIP_W = 256
 
-def fragment_contours(contours: Sequence, role_subj: bool, strip_w: int):
-    """Contours -> fragment rows (strip, ax, ay, bx, by, subj, clip),
-    direction-normalized with winding sign, split at strip borders."""
-    rows = []
-    for contour in contours:
-        for (p, q) in contour_to_edges(contour, False):
-            if p < q:
-                a, b, w = p, q, 1
-            else:
-                a, b, w = q, p, -1
-            if a[0] == b[0]:
-                # vertical: belongs to the strip it covers; on a border
-                # line it goes RIGHT (half-open cover rule)
-                s = a[0] // strip_w
-                rows.append((s, a, b, w))
-                continue
-            s0 = a[0] // strip_w
-            s1 = (b[0] - 1) // strip_w
-            prev = a
-            for s in range(s0, s1 + 1):
-                border = (s + 1) * strip_w
-                if border >= b[0]:
-                    cut = b
-                else:
-                    # exact rational y at the border, floor-rounded:
-                    # the same cut point on both sides by construction
-                    num = (b[1] - a[1]) * (border - a[0])
-                    den = b[0] - a[0]
-                    cut = (border, a[1] + num // den)
-                rows.append((s, prev, cut, w))
-                prev = cut
-    out = []
-    for s, a, b, w in rows:
-        if a == b:
+
+# ---------------------------------------------------------------------------
+# Phase 1: bit-exact binned split
+# ---------------------------------------------------------------------------
+
+def bin_membership(segs: Segments, strip_w: int):
+    """(bin_ids, seg_idx) replication arrays: every bin a segment's
+    half-open x-span [ax, bx) covers; verticals exactly on a border also
+    join the LEFT bin (the on_border_split analog)."""
+    n = len(segs)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    i0 = segs.ax // strip_w
+    i1 = np.where(segs.bx > segs.ax, (segs.bx - 1) // strip_w, i0)
+    counts = (i1 - i0 + 1).astype(np.int64)
+    seg_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    bins = np.arange(len(seg_idx), dtype=np.int64) - np.repeat(offs, counts) \
+        + np.repeat(i0, counts)
+    # vertical-on-border: replicate one bin left so left-bin segments
+    # ending at the border can mark the vertical's interior
+    vob = (segs.ax == segs.bx) & (segs.ax % strip_w == 0)
+    if vob.any():
+        extra = np.flatnonzero(vob)
+        bins = np.concatenate([bins, i0[extra] - 1])
+        seg_idx = np.concatenate([seg_idx, extra])
+    return bins, seg_idx
+
+
+def _find_marks_binned(segs: Segments, radius: int, strip_w: int):
+    """Per-bin pair classification over WHOLE segments. The mark set is
+    the same as the global list path's (duplicates from shared bins are
+    deduped in _apply_marks), because any crossing pair shares at least
+    one bin and marks depend only on the two whole segments."""
+    bins, seg_idx = bin_membership(segs, strip_w)
+    order = np.argsort(bins, kind="stable")  # stable: keeps (a,b) order
+    bins = bins[order]
+    seg_idx = seg_idx[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], bins[1:] != bins[:-1])))
+    bounds = np.concatenate((starts, [len(bins)]))
+
+    m_idx: list = []
+    m_px: list = []
+    m_py: list = []
+    any_round = False
+    for k in range(len(starts)):
+        lo, hi = bounds[k], bounds[k + 1]
+        idx = seg_idx[lo:hi]
+        if len(idx) < 2:
             continue
-        out.append((s, a[0], a[1], b[0], b[1],
-                    w if role_subj else 0, 0 if role_subj else w))
-    return out
+        # subset preserves the global (a, b) sort order
+        loc = segs.take(idx)
+        lm_idx: list = []
+        lm_px: list = []
+        lm_py: list = []
+        for ii, jj in _candidate_pair_blocks(loc):
+            r = _classify_pairs(loc, ii, jj, radius, lm_idx, lm_px, lm_py)
+            any_round |= r
+        if lm_idx:
+            m_idx.extend(idx[np.asarray(lm_idx, np.int64)].tolist())
+            m_px.extend(lm_px)
+            m_py.extend(lm_py)
+    return m_idx, m_px, m_py, any_round
 
 
-def strip_chains(fragments: List[tuple], rule: int, fill_rule: int,
-                 strip_w: int, strip: int):
-    """One strip's kernel: split + fill + rule filter + oriented chain
-    extraction. Returns (closed_rings, chains); chains are point lists
-    whose first/last points lie on this strip's borders."""
-    segs = Segments([f[1] for f in fragments], [f[2] for f in fragments],
-                    [f[3] for f in fragments], [f[4] for f in fragments],
-                    [f[5] for f in fragments], [f[6] for f in fragments])
-    segs = split_segments(segs)
-    if len(segs) == 0:
-        return [], []
-    fills = compute_fills(segs, fill_rule)
+def binned_split(segs: Segments, strip_w: int = DEFAULT_STRIP_W,
+                 max_rounds: int = 1000) -> Segments:
+    """Distributed-shape split: same fixed point as
+    kernel.split_segments, with candidate generation per x-bin and
+    marks applied to whole parents each round."""
+    segs = sort_merge(segs)
+    if len(segs) < 2:
+        return segs
+    exp = 0
+    for _ in range(max_rounds):
+        radius = 1 << exp
+        m_idx, m_px, m_py, any_round = _find_marks_binned(
+            segs, radius, strip_w)
+        if not m_idx:
+            return segs
+        segs = _apply_marks(segs, m_idx, m_px, m_py)
+        exp = min(60, exp + 1)
+        if not any_round or len(segs) < 2:
+            if not any_round:
+                return segs
+    return segs
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: per-strip fill (owner = doubled-midpoint strip)
+# ---------------------------------------------------------------------------
+
+def strip_membership(segs: Segments, strip_w: int):
+    """(strips, seg_idx, owner_mask) replication for the fill phase.
+    A segment joins every strip its half-open span covers (verticals:
+    the strip of their x); it is OWNED by the strip containing its
+    doubled-midpoint x, which is always one of its covered strips."""
+    n = len(segs)
+    i0 = segs.ax // strip_w
+    i1 = np.where(segs.bx > segs.ax, (segs.bx - 1) // strip_w, i0)
+    counts = (i1 - i0 + 1).astype(np.int64)
+    seg_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    strips = np.arange(len(seg_idx), dtype=np.int64) \
+        - np.repeat(offs, counts) + np.repeat(i0, counts)
+    owner_strip = (segs.ax + segs.bx) // (2 * strip_w)
+    owner = strips == owner_strip[seg_idx]
+    return strips, seg_idx, owner
+
+
+def strip_fills(segs: Segments, fill_rule: int,
+                strip_w: int = DEFAULT_STRIP_W) -> np.ndarray:
+    """Bit-equal to kernel.compute_fills, computed strip-locally: each
+    strip stabs its OWNED segments' midpoints against all local
+    replicas (the local cover set equals the global one)."""
+    n = len(segs)
+    fills = np.zeros(n, dtype=np.uint8)
+    if n == 0:
+        return fills
+    strips, seg_idx, owner = strip_membership(segs, strip_w)
+    order = np.argsort(strips, kind="stable")
+    strips, seg_idx, owner = strips[order], seg_idx[order], owner[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], strips[1:] != strips[:-1])))
+    bounds = np.concatenate((starts, [len(strips)]))
+    from .kernel import fills_from_windings
+    for k in range(len(starts)):
+        lo, hi = bounds[k], bounds[k + 1]
+        idx = seg_idx[lo:hi]
+        own = owner[lo:hi]
+        if not own.any():
+            continue
+        loc = segs.take(idx)
+        q = np.flatnonzero(own)
+        bot_subj, bot_clip = bottom_windings_subset(loc, q)
+        g = idx[q]
+        fills[g] = fills_from_windings(segs.subj[g], segs.clip[g],
+                                       bot_subj, bot_clip, fill_rule)
+    return fills
+
+
+def bottom_windings_subset(segs: Segments, q_idx: np.ndarray,
+                           block: int = 256):
+    """bottom_windings for a subset of query rows against ALL rows of
+    ``segs`` (already sorted by ax)."""
+    nq = len(q_idx)
+    bot_subj = np.zeros(nq, dtype=np.int64)
+    bot_clip = np.zeros(nq, dtype=np.int64)
+    if nq == 0 or len(segs) == 0:
+        return bot_subj, bot_clip
+    mx = (segs.ax + segs.bx)[q_idx]
+    my = (segs.ay + segs.by)[q_idx]
+    tax2 = 2 * segs.ax
+    tbx2 = 2 * segs.bx
+    ux = segs.bx - segs.ax
+    uy = segs.by - segs.ay
+    max_span2 = int((tbx2 - tax2).max())
+    for q0 in range(0, nq, block):
+        q1 = min(nq, q0 + block)
+        qmx = mx[q0:q1, None]
+        qmy = my[q0:q1, None]
+        qlo = int(qmx.min())
+        qhi = int(qmx.max())
+        c0 = int(np.searchsorted(tax2, qlo - max_span2, side="left"))
+        c1 = int(np.searchsorted(tax2, qhi, side="right"))
+        cover = (tax2[None, c0:c1] <= qmx) & (qmx < tbx2[None, c0:c1])
+        cr = ux[None, c0:c1] * (qmy - 2 * segs.ay[None, c0:c1]) - \
+            uy[None, c0:c1] * (qmx - 2 * segs.ax[None, c0:c1])
+        under = cover & (cr > 0)
+        bot_subj[q0:q1] = under @ segs.subj[c0:c1]
+        bot_clip[q0:q1] = under @ segs.clip[c0:c1]
+    return bot_subj, bot_clip
+
+
+# ---------------------------------------------------------------------------
+# Phase 3: oriented edges, per-strip chain walk, stitch
+# ---------------------------------------------------------------------------
+
+def oriented_edges(segs: Segments, fills: np.ndarray, rule: int):
+    """Included boundary edges oriented region-on-left (fill above ->
+    travel a->b). Returns (tx, ty, hx, hy) int64 arrays — the bit-exact
+    comparison surface against the single kernel."""
     mask = rule_include_mask(fills, rule)
     idx = np.flatnonzero(mask)
-    if len(idx) == 0:
-        return [], []
+    f = fills[idx]
+    top = np.array([is_fill_top(int(v), rule) for v in f.tolist()],
+                   dtype=bool)
+    ax, ay = segs.ax[idx], segs.ay[idx]
+    bx, by = segs.bx[idx], segs.by[idx]
+    tx = np.where(top, ax, bx)
+    ty = np.where(top, ay, by)
+    hx = np.where(top, bx, ax)
+    hy = np.where(top, by, ay)
+    return tx, ty, hx, hy
 
-    # orient region-on-left: fill above -> travel a->b (+x), else b->a
-    edges: List[Tuple[Point, Point]] = []
-    for i in idx.tolist():
-        a = (int(segs.ax[i]), int(segs.ay[i]))
-        b = (int(segs.bx[i]), int(segs.by[i]))
-        if is_fill_top(int(fills[i]), rule):
-            edges.append((a, b))
-        else:
-            edges.append((b, a))
 
-    # successor selection at shared points: leftmost turn keeps the
-    # region on the left through junctions
-    outgoing: Dict[Point, List[int]] = {}
-    for ei, (t, h) in enumerate(edges):
-        outgoing.setdefault(t, []).append(ei)
+def _leftmost_turn(vix: int, viy: int, cands, head: Point) -> int:
+    """Sharpest-left-turn successor (planar face tracing): smallest
+    positive CCW angle from the REVERSED incoming direction."""
+    import math
+    best = None
+    best_ang = None
+    for ci, w in cands:
+        vx, vy = w[0] - head[0], w[1] - head[1]
+        cross = vix * vy - viy * vx
+        dot = vix * vx + viy * vy
+        ang = math.atan2(cross, dot)
+        if ang <= 0:
+            ang += 2 * math.pi
+        if best_ang is None or ang < best_ang:
+            best_ang = ang
+            best = ci
+    return best
 
-    def pick_successor(ei: int) -> int | None:
-        t, h = edges[ei]
-        cands = [c for c in outgoing.get(h, []) if not used[c]]
-        if not cands:
-            return None
-        if len(cands) == 1:
-            return cands[0]
-        # most counterclockwise from the reversed incoming direction
-        vix, viy = t[0] - h[0], t[1] - h[1]  # reversed incoming
 
-        def angle_key(c):
-            w = edges[c][1]
-            vx, vy = w[0] - h[0], w[1] - h[1]
-            cross = vix * vy - viy * vx
-            dot = vix * vx + viy * vy
-            import math
-            ang = math.atan2(cross, dot)
-            if ang <= 0:
-                ang += 2 * math.pi
-            return ang  # smallest positive CCW angle = sharpest left turn
+def strip_walk(edges: List[Tuple[Point, Point]], strip: int, strip_w: int):
+    """Walk edges owned by one strip (ownership = strip of tail point).
 
-        return min(cands, key=angle_key)
-
+    Returns (rings, chains): rings close locally through non-break
+    nodes; chains break at nodes with remote incoming edges (detected
+    as local_in < local_out — all OUT edges at a local node are local
+    by the ownership rule) or heads outside the strip.
+    """
     lo = strip * strip_w
     hi = (strip + 1) * strip_w
 
-    def on_border(p: Point) -> bool:
-        return p[0] == lo or p[0] == hi
+    outgoing: Dict[Point, List[int]] = {}
+    in_count: Dict[Point, int] = {}
+    for ei, (t, h) in enumerate(edges):
+        outgoing.setdefault(t, []).append(ei)
+        if lo <= h[0] < hi:
+            in_count[h] = in_count.get(h, 0) + 1
 
-    n = len(edges)
-    used = [False] * n
+    def is_break(p: Point) -> bool:
+        outs = outgoing.get(p)
+        if outs is None:
+            return True       # head outside this strip's node set
+        return in_count.get(p, 0) < len(outs)
+
+    used = [False] * len(edges)
+
+    def successor(ei: int) -> int | None:
+        t, h = edges[ei]
+        cands = [(c, edges[c][1]) for c in outgoing.get(h, ())
+                 if not used[c]]
+        if not cands:
+            return None
+        if len(cands) == 1:
+            return cands[0][0]
+        return _leftmost_turn(t[0] - h[0], t[1] - h[1], cands, h)
+
     rings: List[List[Point]] = []
     chains: List[List[Point]] = []
 
-    # chains first: start at border tails
-    for start in range(n):
-        if used[start] or not on_border(edges[start][0]):
+    # chains start at break nodes
+    for p, outs in outgoing.items():
+        if not is_break(p):
             continue
-        path = [edges[start][0], edges[start][1]]
+        for start in outs:
+            if used[start]:
+                continue
+            used[start] = True
+            path = [edges[start][0], edges[start][1]]
+            cur = start
+            while True:
+                h = edges[cur][1]
+                if not (lo <= h[0] < hi) or is_break(h):
+                    break
+                nxt = successor(cur)
+                if nxt is None:
+                    break
+                used[nxt] = True
+                path.append(edges[nxt][1])
+                cur = nxt
+            chains.append(path)
+
+    # leftovers: cycles wholly through non-break local nodes
+    for start in range(len(edges)):
+        if used[start]:
+            continue
         used[start] = True
+        path = [edges[start][0], edges[start][1]]
         cur = start
-        while True:
-            if on_border(edges[cur][1]):
-                break
-            nxt = pick_successor(cur)
+        while edges[cur][1] != path[0]:
+            nxt = successor(cur)
             if nxt is None:
                 break
             used[nxt] = True
             path.append(edges[nxt][1])
             cur = nxt
-        chains.append(path)
-
-    # leftover edges form closed rings wholly inside the strip
-    for start in range(n):
-        if used[start]:
-            continue
-        path = [edges[start][0]]
-        used[start] = True
-        cur = start
-        while edges[cur][1] != path[0]:
-            path.append(edges[cur][1])
-            nxt = pick_successor(cur)
-            if nxt is None:
-                break
-            used[nxt] = True
-            cur = nxt
-        rings.append(path)
+        if path[-1] == path[0]:
+            rings.append(path[:-1])
     return rings, chains
 
 
-def stitch_chains(chains: List[List[Point]]) -> List[List[Point]]:
-    """Join border-cut chains into closed rings by matching endpoints
-    (the groupby-on-border-point shuffle, run over the SMALL chain set)."""
+def stitch_chains(chains: List[List[Point]],
+                  totals: Dict[Point, int] | None = None):
+    """Join chains into closed rings by matching endpoints; junctions
+    (several chains at one node) resolve with the same leftmost-turn
+    rule as the strip walk.
+
+    With ``totals`` (global chain-endpoint counts per point), only
+    points whose full local set is present are joined and leftover open
+    chains are returned separately: (rings, leftover_chains). Without
+    it, all chains are assumed present (single final stitch) and only
+    rings are returned.
+    """
     by_tail: Dict[Point, List[int]] = {}
     for ci, ch in enumerate(chains):
         by_tail.setdefault(ch[0], []).append(ci)
     used = [False] * len(chains)
-    rings = []
+    rings: List[List[Point]] = []
+    out_chains: List[List[Point]] = []
+
+    def can_join(p: Point) -> bool:
+        if totals is None:
+            return True
+        local = len(by_tail.get(p, ()))
+        return local >= totals.get(p, 0)
+
     for start in range(len(chains)):
         if used[start]:
             continue
         used[start] = True
         ring = list(chains[start])
         while ring[-1] != ring[0]:
-            cands = [c for c in by_tail.get(ring[-1], []) if not used[c]]
+            p = ring[-1]
+            if not can_join(p):
+                break
+            cands = [(c, chains[c][1]) for c in by_tail.get(p, ())
+                     if not used[c]]
             if not cands:
                 break
-            nxt = cands[0]
-            if len(cands) > 1:
-                # junction on a border: sharpest left turn continues the
-                # same face
-                import math
-                hx, hy = ring[-1]
-                vix, viy = ring[-2][0] - hx, ring[-2][1] - hy
-
-                def angle_key(c):
-                    wx, wy = chains[c][1]
-                    vx, vy = wx - hx, wy - hy
-                    cross = vix * vy - viy * vx
-                    dot = vix * vx + viy * vy
-                    ang = math.atan2(cross, dot)
-                    if ang <= 0:
-                        ang += 2 * math.pi
-                    return ang
-
-                nxt = min(cands, key=angle_key)
+            if len(cands) == 1:
+                nxt = cands[0][0]
+            else:
+                nxt = _leftmost_turn(ring[-2][0] - p[0], ring[-2][1] - p[1],
+                                     cands, p)
             used[nxt] = True
             ring.extend(chains[nxt][1:])
         if ring[-1] == ring[0]:
             rings.append(ring[:-1])
-    return rings
+        else:
+            out_chains.append(ring)
+    if totals is None:
+        return rings
+    return rings, out_chains
 
 
 def _ring_area2(ring: List[Point]) -> int:
@@ -261,24 +430,40 @@ def assemble_shapes(rings: List[List[Point]]) -> List[list]:
     return shapes
 
 
+# ---------------------------------------------------------------------------
+# Worker-local full pipeline (the Ray version runs each phase as a
+# dataset stage — pipelines/tiled_overlay.py)
+# ---------------------------------------------------------------------------
+
 def tiled_overlay(subj: Sequence, clip: Sequence, rule, fill_rule,
-                  strip_w: int = 256) -> List[list]:
-    """Worker-local reference implementation of the strip pipeline (the
-    Ray version runs strip_chains inside groupby(strip).map_groups —
-    pipelines/tiled_overlay.py)."""
+                  strip_w: int = DEFAULT_STRIP_W) -> List[list]:
+    """Strip-distributed boolean overlay, bit-exact with overlay()
+    boundary geometry (ring decomposition may differ at touch points;
+    the boundary edge set and areas are identical)."""
     if isinstance(rule, str):
-        rule = RULE_NAMES[rule.lower()]
+        rule = RULE_NAMES[rule.lower().replace("_", "")]
     if isinstance(fill_rule, str):
         fill_rule = FILL_RULE_NAMES[fill_rule.lower().replace("_", "")]
-    frags = fragment_contours(subj, True, strip_w) + \
-        fragment_contours(clip, False, strip_w)
-    by_strip: Dict[int, list] = {}
-    for f in frags:
-        by_strip.setdefault(f[0], []).append(f)
+    segs = build_segments(subj, clip)
+    segs = binned_split(segs, strip_w)
+    if len(segs) == 0:
+        return []
+    fills = strip_fills(segs, fill_rule, strip_w)
+    tx, ty, hx, hy = oriented_edges(segs, fills, rule)
+    tstrip = tx // strip_w
+    order = np.argsort(tstrip, kind="stable")
+    tstrip = tstrip[order]
+    tx, ty, hx, hy = tx[order], ty[order], hx[order], hy[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], tstrip[1:] != tstrip[:-1])))
+    bounds = np.concatenate((starts, [len(tstrip)]))
     rings: List[List[Point]] = []
     chains: List[List[Point]] = []
-    for s, fs in sorted(by_strip.items()):
-        r, c = strip_chains(fs, rule, fill_rule, strip_w, s)
+    for k in range(len(starts)):
+        lo, hi = bounds[k], bounds[k + 1]
+        edges = [((int(tx[i]), int(ty[i])), (int(hx[i]), int(hy[i])))
+                 for i in range(lo, hi)]
+        r, c = strip_walk(edges, int(tstrip[lo]), strip_w)
         rings.extend(r)
         chains.extend(c)
     rings.extend(stitch_chains(chains))

@@ -50,21 +50,23 @@ def part_rects(partkey: np.ndarray, size: np.ndarray):
 def q_rect_intersect_area(sf_dir: str) -> pd.DataFrame:
     """Boolean intersect of the two derived rects per part, run through
     the full overlay kernel; area2 = 2x the intersection area."""
-    from ..geometry.overlay import overlay
+    from ..geometry.overlay import overlay_pack
     from ..stages.geo_arrow import shapes_area2
 
     def stage(batch: pa.Table) -> pa.Table:
-        pk = np.asarray(batch.column("p_partkey").to_pylist(), np.int64)
-        sz = np.asarray(batch.column("p_size").to_pylist(), np.int64)
+        pk = batch.column("p_partkey").to_numpy().astype(np.int64)
+        sz = batch.column("p_size").to_numpy().astype(np.int64)
         (ax0, ay0, ax1, ay1), (bx0, by0, bx1, by1) = part_rects(pk, sz)
-        areas = []
+        jobs = []
         for i in range(len(pk)):
             subj = [[(int(ax0[i]), int(ay0[i])), (int(ax1[i]), int(ay0[i])),
                      (int(ax1[i]), int(ay1[i])), (int(ax0[i]), int(ay1[i]))]]
             clip = [[(int(bx0[i]), int(by0[i])), (int(bx1[i]), int(by0[i])),
                      (int(bx1[i]), int(by1[i])), (int(bx0[i]), int(by1[i]))]]
-            shapes = overlay(subj, clip, "intersect", "nonzero")
-            areas.append(abs(shapes_area2(shapes)))
+            jobs.append((subj, clip))
+        # packed kernel: all jobs in one split/fill pass per sub-pack
+        areas = [abs(shapes_area2(shapes))
+                 for shapes in overlay_pack(jobs, "intersect", "nonzero")]
         return pa.table({
             "p_partkey": pa.array(pk, pa.int64()),
             "inter_area2": pa.array(areas, pa.int64()),
@@ -145,19 +147,21 @@ def q_rect_relate(sf_dir: str) -> pd.DataFrame:
     """Spatial predicates between the two derived rects per part, through
     the real Relation kernel (split+fill pass); the SQL oracle reproduces
     the answers with closed/open interval logic."""
-    from ..geometry.relate import Relation
+    from ..geometry.relate import relate_pack
 
     def stage(batch: pa.Table) -> pa.Table:
-        pk = np.asarray(batch.column("p_partkey").to_pylist(), np.int64)
-        sz = np.asarray(batch.column("p_size").to_pylist(), np.int64)
+        pk = batch.column("p_partkey").to_numpy().astype(np.int64)
+        sz = batch.column("p_size").to_numpy().astype(np.int64)
         (ax0, ay0, ax1, ay1), (bx0, by0, bx1, by1) = part_rects(pk, sz)
-        inter, interiors, touch, within = [], [], [], []
+        jobs = []
         for i in range(len(pk)):
             subj = [[(int(ax0[i]), int(ay0[i])), (int(ax1[i]), int(ay0[i])),
                      (int(ax1[i]), int(ay1[i])), (int(ax0[i]), int(ay1[i]))]]
             clip = [[(int(bx0[i]), int(by0[i])), (int(bx1[i]), int(by0[i])),
                      (int(bx1[i]), int(by1[i])), (int(bx0[i]), int(by1[i]))]]
-            r = Relation(subj, clip, "nonzero")
+            jobs.append((subj, clip))
+        inter, interiors, touch, within = [], [], [], []
+        for r in relate_pack(jobs, "nonzero"):
             inter.append(int(r.intersects()))
             interiors.append(int(r.interiors_intersect()))
             touch.append(int(r.touches()))
@@ -178,22 +182,23 @@ def q_clip_segments(sf_dir: str) -> pd.DataFrame:
     """Polyline clipping through the string kernel: one horizontal probe
     line per part clipped by its derived rect; inside/outside lengths and
     piece counts match interval arithmetic in SQL."""
-    from ..geometry.string_ops import clip_paths
+    from ..geometry.string_ops import clip_paths_pack
 
     def stage(batch: pa.Table) -> pa.Table:
-        pk = np.asarray(batch.column("p_partkey").to_pylist(), np.int64)
-        sz = np.asarray(batch.column("p_size").to_pylist(), np.int64)
+        pk = batch.column("p_partkey").to_numpy().astype(np.int64)
+        sz = batch.column("p_size").to_numpy().astype(np.int64)
         (ax0, ay0, ax1, ay1), _ = part_rects(pk, sz)
         ly = (ay0 + ay1) // 2          # strictly inside (height is odd >= 9)
         lx0 = (pk * 11) % MOD
         lx1 = lx0 + 500
-        ins, outs, pieces = [], [], []
+        jobs = []
         for i in range(len(pk)):
             rect = [[(int(ax0[i]), int(ay0[i])), (int(ax1[i]), int(ay0[i])),
                      (int(ax1[i]), int(ay1[i])), (int(ax0[i]), int(ay1[i]))]]
             line = [[(int(lx0[i]), int(ly[i])), (int(lx1[i]), int(ly[i]))]]
-            inside = clip_paths(rect, line, "nonzero", invert=False)
-            outside = clip_paths(rect, line, "nonzero", invert=True)
+            jobs.append((rect, line))
+        ins, outs, pieces = [], [], []
+        for inside, outside in clip_paths_pack(jobs, "nonzero"):
             ins.append(sum(abs(p[-1][0] - p[0][0]) for p in inside))
             outs.append(sum(abs(p[-1][0] - p[0][0]) for p in outside))
             pieces.append(len(inside))

@@ -29,11 +29,16 @@ def _small_table(sf_dir: str, table: str, columns=None) -> pa.Table:
     return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
                          columns=columns)
 
-def _conc() -> int:
-    """Actor-pool width: half the cluster CPUs (leave room for the
-    producer/consumer stages in the same pipeline)."""
+def _conc(compute_bound: bool = False) -> int:
+    """Actor-pool width. Mixed pipelines (producer + actor + consumer)
+    cap at a quarter of the CPUs as backpressure; compute-DOMINATED
+    stages (MinHash, SimHash: per-doc hashing is ~all the wall time)
+    scale with the cluster, keeping a 2-CPU producer reserve."""
     import ray
-    return min(8, max(2, int(ray.cluster_resources().get("CPU", 8)) // 4))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if compute_bound:
+        return max(2, cpus - 2)
+    return min(8, max(2, cpus // 4))
 
 
 
@@ -207,71 +212,101 @@ def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(fingerprint, batch_format="pyarrow").to_pandas()
 
 
-def q_minhash_bands(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-dup candidates: signature -> band keys ->
-    groupby band -> buckets with >1 member."""
+def _minhash_candidates_ds(sf_dir: str):
+    """MinHash+LSH candidate pairs as a DATASET (no driver
+    materialization): signatures -> band keys -> groupby band -> buckets
+    with >1 distinct member -> distinct (min_doc, max_doc)."""
+    from ..stages.agg import hash_aggregate
     from ..stages.dedup import LSHBandStage, MinHashStage
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(MinHashStage, batch_format="pyarrow",
-                          concurrency=_conc())
-    from ..stages.agg import hash_aggregate
+                          concurrency=_conc(compute_bound=True))
     bands = sigs.map_batches(LSHBandStage(), batch_format="pyarrow")
     counts = hash_aggregate(bands, ["band_key"], {
         "members": ("doc_id", "count"),
         "min_doc": ("doc_id", "min"),
         "max_doc": ("doc_id", "max"),
-    }).to_pandas()
-    cand = counts[counts["members"] > 1].copy()
-    cand = cand[cand["min_doc"] != cand["max_doc"]]
-    out = cand[["min_doc", "max_doc"]].drop_duplicates().sort_values(
-        ["min_doc", "max_doc"]).reset_index(drop=True)
-    return out.astype(np.int64)
+    })
+
+    def keep_pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.and_(pc.greater(batch.column("members"), 1),
+                       pc.not_equal(batch.column("min_doc"),
+                                    batch.column("max_doc")))
+        return batch.filter(mask).select(["min_doc", "max_doc"])
+
+    pairs = counts.map_batches(keep_pairs, batch_format="pyarrow")
+    # distinct over (min_doc, max_doc): tiny hash-partitioned aggregate
+    return hash_aggregate(pairs, ["min_doc", "max_doc"],
+                          {"n": ("min_doc", "count")}, num_partitions=8) \
+        .select_columns(["min_doc", "max_doc"])
+
+
+def q_minhash_bands(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup candidates: signature -> band keys ->
+    groupby band -> buckets with >1 member."""
+    out = _minhash_candidates_ds(sf_dir).to_pandas()
+    return out.sort_values(["min_doc", "max_doc"]).reset_index(drop=True) \
+        .astype(np.int64)
 
 
 def q_simhash(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import SimHashStage
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(SimHashStage, batch_format="pyarrow",
-                          concurrency=_conc()).to_pandas()
+                          concurrency=_conc(compute_bound=True)).to_pandas()
 
 
-def q_embedding_neardup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs: full corpus broadcast once
-    (ray.put), each batch matmuls against it and keeps pairs above the
-    threshold with id_a < id_b (the all-pairs form is the small-corpus
-    baseline; LSH bucketing is the scale path, stages/ann.py)."""
-    qt = _small_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    ids = np.asarray(qt.column("vec_id").to_pylist(), np.int64)
-    mat = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids, mat))
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.4,
+                        n_planes: int = 8) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs, 100TB-shaped: hyperplane
+    LSH buckets (fixed seed-11 planes, same as q_ann_lsh_buckets)
+    colocate candidates via a bucket groupby, then each bucket runs a
+    LOCAL all-pairs cosine — never a whole-corpus broadcast or global
+    matmul. The SQL oracle reproduces the plane signs and bucket-local
+    cosine with the plane vectors embedded as literals."""
+    from ..stages.ann import HyperplaneLSHStage
 
-    class NearDup:
-        def __init__(self, ref, threshold):
-            self.ids, self.mat = ray.get(ref)
-            self.threshold = threshold
+    class BucketKeep(HyperplaneLSHStage):
+        """bucket + keep the embedding for the bucket-local verify."""
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            bid = np.asarray(batch.column("vec_id").to_pylist(), np.int64)
-            bm = np.array(batch.column("embedding").to_pylist(), np.float64)
-            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
-            sims = bm @ self.mat.T
-            rows, cols = np.nonzero(sims > self.threshold)
-            ia = bid[rows]
-            ib = self.ids[cols]
-            keep = ia < ib
-            return pa.table({
-                "id_a": pa.array(ia[keep], pa.int64()),
-                "id_b": pa.array(ib[keep], pa.int64()),
-                "sim_e3": pa.array(
-                    np.round(sims[rows, cols][keep] * 1000).astype(np.int64),
-                    pa.int64()),
-            })
+            out = HyperplaneLSHStage.__call__(self, batch)
+            return out.append_column("embedding",
+                                     batch.column("embedding"))
 
+    def local_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy().astype(np.int64)
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "sim_e3": pa.array([], pa.int64())})
+        mat = np.array(group.column("embedding").to_pylist(), np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        rows, cols = np.nonzero(np.triu(sims > threshold, k=1))
+        ia = np.minimum(ids[rows], ids[cols])
+        ib = np.maximum(ids[rows], ids[cols])
+        return pa.table({
+            "id_a": pa.array(ia, pa.int64()),
+            "id_b": pa.array(ib, pa.int64()),
+            "sim_e3": pa.array(
+                np.round(sims[rows, cols] * 1000).astype(np.int64),
+                pa.int64()),
+        })
+
+    qt = _small_table(sf_dir, "embeddings", ["embedding"])
+    dim = len(qt.column("embedding")[0].as_py())
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ds.map_batches(NearDup, batch_format="pyarrow",
-                         fn_constructor_args=(ref, threshold),
-                         concurrency=_conc()).to_pandas()
+    buckets = ds.map_batches(BucketKeep, batch_format="pyarrow",
+                             fn_constructor_args=(dim, n_planes),
+                             concurrency=_conc())
+    out = buckets.groupby("bucket").map_groups(
+        local_pairs, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "sim_e3": pd.Series([], dtype=np.int64)})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True) \
         .astype(np.int64)
 
@@ -348,43 +383,42 @@ def q_event_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
 
 def q_jaccard_verify(sf_dir: str, threshold_e3: int = 300) -> pd.DataFrame:
-    """Near-dup detection end to end: MinHash+LSH candidate pairs are
-    VERIFIED with exact n-gram Jaccard (broadcast text lookup, verify
-    stage in map_batches); emits pairs with jaccard >= threshold."""
+    """Near-dup detection end to end, 100TB-shaped: MinHash+LSH candidate
+    pairs (a Dataset) are joined BACK to the documents table with two
+    distributed hash joins on doc_id — no whole-corpus broadcast — and
+    each joined batch verifies exact n-gram Jaccard locally; emits pairs
+    with jaccard >= threshold."""
     from ..stages.dedup import jaccard
-    cand = q_minhash_bands(sf_dir)
-    if len(cand) == 0:
+    cand = _minhash_candidates_ds(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    j1 = cand.join(docs, "inner", 8, on=("min_doc",), right_on=("doc_id",),
+                   right_suffix="_a")
+    j2 = j1.join(docs, "inner", 8, on=("max_doc",), right_on=("doc_id",),
+                 right_suffix="_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("min_doc").to_pylist()
+        b = batch.column("max_doc").to_pylist()
+        # the two joins leave one text column per side
+        names = batch.column_names
+        ta = batch.column("text" if "text" in names else "text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        oa, ob, oj = [], [], []
+        for x, y, tx, ty in zip(a, b, ta, tb):
+            j = int(round(jaccard(tx, ty) * 1000))
+            if j >= threshold_e3:
+                oa.append(x); ob.append(y); oj.append(j)
+        return pa.table({
+            "min_doc": pa.array(oa, pa.int64()),
+            "max_doc": pa.array(ob, pa.int64()),
+            "jaccard_e3": pa.array(oj, pa.int64()),
+        })
+
+    out = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
         return pd.DataFrame({"min_doc": pd.Series([], dtype=np.int64),
                              "max_doc": pd.Series([], dtype=np.int64),
                              "jaccard_e3": pd.Series([], dtype=np.int64)})
-    texts_t = _small_table(sf_dir, "documents", ["doc_id", "text"])
-    lookup = dict(zip(texts_t.column("doc_id").to_pylist(),
-                      texts_t.column("text").to_pylist()))
-    ref = ray.put(lookup)
-
-    class Verify:
-        def __init__(self, ref, thr):
-            self.lookup = ray.get(ref)
-            self.thr = thr
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("min_doc").to_pylist()
-            b = batch.column("max_doc").to_pylist()
-            oa, ob, oj = [], [], []
-            for x, y in zip(a, b):
-                j = int(round(jaccard(self.lookup[x], self.lookup[y]) * 1000))
-                if j >= self.thr:
-                    oa.append(x); ob.append(y); oj.append(j)
-            return pa.table({
-                "min_doc": pa.array(oa, pa.int64()),
-                "max_doc": pa.array(ob, pa.int64()),
-                "jaccard_e3": pa.array(oj, pa.int64()),
-            })
-
-    ds = ray.data.from_pandas(cand)
-    out = ds.map_batches(Verify, batch_format="pyarrow",
-                         fn_constructor_args=(ref, threshold_e3),
-                         concurrency=2).to_pandas()
     return out.sort_values(["min_doc", "max_doc"]).reset_index(drop=True) \
         .astype(np.int64)
 
@@ -395,7 +429,7 @@ def q_doc_minhash(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import MinHashStage
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(MinHashStage, batch_format="pyarrow",
-                          concurrency=_conc()).to_pandas()
+                          concurrency=_conc(compute_bound=True)).to_pandas()
     sigs["sig"] = sigs["minhash"].map(
         lambda v: ",".join(str(int(x)) for x in v))
     return sigs[["doc_id", "sig"]].sort_values("doc_id")         .reset_index(drop=True)

@@ -124,11 +124,22 @@ def _parquet_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def read_output(out_dir: str):
-    """Re-open all finished partitions as one Dataset."""
+def read_output(out_dir: str, config: Optional[dict] = None):
+    """Re-open all finished partitions as one Dataset.
+
+    Driven by the manifest, not a directory glob: only shards the
+    manifest vouches for are read, so orphaned part-* directories left
+    by dropped/renamed shards never leak into a resumed output. With
+    ``config``, only shards recorded under that config fingerprint are
+    included."""
     import ray.data
-    parts = [os.path.join(out_dir, d) for d in sorted(os.listdir(out_dir))
-             if d.startswith("part-") and not d.endswith(".tmp")]
-    files = [os.path.join(p, f) for p in parts for f in sorted(os.listdir(p))
-             if f.endswith(".parquet")]
+    done = load_manifest(out_dir)
+    if config is not None:
+        fingerprint = _config_fingerprint(config)
+        done = {k: v for k, v in done.items()
+                if v.get("config") == fingerprint}
+    parts = [os.path.join(out_dir, f"part-{sid}") for sid in sorted(done)]
+    files = [os.path.join(p, f) for p in parts
+             if os.path.isdir(p)
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
     return ray.data.read_parquet(files)
