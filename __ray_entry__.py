@@ -100,7 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_clip_segments": gq.q_clip_segments,
         "q_dissolve_area": gq.q_dissolve_area,
         "q_giant_pip": gp.q_giant_pip,
-        "q_tiled_overlay": gq.q_tiled_overlay,
+        "q_tiled_overlay": gq.q_tiled_overlay,  # SQL-checked since r2
         # geometry engine (rows-only)
         "q_overlay_fixture_corpus": gq.q_overlay_fixture_corpus,
         "q_flagship_tiles": gq.q_flagship_tiles,
@@ -565,6 +565,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT 2 * COUNT(*) AS union_area2
             FROM (SELECT DISTINCT cx, cy FROM cells)
+        """,
+        "q_tiled_overlay": """
+            -- distributed tiled overlay: union (distinct covered unit
+            -- cells) and xor (odd-covered cells) of the derived rects
+            WITH r AS (
+                SELECT p_partkey % 4 AS scene,
+                       (p_partkey * 29) % 2048 AS x0,
+                       (p_partkey * 67) % 2048 AS y0,
+                       (p_partkey * 29) % 2048 + p_size * 2 + 5 AS x1,
+                       (p_partkey * 67) % 2048 + p_size + 9 AS y1
+                FROM part
+            ), xs AS (
+                SELECT scene, y0, y1, unnest(range(x0, x1)) AS cx FROM r
+            ), cells AS (
+                SELECT scene, cx, unnest(range(y0, y1)) AS cy FROM xs
+            ), cov AS (
+                SELECT scene, cx, cy, COUNT(*) AS n
+                FROM cells GROUP BY scene, cx, cy
+            )
+            SELECT scene,
+                   2 * COUNT(*) AS union_area2,
+                   2 * COUNT(*) FILTER (WHERE n % 2 = 1) AS xor_area2
+            FROM cov GROUP BY scene ORDER BY scene
         """,
         "q_giant_pip": """
             -- the comb polygon's winding formula in closed form:

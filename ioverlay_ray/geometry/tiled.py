@@ -249,9 +249,13 @@ def oriented_edges(segs: Segments, fills: np.ndarray, rule: int):
     return tx, ty, hx, hy
 
 
-def _leftmost_turn(vix: int, viy: int, cands, head: Point) -> int:
-    """Sharpest-left-turn successor (planar face tracing): smallest
-    positive CCW angle from the REVERSED incoming direction."""
+def _face_successor(vix: int, viy: int, cands, head: Point) -> int:
+    """Left-face tracing successor: the outgoing edge CLOCKWISE-most
+    from the reversed incoming direction (= LARGEST positive CCW angle).
+    At a 4-valent pinch node (e.g. every XOR crossing) this keeps the
+    walk on the SAME face — the sharpest-left variant would jump into
+    the diagonally-touching region and merge two faces into one pinched
+    ring (the standard DCEL face-next around a vertex)."""
     import math
     best = None
     best_ang = None
@@ -262,7 +266,7 @@ def _leftmost_turn(vix: int, viy: int, cands, head: Point) -> int:
         ang = math.atan2(cross, dot)
         if ang <= 0:
             ang += 2 * math.pi
-        if best_ang is None or ang < best_ang:
+        if best_ang is None or ang > best_ang:
             best_ang = ang
             best = ci
     return best
@@ -302,7 +306,7 @@ def strip_walk(edges: List[Tuple[Point, Point]], strip: int, strip_w: int):
             return None
         if len(cands) == 1:
             return cands[0][0]
-        return _leftmost_turn(t[0] - h[0], t[1] - h[1], cands, h)
+        return _face_successor(t[0] - h[0], t[1] - h[1], cands, h)
 
     rings: List[List[Point]] = []
     chains: List[List[Point]] = []
@@ -389,7 +393,7 @@ def stitch_chains(chains: List[List[Point]],
             if len(cands) == 1:
                 nxt = cands[0][0]
             else:
-                nxt = _leftmost_turn(ring[-2][0] - p[0], ring[-2][1] - p[1],
+                nxt = _face_successor(ring[-2][0] - p[0], ring[-2][1] - p[1],
                                      cands, p)
             used[nxt] = True
             ring.extend(chains[nxt][1:])
@@ -411,6 +415,68 @@ def _ring_area2(ring: List[Point]) -> int:
     return s
 
 
+def bind_tags(ring_entries: List[tuple], anchor_entries: List[tuple]):
+    """Scan-line hole binding that RETURNS tags instead of mutating a
+    shape list (the distributed form of extract.join_holes: each bind
+    partition runs this over its local anchors + replicated rings and a
+    tiny global pass resolves hole->hole chains).
+
+    ring_entries: [(contour_points, tag)] — hulls and holes that overlap
+    this partition's x-window (contours in CCW-hull / CW-hole region-on-
+    left order, i.e. counter-clockwise convention of join_holes).
+    anchor_entries: [(anchor_vseg, hole_tag)] for holes anchored here.
+    Returns {hole_tag: best_tag_under_anchor} (best_tag may be another
+    hole's tag -> resolve transitively; None when nothing is under).
+    """
+    import functools
+
+    from .extract import (_append_id_segments, _cmp_by_angle,
+                          _sort_runs_by_angle, _vseg_cmp)
+    if not anchor_entries:
+        return {}
+    anchors = sorted(anchor_entries, key=lambda it: it[0][0])
+    anchors = _sort_runs_by_angle(anchors)
+    x_min = anchors[0][0][0][0]
+    x_max = anchors[-1][0][0][0]
+
+    segments: list = []
+    for contour, tag in ring_entries:
+        _append_id_segments(contour, segments, tag, x_min, x_max,
+                            clockwise=False)
+    segments.sort(key=functools.cmp_to_key(
+        lambda u, v: (-1 if u[0][0] < v[0][0] else 1) if u[0][0] != v[0][0]
+        else _cmp_by_angle(u[0], v[0])))
+
+    out: dict = {}
+    scan: list = []
+    j = 0
+    for anchor_vseg, hole_tag in anchors:
+        p = anchor_vseg[0]
+        while j < len(segments):
+            vseg, tag = segments[j]
+            if vseg[0] > anchor_vseg[0] or (
+                    vseg[0] == anchor_vseg[0]
+                    and _cmp_by_angle(vseg, anchor_vseg) > 0):
+                break
+            if vseg[1][0] > p[0]:
+                scan.append((vseg, tag))
+            j += 1
+        best = None
+        best_tag = None
+        alive = []
+        for vseg, tag in scan:
+            if vseg[1][0] < p[0]:
+                continue
+            alive.append((vseg, tag))
+            if tag != hole_tag and _vseg_cmp(vseg, anchor_vseg) < 0:
+                if best is None or _vseg_cmp(best, vseg) < 0:
+                    best = vseg
+                    best_tag = tag
+        scan = alive
+        out[hole_tag] = best_tag
+    return out
+
+
 def assemble_shapes(rings: List[List[Point]]) -> List[list]:
     """CCW rings are hulls, CW rings are holes (region-on-left
     orientation); bind holes to hulls with the scan-line join."""
@@ -419,7 +485,10 @@ def assemble_shapes(rings: List[List[Point]]) -> List[list]:
     for ring in rings:
         if len(ring) < 3:
             continue
-        if _ring_area2(ring) > 0:
+        a2 = _ring_area2(ring)
+        if a2 == 0:
+            continue  # degenerate sliver
+        if a2 > 0:
             shapes.append([ring])
         else:
             holes.append(ring)
@@ -450,6 +519,8 @@ def tiled_overlay(subj: Sequence, clip: Sequence, rule, fill_rule,
         return []
     fills = strip_fills(segs, fill_rule, strip_w)
     tx, ty, hx, hy = oriented_edges(segs, fills, rule)
+    if len(tx) == 0:
+        return []
     tstrip = tx // strip_w
     order = np.argsort(tstrip, kind="stable")
     tstrip = tstrip[order]

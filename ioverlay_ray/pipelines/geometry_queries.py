@@ -292,28 +292,36 @@ def q_flagship_tiles(sf_dir: str, n_images: int = 512) -> pd.DataFrame:
 
 
 def q_tiled_overlay(sf_dir: str) -> pd.DataFrame:
-    """Tile-distributed overlay with cross-strip chain stitching on a
-    deterministic multi-polygon scene; per-rule shape counts + areas
-    (rows-only; region equality vs the single kernel is asserted in
-    tests/test_tiled_overlay.py)."""
-    from ..pipelines.tiled_overlay import tiled_overlay_ray
-    from ..stages.geo_arrow import shapes_area2
+    """Tile-distributed overlay (SQL-CHECKED since round 2): the union
+    (nonzero) and xor (evenodd) of ~part-table-many derived rectangles
+    run through the FULL distributed pipeline — binned bit-exact split,
+    strip fills, tail-owned chain walk, distributed stitch — and the
+    resulting ring areas are reduced distributively. The oracle counts
+    distinct / odd-covered unit cells in SQL; any kernel or stitch
+    regression breaks the hash match."""
+    import pyarrow.parquet as pq
 
-    def rect(x0, y0, w, h):
-        return [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+    from ..pipelines.tiled_overlay import rings_area2, tiled_rings_ds
 
-    def diamond(cx, cy, r):
-        return [(cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r)]
-
-    subj = [rect(64 * i, 40 * (i % 7), 200, 160) for i in range(0, 40, 3)]
-    clip = [diamond(100 + 90 * i, 150 + 35 * (i % 5), 120)
-            for i in range(12)]
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_size"]).to_pandas()
+    pk = part["p_partkey"].values.astype(np.int64)
+    sz = part["p_size"].values.astype(np.int64)
+    x0 = (pk * 29) % 2048
+    y0 = (pk * 67) % 2048
+    x1 = x0 + sz * 2 + 5
+    y1 = y0 + sz + 9
+    scene = pk % 4
     rows = []
-    for rule in ("union", "intersect", "difference", "xor"):
-        shapes = tiled_overlay_ray(subj, clip, rule, "nonzero", strip_w=256)
-        rows.append((rule, len(shapes),
-                     sum(len(s) - 1 for s in shapes),
-                     shapes_area2(shapes)))
-    return pd.DataFrame(rows, columns=["rule", "n_shapes", "n_holes",
-                                       "area2"]).astype(
-        {"n_shapes": np.int64, "n_holes": np.int64, "area2": np.int64})
+    for s in range(4):
+        m = scene == s
+        subj = [[(int(a), int(b)), (int(c), int(b)),
+                 (int(c), int(d)), (int(a), int(d))]
+                for a, b, c, d in zip(x0[m], y0[m], x1[m], y1[m])]
+        union2 = rings_area2(
+            tiled_rings_ds(subj, [], "subject", "nonzero", strip_w=256))
+        xor2 = rings_area2(
+            tiled_rings_ds(subj, [], "subject", "evenodd", strip_w=256))
+        rows.append((s, union2, xor2))
+    return pd.DataFrame(rows, columns=["scene", "union_area2",
+                                       "xor_area2"]).astype(np.int64)

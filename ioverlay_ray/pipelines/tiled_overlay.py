@@ -1,74 +1,571 @@
-"""Ray pipeline for the tile-distributed boolean overlay.
+"""Ray pipeline for the BIT-EXACT tile-distributed boolean overlay.
 
-fragment (flat_map) -> groupby(strip).map_groups(per-strip split +
-fill + chain extraction) -> border-chain stitch -> hole binding.
-The shuffle carries edge fragments once; the stitch input is only the
-border-cut chains (O(result boundary crossing the borders)), which is
-the small tail of the data — the "groupby-aggregate-sort shuffle for
-cross-tile edge stitching" from the north star.
+Round-2 architecture (geometry/tiled.py, mirroring the reference's
+fragment solver split/solver_fragment.rs:107-178):
+
+  split rounds:  segments Dataset -> map_batches(bin replicate)
+                 -> groupby(bin).map_groups(exact pair marks on WHOLE
+                    parents) -> small marks table -> broadcast ->
+                 map_batches(apply marks to parents)
+                 -> hash-partitioned merge (the distributed sort_merge)
+  fill:          map_batches(strip replicate + owner flag)
+                 -> groupby(strip).map_groups(winding stab for owned,
+                    rule filter, region-on-left orient)
+  extract:       edges shuffle by tail-strip
+                 -> groupby(tstrip).map_groups(chain walk)
+  stitch:        chains (the small tail) -> block-grouped stitch round
+                 (joining only endpoints whose full chain set is
+                 local) -> one final stitch task for cross-block chains
+  hole binding:  rings -> anchors bucketed by x, ring boundaries
+                 replicated to overlapping buckets
+                 -> groupby(bucket).map_groups(scan-line bind_tags)
+                 -> tiny transitive resolve -> shapes Dataset
+
+Driver-side data is limited to per-round MARKS (O(crossings found that
+round)), stitch endpoint TOTALS and the hole-binding TAG table
+(O(holes)) — never the segment table, boundary, or ring geometry.
+`tiled_overlay_ds` returns the result as a Dataset of ring rows.
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence
+import hashlib
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
 
-from ..geometry.kernel import FILL_RULE_NAMES, RULE_NAMES
-from ..geometry.tiled import (assemble_shapes, fragment_contours,
-                              stitch_chains, strip_chains)
+from ..geometry.kernel import (FILL_RULE_NAMES, RULE_NAMES, Segments,
+                               _apply_marks, _candidate_pair_blocks,
+                               _classify_pairs, build_segments,
+                               fills_from_windings, is_fill_top,
+                               rule_include_mask)
+from ..geometry.tiled import (assemble_shapes, bind_tags,
+                              bottom_windings_subset, stitch_chains,
+                              strip_walk, _ring_area2)
+from ..geometry.extract import _left_bottom_segment
 
 PTS = pa.list_(pa.int64())  # flat x,y pairs
+
+SEG_COLS = ("ax", "ay", "bx", "by", "subj", "clip")
+
+
+def _seg_table(segs: Segments) -> pa.Table:
+    return pa.table({c: pa.array(getattr(segs, c), pa.int64())
+                     for c in SEG_COLS})
+
+
+def _segs_of(batch: pa.Table) -> Segments:
+    return Segments(*[batch.column(c).to_numpy().astype(np.int64)
+                      for c in SEG_COLS])
+
+
+def _pack_key(ax, ay, bx, by):
+    """128-bit parent key as a python int (coords < 2^30)."""
+    B = 1 << 31
+    return (((ax + B) << 96) | ((ay + B) << 64) |
+            ((bx + B) << 32) | (by + B))
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: distributed split rounds
+# ---------------------------------------------------------------------------
+
+def _bin_replicate(strip_w: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        segs = _segs_of(batch)
+        from ..geometry.tiled import bin_membership
+        bins, idx = bin_membership(segs, strip_w)
+        cols = {"bin": pa.array(bins, pa.int64())}
+        for c in SEG_COLS:
+            cols[c] = pa.array(getattr(segs, c)[idx], pa.int64())
+        return pa.table(cols)
+    return fn
+
+
+def _bin_marks(radius: int):
+    def fn(group: pa.Table) -> pa.Table:
+        segs = _segs_of(group)
+        order = np.lexsort((segs.by, segs.bx, segs.ay, segs.ax))
+        segs = segs.take(order)
+        m_idx: list = []
+        m_px: list = []
+        m_py: list = []
+        any_round = False
+        for ii, jj in _candidate_pair_blocks(segs):
+            r = _classify_pairs(segs, ii, jj, radius, m_idx, m_px, m_py)
+            any_round |= r
+        if not m_idx:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("ax", "ay", "bx", "by", "px", "py",
+                              "is_round")})
+        mi = np.asarray(m_idx, np.int64)
+        return pa.table({
+            "ax": pa.array(segs.ax[mi], pa.int64()),
+            "ay": pa.array(segs.ay[mi], pa.int64()),
+            "bx": pa.array(segs.bx[mi], pa.int64()),
+            "by": pa.array(segs.by[mi], pa.int64()),
+            "px": pa.array(m_px, pa.int64()),
+            "py": pa.array(m_py, pa.int64()),
+            "is_round": pa.array([int(any_round)] * len(mi), pa.int64()),
+        })
+    return fn
+
+
+def _apply_stage(marks_ref):
+    def fn(batch: pa.Table) -> pa.Table:
+        by_key: Dict[int, list] = ray.get(marks_ref)
+        segs = _segs_of(batch)
+        m_idx: list = []
+        m_px: list = []
+        m_py: list = []
+        ax_l = segs.ax.tolist()
+        ay_l = segs.ay.tolist()
+        bx_l = segs.bx.tolist()
+        by_l = segs.by.tolist()
+        for i in range(len(segs)):
+            pts = by_key.get(_pack_key(ax_l[i], ay_l[i], bx_l[i], by_l[i]))
+            if pts:
+                for (px, py) in pts:
+                    m_idx.append(i)
+                    m_px.append(px)
+                    m_py.append(py)
+        if m_idx:
+            segs = _apply_marks(segs, m_idx, m_px, m_py)
+        return _seg_table(segs)
+    return fn
+
+
+def _merged(ds, num_partitions: int = 32):
+    """Distributed sort_merge: hash-partition by segment key, merge
+    winding counts of identical segments, drop zero rows."""
+    from ..stages.agg import hash_aggregate
+    agg = hash_aggregate(ds, ["ax", "ay", "bx", "by"],
+                         {"subj": ("subj", "sum"), "clip": ("clip", "sum")},
+                         num_partitions=num_partitions)
+
+    def drop_zero(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.or_(pc.not_equal(batch.column("subj"), 0),
+                      pc.not_equal(batch.column("clip"), 0))
+        return batch.filter(keep).select(list(SEG_COLS))
+
+    return agg.map_batches(drop_zero, batch_format="pyarrow")
+
+
+def split_rounds_ds(segs_ds, strip_w: int, max_rounds: int = 64):
+    """Iterate the snap fixed point over the segments Dataset; returns
+    the converged (split + merged) Dataset."""
+    ds = _merged(segs_ds).materialize()
+    exp = 0
+    for _ in range(max_rounds):
+        radius = 1 << exp
+        marks = (ds.map_batches(_bin_replicate(strip_w),
+                                batch_format="pyarrow")
+                 .groupby("bin")
+                 .map_groups(_bin_marks(radius), batch_format="pyarrow")
+                 .to_pandas())
+        if len(marks) == 0:
+            return ds
+        any_round = bool((marks["is_round"] != 0).any())
+        by_key: Dict[int, list] = {}
+        seen = set()
+        for ax, ay, bx, by, px, py in zip(
+                marks["ax"], marks["ay"], marks["bx"], marks["by"],
+                marks["px"], marks["py"]):
+            key = _pack_key(int(ax), int(ay), int(bx), int(by))
+            dk = (key, int(px), int(py))
+            if dk in seen:
+                continue
+            seen.add(dk)
+            by_key.setdefault(key, []).append((int(px), int(py)))
+        marks_ref = ray.put(by_key)
+        ds = _merged(ds.map_batches(_apply_stage(marks_ref),
+                                    batch_format="pyarrow")).materialize()
+        exp = min(60, exp + 1)
+        if not any_round:
+            return ds
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# Phase 2+3: fill per strip, edges shuffled by tail strip, chain walk
+# ---------------------------------------------------------------------------
+
+def _strip_replicate(strip_w: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        segs = _segs_of(batch)
+        from ..geometry.tiled import strip_membership
+        strips, idx, owner = strip_membership(segs, strip_w)
+        cols = {"strip": pa.array(strips, pa.int64()),
+                "owner": pa.array(owner.astype(np.int64), pa.int64())}
+        for c in SEG_COLS:
+            cols[c] = pa.array(getattr(segs, c)[idx], pa.int64())
+        return pa.table(cols)
+    return fn
+
+
+def _fill_orient(rule: int, fill_rule: int, strip_w: int):
+    def fn(group: pa.Table) -> pa.Table:
+        segs = _segs_of(group)
+        owner = group.column("owner").to_numpy().astype(bool)
+        order = np.argsort(segs.ax, kind="stable")
+        segs = segs.take(order)
+        owner = owner[order]
+        q = np.flatnonzero(owner)
+        if len(q) == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("tx", "ty", "hx", "hy", "tstrip")})
+        bot_subj, bot_clip = bottom_windings_subset(segs, q)
+        fills = fills_from_windings(segs.subj[q], segs.clip[q],
+                                    bot_subj, bot_clip, fill_rule)
+        mask = rule_include_mask(fills, rule)
+        sel = q[mask]
+        f = fills[mask]
+        top = np.array([is_fill_top(int(v), rule) for v in f.tolist()],
+                       dtype=bool)
+        ax, ay = segs.ax[sel], segs.ay[sel]
+        bx, by = segs.bx[sel], segs.by[sel]
+        tx = np.where(top, ax, bx)
+        ty = np.where(top, ay, by)
+        hx = np.where(top, bx, ax)
+        hy = np.where(top, by, ay)
+        return pa.table({
+            "tx": pa.array(tx, pa.int64()),
+            "ty": pa.array(ty, pa.int64()),
+            "hx": pa.array(hx, pa.int64()),
+            "hy": pa.array(hy, pa.int64()),
+            "tstrip": pa.array(tx // strip_w, pa.int64()),
+        })
+    return fn
+
+
+def _walk(strip_w: int):
+    def fn(group: pa.Table) -> pa.Table:
+        tx = group.column("tx").to_numpy()
+        ty = group.column("ty").to_numpy()
+        hx = group.column("hx").to_numpy()
+        hy = group.column("hy").to_numpy()
+        strip = int(group.column("tstrip")[0].as_py())
+        edges = [((int(tx[i]), int(ty[i])), (int(hx[i]), int(hy[i])))
+                 for i in range(len(tx))]
+        rings, chains = strip_walk(edges, strip, strip_w)
+        kinds = [0] * len(rings) + [1] * len(chains)
+        pts = [[v for p in r for v in p] for r in rings] + \
+              [[v for p in c for v in p] for c in chains]
+        return pa.table({"kind": pa.array(kinds, pa.int64()),
+                         "pts": pa.array(pts, PTS)})
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Phase 4: distributed stitch (block round + one final task)
+# ---------------------------------------------------------------------------
+
+def _chains_of(group: pa.Table) -> List[List[Tuple[int, int]]]:
+    out = []
+    for flat in group.column("pts").to_pylist():
+        out.append(list(zip(flat[0::2], flat[1::2])))
+    return out
+
+
+def _stitch_block(totals_ref):
+    def fn(group: pa.Table) -> pa.Table:
+        totals = ray.get(totals_ref)
+        chains = _chains_of(group)
+        rings, leftover = stitch_chains(chains, totals)
+        kinds = [0] * len(rings) + [1] * len(leftover)
+        pts = [[v for p in r for v in p] for r in rings] + \
+              [[v for p in c for v in p] for c in leftover]
+        return pa.table({"kind": pa.array(kinds, pa.int64()),
+                         "pts": pa.array(pts, PTS)})
+    return fn
+
+
+def _stitch_final(group: pa.Table) -> pa.Table:
+    chains = _chains_of(group)
+    rings = stitch_chains(chains)
+    return pa.table({
+        "kind": pa.array([0] * len(rings), pa.int64()),
+        "pts": pa.array([[v for p in r for v in p] for r in rings], PTS),
+    })
+
+
+def _stitched_rings(walkout, strip_w: int, block_strips: int = 8):
+    """rings Dataset from the walk output: local rings pass through,
+    chains stitch in a block round then one final task."""
+    import pyarrow.compute as pc
+
+    rings0 = walkout.filter(expr="kind == 0")
+    chains = walkout.filter(expr="kind == 1").materialize()
+    if chains.count() == 0:
+        return rings0
+
+    def tag_block(batch: pa.Table) -> pa.Table:
+        starts_x = pc.list_element(batch.column("pts"), 0)
+        block = pc.divide(pc.divide(starts_x, strip_w), block_strips)
+        return batch.append_column("block", block)
+
+    # global chain-start totals per point (small: one row per open chain)
+    def start_keys(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "sx": pc.list_element(batch.column("pts"), 0),
+            "sy": pc.list_element(batch.column("pts"), 1),
+        })
+
+    totals_df = chains.map_batches(start_keys, batch_format="pyarrow") \
+        .groupby(["sx", "sy"]).count().to_pandas()
+    cnt_col = [c for c in totals_df.columns if c not in ("sx", "sy")][0]
+    totals = {(int(sx), int(sy)): int(c) for sx, sy, c in zip(
+        totals_df["sx"], totals_df["sy"], totals_df[cnt_col])}
+    totals_ref = ray.put(totals)
+
+    round_a = (chains.map_batches(tag_block, batch_format="pyarrow")
+               .groupby("block")
+               .map_groups(_stitch_block(totals_ref),
+                           batch_format="pyarrow")).materialize()
+    rings_a = round_a.filter(expr="kind == 0")
+    leftover = round_a.filter(expr="kind == 1").materialize()
+    parts = [rings0, rings_a]
+    if leftover.count() > 0:
+        final = leftover.map_batches(
+            lambda b: b.append_column("g", pa.array([0] * len(b),
+                                                    pa.int64())),
+            batch_format="pyarrow") \
+            .groupby("g").map_groups(
+                lambda g: _stitch_final(g.select(["kind", "pts"])),
+                batch_format="pyarrow")
+        parts.append(final)
+    return parts[0].union(*parts[1:])
+
+
+# ---------------------------------------------------------------------------
+# Phase 5: distributed hole binding -> shapes Dataset
+# ---------------------------------------------------------------------------
+
+def _ring_id(flat: List[int]) -> int:
+    h = hashlib.md5(np.asarray(flat, np.int64).tobytes()).digest()
+    return int.from_bytes(h[:8], "little", signed=True)
+
+
+def _classify_rings(batch: pa.Table) -> pa.Table:
+    rid, hole, x0, x1 = [], [], [], []
+    anc = []
+    keep_pts = []
+    for flat in batch.column("pts").to_pylist():
+        ring = list(zip(flat[0::2], flat[1::2]))
+        a2 = _ring_area2(ring)
+        if a2 == 0 or len(ring) < 3:
+            continue  # degenerate sliver (single kernel drops these too)
+        is_hole = a2 < 0
+        xs = flat[0::2]
+        keep_pts.append(flat)
+        rid.append(_ring_id(flat))
+        hole.append(int(is_hole))
+        x0.append(min(xs))
+        x1.append(max(xs))
+        if is_hole:
+            (p, q) = _left_bottom_segment(ring)
+            anc.append([p[0], p[1], q[0], q[1]])
+        else:
+            anc.append([])
+    return pa.table({
+        "ring_id": pa.array(rid, pa.int64()),
+        "is_hole": pa.array(hole, pa.int64()),
+        "x0": pa.array(x0, pa.int64()),
+        "x1": pa.array(x1, pa.int64()),
+        "anchor": pa.array(anc, PTS),
+        "pts": pa.array(keep_pts, PTS),
+    })
+
+
+def _bind_replicate(bind_w: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        x0 = batch.column("x0").to_numpy()
+        x1 = batch.column("x1").to_numpy()
+        b0 = x0 // bind_w
+        b1 = x1 // bind_w
+        counts = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(x0), dtype=np.int64), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        buckets = np.arange(len(idx), dtype=np.int64) \
+            - np.repeat(offs, counts) + np.repeat(b0, counts)
+        t = batch.take(pa.array(idx))
+        return t.append_column("bucket", pa.array(buckets, pa.int64()))
+    return fn
+
+
+def _bind_group(bind_w: int):
+    def fn(group: pa.Table) -> pa.Table:
+        bucket = int(group.column("bucket")[0].as_py())
+        lo = bucket * bind_w
+        hi = (bucket + 1) * bind_w
+        ring_entries = []
+        anchor_entries = []
+        for rid, is_hole, anc, flat in zip(
+                group.column("ring_id").to_pylist(),
+                group.column("is_hole").to_pylist(),
+                group.column("anchor").to_pylist(),
+                group.column("pts").to_pylist()):
+            ring = list(zip(flat[0::2], flat[1::2]))
+            ring_entries.append((ring, (int(is_hole), rid)))
+            if is_hole and lo <= anc[0] < hi:
+                vseg = ((anc[0], anc[1]), (anc[2], anc[3]))
+                anchor_entries.append((vseg, (1, rid)))
+        tags = bind_tags(ring_entries, anchor_entries)
+        hid, pk, pik = [], [], []
+        for (_, rid), tag in tags.items():
+            hid.append(rid)
+            if tag is None:
+                pk.append(0)
+                pik.append(-1)
+            else:
+                pik.append(tag[0])
+                pk.append(tag[1])
+        return pa.table({
+            "hole_id": pa.array(hid, pa.int64()),
+            "under_is_hole": pa.array(pik, pa.int64()),
+            "under_id": pa.array(pk, pa.int64()),
+        })
+    return fn
+
+
+def shapes_ds(rings, strip_w: int):
+    """rings Dataset -> shapes Dataset (shape_id, role, pts): holes
+    bound to their parent hull via per-bucket scan-line + a tiny global
+    transitive resolve (O(#holes) rows on the driver)."""
+    bind_w = strip_w * 4
+    classified = rings.map_batches(_classify_rings,
+                                   batch_format="pyarrow").materialize()
+    tag_df = (classified
+              .map_batches(_bind_replicate(bind_w), batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(_bind_group(bind_w), batch_format="pyarrow")
+              .to_pandas())
+
+    # transitive hole->hole resolution on the tiny tag table
+    under = {int(r.hole_id): (int(r.under_is_hole), int(r.under_id))
+             for r in tag_df.itertuples()}
+    parent: Dict[int, int] = {}
+
+    def resolve(hid: int) -> int:
+        seen = []
+        cur = hid
+        while True:
+            if cur in parent:
+                p = parent[cur]
+                break
+            u = under.get(cur)
+            if u is None or u[0] < 0:
+                p = 0  # defensive: unbound hole -> first hull
+                break
+            if u[0] == 0:
+                p = u[1]
+                break
+            seen.append(cur)
+            cur = u[1]
+        for s in seen:
+            parent[s] = p
+        parent[hid] = p
+        return p
+
+    for hid in list(under):
+        resolve(hid)
+    parent_ref = ray.put(parent)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        pmap = ray.get(parent_ref)
+        sid = []
+        role = []
+        for rid, is_hole in zip(batch.column("ring_id").to_pylist(),
+                                batch.column("is_hole").to_pylist()):
+            if is_hole:
+                sid.append(pmap.get(rid, 0))
+                role.append(1)
+            else:
+                sid.append(rid)
+                role.append(0)
+        return pa.table({
+            "shape_id": pa.array(sid, pa.int64()),
+            "role": pa.array(role, pa.int64()),
+            "pts": batch.column("pts"),
+        })
+
+    return classified.map_batches(emit, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Top level
+# ---------------------------------------------------------------------------
+
+def tiled_rings_ds(subj: Sequence, clip: Sequence, rule, fill_rule,
+                   strip_w: int = 256):
+    """Distributed strip overlay up to closed RINGS (region-on-left:
+    hulls CCW, holes CW) as a Dataset of (kind, pts) rows."""
+    if isinstance(rule, str):
+        rule = RULE_NAMES[rule.lower().replace("_", "")]
+    if isinstance(fill_rule, str):
+        fill_rule = FILL_RULE_NAMES[fill_rule.lower().replace("_", "")]
+    segs = build_segments(subj, clip)
+    ds = ray.data.from_arrow(_seg_table(segs))
+    ds = split_rounds_ds(ds, strip_w)
+    edges = (ds.map_batches(_strip_replicate(strip_w),
+                            batch_format="pyarrow")
+             .groupby("strip")
+             .map_groups(_fill_orient(rule, fill_rule, strip_w),
+                         batch_format="pyarrow"))
+    walkout = edges.groupby("tstrip").map_groups(
+        _walk(strip_w), batch_format="pyarrow")
+    return _stitched_rings(walkout, strip_w)
+
+
+def rings_area2(rings) -> int:
+    """Net doubled area of a rings Dataset (holes are CW => negative),
+    reduced distributively — equals the assembled shapes' area2."""
+    def areas(batch: pa.Table) -> pa.Table:
+        out = []
+        for flat in batch.column("pts").to_pylist():
+            ring = list(zip(flat[0::2], flat[1::2]))
+            out.append(_ring_area2(ring))
+        return pa.table({"a2": pa.array(out, pa.int64())})
+
+    total = rings.map_batches(areas, batch_format="pyarrow").sum("a2")
+    return int(total or 0)
+
+
+def tiled_overlay_ds(subj: Sequence, clip: Sequence, rule, fill_rule,
+                     strip_w: int = 256):
+    """Distributed strip overlay; returns a Dataset of
+    (shape_id, role[0=hull,1=hole], pts) rows — no driver-side geometry
+    materialization anywhere in the pipeline."""
+    rings = tiled_rings_ds(subj, clip, rule, fill_rule, strip_w)
+    return shapes_ds(rings, strip_w)
 
 
 def tiled_overlay_ray(subj: Sequence, clip: Sequence, rule, fill_rule,
                       strip_w: int = 256) -> List[list]:
-    """Distributed strip overlay; returns shapes-with-holes."""
-    if isinstance(rule, str):
-        rule = RULE_NAMES[rule.lower()]
-    if isinstance(fill_rule, str):
-        fill_rule = FILL_RULE_NAMES[fill_rule.lower().replace("_", "")]
-
-    frags = fragment_contours(subj, True, strip_w) + \
-        fragment_contours(clip, False, strip_w)
-    t = pa.table({
-        "strip": pa.array([f[0] for f in frags], pa.int64()),
-        "ax": pa.array([f[1] for f in frags], pa.int64()),
-        "ay": pa.array([f[2] for f in frags], pa.int64()),
-        "bx": pa.array([f[3] for f in frags], pa.int64()),
-        "by": pa.array([f[4] for f in frags], pa.int64()),
-        "subj": pa.array([f[5] for f in frags], pa.int64()),
-        "clip": pa.array([f[6] for f in frags], pa.int64()),
-    })
-
-    def per_strip(group: pa.Table) -> pa.Table:
-        s = group.column("strip")[0].as_py()
-        fs = list(zip(group.column("strip").to_pylist(),
-                      group.column("ax").to_pylist(),
-                      group.column("ay").to_pylist(),
-                      group.column("bx").to_pylist(),
-                      group.column("by").to_pylist(),
-                      group.column("subj").to_pylist(),
-                      group.column("clip").to_pylist()))
-        rings, chains = strip_chains(fs, rule, fill_rule, strip_w, s)
-        kinds = [0] * len(rings) + [1] * len(chains)
-        pts = [[v for p in r for v in p] for r in rings] + \
-              [[v for p in c for v in p] for c in chains]
-        return pa.table({
-            "kind": pa.array(kinds, pa.int64()),
-            "pts": pa.array(pts, PTS),
-        })
-
-    out = (ray.data.from_arrow(t)
-           .groupby("strip")
-           .map_groups(per_strip, batch_format="pyarrow")
-           .to_pandas())
-    rings, chains = [], []
-    for kind, flat in zip(out["kind"], out["pts"]):
-        seq = list(zip(flat[0::2], flat[1::2]))
-        (rings if kind == 0 else chains).append(seq)
-    rings.extend(stitch_chains(chains))
-    return assemble_shapes(rings)
+    """Compatibility wrapper: collect the shapes Dataset into
+    shapes-with-holes lists (small results only — tests/oracles)."""
+    df = tiled_overlay_ds(subj, clip, rule, fill_rule, strip_w).to_pandas()
+    shapes: Dict[int, list] = {}
+    holes: Dict[int, list] = {}
+    for sid, role, flat in zip(df["shape_id"], df["role"], df["pts"]):
+        ring = list(zip((int(v) for v in flat[0::2]),
+                        (int(v) for v in flat[1::2])))
+        if role == 0:
+            shapes.setdefault(int(sid), [ring])
+        else:
+            holes.setdefault(int(sid), []).append(ring)
+    # "first hull" fallback id 0 -> the smallest hull id, deterministic
+    out = []
+    hull_ids = sorted(shapes)
+    for sid in hull_ids:
+        shape = shapes[sid]
+        shape.extend(holes.pop(sid, ()))
+        out.append(shape)
+    for sid, hs in holes.items():
+        if out:
+            out[0].extend(hs)
+    return out

@@ -1,15 +1,24 @@
-"""Tile-distributed overlay vs the single-kernel result.
+"""Tile-distributed overlay: BIT-PARITY with the single kernel.
 
-Regions must agree exactly except at half-integer snap ties computed
-from fragment endpoints (see geometry/tiled.py docstring); the xor
-sliver bound is one grid cell per affected crossing.
+Round-2 architecture (geometry/tiled.py): the binned split must produce
+the IDENTICAL segment set as kernel.split_segments, strip fills must be
+bit-equal to compute_fills, and assembled results must match the single
+kernel's area, shape count and hole count on ALL cases — including
+random arbitrary-slope scenes, vertical edges on strip borders and the
+4-valent XOR pinch nodes.
 """
 
 import numpy as np
+import pytest
 
+from ioverlay_ray.geometry.kernel import (build_segments, compute_fills,
+                                          split_segments)
 from ioverlay_ray.geometry.overlay import overlay
-from ioverlay_ray.geometry.tiled import tiled_overlay
+from ioverlay_ray.geometry.tiled import (binned_split, strip_fills,
+                                         tiled_overlay)
 from ioverlay_ray.stages.geo_arrow import shapes_area2
+
+RULES = ("union", "intersect", "difference", "xor", "subject", "clip")
 
 
 def rect(x0, y0, w, h):
@@ -20,26 +29,60 @@ def diamond(cx, cy, r):
     return [(cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r)]
 
 
-def xor_sliver(subj, clip, rule, strip_w=256):
-    single = overlay(subj, clip, rule, "nonzero")
-    tiled = tiled_overlay(subj, clip, rule, "nonzero", strip_w=strip_w)
-    a = [c for s in single for c in s]
-    b = [c for s in tiled for c in s]
-    return abs(shapes_area2(overlay(a, b, "xor", "nonzero")))
+def canon(segs):
+    return sorted(zip(segs.ax.tolist(), segs.ay.tolist(),
+                      segs.bx.tolist(), segs.by.tolist(),
+                      segs.subj.tolist(), segs.clip.tolist()))
 
 
-def test_rect_cases_exact():
+def assert_bit_parity(subj, clip, strip_w=256, fill_rules=(0, 1)):
+    """Split set + fills bit-equal; assembled area/shape/hole parity."""
+    ref = split_segments(build_segments(subj, clip))
+    got = binned_split(build_segments(subj, clip), strip_w)
+    assert canon(ref) == canon(got)
+    o_ref = np.lexsort((ref.by, ref.bx, ref.ay, ref.ax))
+    o_got = np.lexsort((got.by, got.bx, got.ay, got.ax))
+    for fr in fill_rules:
+        f_ref = compute_fills(ref, fr)
+        f_got = strip_fills(got, fr, strip_w)
+        assert np.array_equal(f_ref[o_ref], f_got[o_got])
+    for rule in RULES:
+        s1 = overlay(subj, clip, rule, "nonzero")
+        s2 = tiled_overlay(subj, clip, rule, "nonzero", strip_w)
+        assert shapes_area2(s1) == shapes_area2(s2), rule
+        assert len(s1) == len(s2), rule
+        assert sum(len(s) - 1 for s in s1) == sum(len(s) - 1 for s in s2), rule
+
+
+def test_rect_cases():
     subj = [rect(10, 10, 500, 300), rect(400, 200, 300, 300)]
     clip = [rect(200, 50, 400, 400)]
-    for rule in ("union", "intersect", "difference", "xor"):
-        assert xor_sliver(subj, clip, rule) == 0
+    assert_bit_parity(subj, clip)
 
 
 def test_cross_border_diamonds():
     subj = [diamond(250, 300, 150)]   # straddles the x=256 border
     clip = [diamond(400, 300, 200)]
-    for rule in ("union", "intersect", "difference", "xor"):
-        assert xor_sliver(subj, clip, rule) == 0
+    assert_bit_parity(subj, clip)
+
+
+def test_arbitrary_slope_across_borders():
+    # slopes that round at borders — the round-1 floor-cut failure mode
+    subj = [[(10, 17), (700, 160), (650, 500), (30, 420)]]
+    clip = [[(200, 50), (900, 333), (800, 610), (100, 444)]]
+    assert_bit_parity(subj, clip, strip_w=128)
+
+
+def test_vertical_on_border():
+    # vertical edges exactly on x=256 (the on_border_split case): a
+    # left-side edge ENDS at the border strictly inside the vertical
+    subj = [rect(100, 100, 156, 300)]      # right edge at x=256
+    clip = [[(50, 250), (256, 290), (400, 600), (60, 500)]]
+    assert_bit_parity(subj, clip)
+    # vertical fully on the border crossed by a slanted edge
+    subj2 = [rect(256, 0, 200, 500)]
+    clip2 = [[(100, 100), (500, 450), (120, 480)]]
+    assert_bit_parity(subj2, clip2)
 
 
 def test_hole_across_border():
@@ -47,58 +90,49 @@ def test_hole_across_border():
     inner = [rect(200, 200, 300, 200)]  # hole spans x=256 border
     s = tiled_overlay(outer, inner, "difference", "nonzero")
     assert len(s) == 1 and len(s[0]) == 2
-    assert xor_sliver(outer, inner, "difference") == 0
+    assert_bit_parity(outer, inner)
 
 
-def test_randomized_bounded_sliver():
-    rng = np.random.default_rng(3)
-    exact = 0
-    total = 0
-    for trial in range(25):
-        subj, clip = [], []
-        for _ in range(rng.integers(1, 5)):
-            x0, y0 = rng.integers(0, 900, 2)
-            w, h = rng.integers(20, 300, 2)
-            subj.append(rect(int(x0), int(y0), int(w), int(h)))
-        for _ in range(rng.integers(1, 5)):
-            cx, cy = rng.integers(100, 900, 2)
-            r = int(rng.integers(20, 200))
-            clip.append(diamond(int(cx), int(cy), r))
-        for rule in ("union", "intersect", "difference", "xor"):
-            d2 = xor_sliver(subj, clip, rule)
-            total += 1
-            exact += d2 == 0
-            # sliver bounded: a few grid cells per half-tie crossing
-            assert d2 <= 256, (trial, rule, d2)
-    assert exact >= total * 0.9  # the overwhelming majority is bit-exact
+def test_xor_pinch_nodes():
+    # corner-touching squares: 4-valent pinch node at (100, 100)
+    subj = [rect(0, 0, 100, 100)]
+    clip = [rect(100, 100, 100, 100)]
+    assert_bit_parity(subj, clip, strip_w=64)
 
 
-def test_ray_pipeline_matches_local(ray_session):
+@pytest.mark.parametrize("trial", range(15))
+def test_randomized_bit_parity(trial):
+    rng = np.random.default_rng(1000 + trial)
+    subj, clip = [], []
+    for _ in range(int(rng.integers(3, 16))):
+        x0, y0 = rng.integers(0, 1500, 2)
+        w, h = rng.integers(5, 400, 2)
+        subj.append(rect(int(x0), int(y0), int(w), int(h)))
+    for _ in range(int(rng.integers(3, 16))):
+        cx, cy = rng.integers(100, 1500, 2)
+        r = int(rng.integers(5, 300))
+        pts = [(int(cx - r), int(cy + rng.integers(-r, r))),
+               (int(cx + rng.integers(-r // 2, r // 2 + 1)), int(cy - r)),
+               (int(cx + r), int(cy + rng.integers(-r, r))),
+               (int(cx + rng.integers(-r // 2, r // 2 + 1)), int(cy + r))]
+        clip.append(pts)
+    assert_bit_parity(subj, clip, strip_w=int(rng.choice([64, 128, 256])))
+
+
+def test_ray_pipeline_parity(ray_session):
     from ioverlay_ray.pipelines.tiled_overlay import tiled_overlay_ray
-    subj = [diamond(250, 300, 150), rect(500, 100, 300, 300)]
-    clip = [diamond(400, 300, 200)]
-    for rule in ("union", "intersect"):
-        local = tiled_overlay(subj, clip, rule, "nonzero")
-        dist = tiled_overlay_ray(subj, clip, rule, "nonzero")
-        assert shapes_area2(dist) == shapes_area2(local)
-        a = [c for s in local for c in s]
-        b = [c for s in dist for c in s]
-        assert abs(shapes_area2(overlay(a, b, "xor", "nonzero"))) == 0
-
-
-def test_scene_scale_smoke(ray_session):
-    """Wide scene across many strips: distributed union stays correct
-    (area equality vs the worker-local path) at 1000-polygon scale."""
-    from ioverlay_ray.pipelines.tiled_overlay import tiled_overlay_ray
-    rng = np.random.default_rng(1)
-    n = 500
-    subj = [rect(int(x), int(y), int(w), int(h)) for x, y, w, h in
-            zip(rng.integers(0, 10000, n), rng.integers(0, 1500, n),
-                rng.integers(20, 200, n), rng.integers(20, 200, n))]
-    clip = [diamond(int(x), int(y), int(r)) for x, y, r in
-            zip(rng.integers(100, 10000, n), rng.integers(100, 1500, n),
-                rng.integers(20, 150, n))]
-    dist = tiled_overlay_ray(subj, clip, "union", "nonzero", strip_w=512)
-    local = tiled_overlay(subj, clip, "union", "nonzero", strip_w=512)
-    assert shapes_area2(dist) == shapes_area2(local)
-    assert len(dist) == len(local)
+    rng = np.random.default_rng(77)
+    subj, clip = [], []
+    for _ in range(12):
+        x0, y0 = rng.integers(0, 1200, 2)
+        w, h = rng.integers(5, 350, 2)
+        subj.append(rect(int(x0), int(y0), int(w), int(h)))
+        cx, cy = rng.integers(100, 1200, 2)
+        r = int(rng.integers(5, 250))
+        clip.append(diamond(int(cx), int(cy), r))
+    for rule in ("union", "intersect", "difference", "xor"):
+        s1 = overlay(subj, clip, rule, "nonzero")
+        s2 = tiled_overlay_ray(subj, clip, rule, "nonzero", 256)
+        assert shapes_area2(s1) == shapes_area2(s2)
+        assert len(s1) == len(s2)
+        assert sum(len(s) - 1 for s in s1) == sum(len(s) - 1 for s in s2)
