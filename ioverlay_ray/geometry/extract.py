@@ -38,7 +38,9 @@ def _is_clockwise(p0: Point, p1: Point, p2: Point) -> bool:
 class Links:
     """Filtered link table: point pairs + node ids + fill (core/link.rs)."""
 
-    __slots__ = ("a", "b", "a_id", "b_id", "fill", "nodes")
+    __slots__ = ("a", "b", "a_id", "b_id", "fill", "_nodes",
+                 "_node_arrays", "_np", "_np_ids", "_np_fill",
+                 "pair_cw", "pair_ccw")
 
     def __init__(self, a: List[Point], b: List[Point], fill: List[int]):
         self.a = a
@@ -46,27 +48,88 @@ class Links:
         self.fill = fill
         self.a_id = [0] * len(a)
         self.b_id = [0] * len(a)
-        self.nodes: List[List[int]] = []
+        self._nodes: List[List[int]] | None = []
+        self._node_arrays = None  # (n_nodes, bounds, link_sorted)
+        self._np = None  # (ax, ay, bx, by) int64 arrays when available
+        self._np_ids = None  # (a_id, b_id) int64 arrays
+        self._np_fill = None  # fills as int64 array
+        self.pair_cw = None  # all-unvisited NearestVector tables
+        self.pair_ccw = None
 
     def __len__(self):
         return len(self.a)
+
+    @property
+    def nodes(self) -> List[List[int]]:
+        """Per-node link-index lists; materialized lazily from the
+        vectorized arrays (most walks never need them thanks to the
+        precomputed pair tables)."""
+        if self._nodes is None:
+            n_nodes, bounds, link_sorted = self._node_arrays
+            ls = link_sorted.tolist()
+            bl = bounds.tolist()
+            self._nodes = [ls[bl[v]:bl[v + 1]] for v in range(n_nodes)]
+        return self._nodes
+
+    @nodes.setter
+    def nodes(self, value) -> None:
+        self._nodes = value
 
 
 def build_links(segs: Segments, fills: np.ndarray, mask: np.ndarray) -> Links:
     idx = np.flatnonzero(mask)
     a = list(zip(segs.ax[idx].tolist(), segs.ay[idx].tolist()))
     b = list(zip(segs.bx[idx].tolist(), segs.by[idx].tolist()))
-    return Links(a, b, fills[idx].tolist())
+    links = Links(a, b, fills[idx].tolist())
+    links._np = (segs.ax[idx], segs.ay[idx], segs.bx[idx], segs.by[idx])
+    links._np_fill = fills[idx]
+    return links
+
+
+_PACK_BIAS = 1 << 30
+
+
+def _pack_pts(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """(x, y) -> one sortable int64 key; |coords| < 2^30 (the kernel
+    bound) so the biased halves fit 31/32 bits and the packed order
+    equals lexicographic."""
+    return ((x + _PACK_BIAS) << 32) | (y + _PACK_BIAS)
 
 
 def connect_nodes(links: Links) -> None:
-    """Assign node ids by two-pointer merge of a-points (already sorted,
-    links come from the sorted segment table) with (x, y)-sorted b-ends
-    (build/graph.rs:19-107). Node index lists keep a-group order first,
-    then b-group order (stable by link index)."""
+    """Assign node ids: rank of each endpoint in the sorted distinct
+    point set (= the reference's two-pointer merge, build/graph.rs:
+    19-107, vectorized). Node index lists keep a-group entries first
+    (by link index) then b-group entries (by link index) — the same
+    order the sequential merge produced."""
     n = len(links)
     if n == 0:
         return
+    if links._np is None:
+        _connect_nodes_seq(links)
+        return
+    ax, ay, bx, by = links._np
+    keys = np.concatenate((_pack_pts(ax, ay), _pack_pts(bx, by)))
+    uniq, inv = np.unique(keys, return_inverse=True)
+    a_id = inv[:n]
+    b_id = inv[n:]
+    links.a_id = a_id.tolist()
+    links.b_id = b_id.tolist()
+    # group (node, side, link) with a-side first, stable by link index
+    side = np.concatenate((np.zeros(n, np.int8), np.ones(n, np.int8)))
+    link = np.concatenate((np.arange(n), np.arange(n)))
+    order = np.lexsort((link, side, inv))
+    node_sorted = inv[order]
+    link_sorted = link[order]
+    bounds = np.searchsorted(node_sorted, np.arange(len(uniq) + 1))
+    links._np_ids = (a_id, b_id)
+    links._node_arrays = (len(uniq), bounds, link_sorted)
+    links._nodes = None  # built lazily from the arrays
+
+
+def _connect_nodes_seq(links: Links) -> None:
+    """Sequential two-pointer merge (manual Links without numpy)."""
+    n = len(links)
     ends = sorted(range(n), key=lambda i: links.b[i])
     nodes: List[List[int]] = []
 
@@ -101,6 +164,249 @@ def connect_nodes(links: Links) -> None:
 # Navigation (core/extract.rs:391-584, core/nearest_vector.rs)
 # ---------------------------------------------------------------------------
 
+def ensure_pair_tables(links: Links) -> None:
+    """Precompute, for every directed edge (link, exit-side), the
+    NearestVector successor assuming ALL links unvisited — vectorized
+    per node degree.  The selection in ``_next_link`` is an argmin over
+    a total circular-angle order from the incoming vector, so whenever
+    the precomputed winner is still unvisited it equals the sequential
+    result exactly; ``_next_link`` falls back to the exact scan
+    otherwise.  Degree-2 partners are stored offset by ``len(links)``:
+    they are returned unconditionally (the sequential degree-2 branch
+    ignores visited state)."""
+    if links.pair_cw is not None or links._node_arrays is None \
+            or links._np_ids is None:
+        return
+    n = len(links)
+    n_nodes, bounds, link_sorted = links._node_arrays
+    a_id, b_id = links._np_ids
+    ax, ay, bx, by = links._np
+    deg = np.diff(bounds)
+    pair_cw = np.full(2 * n, -1, dtype=np.int64)
+    pair_ccw = pair_cw  # shared until a degree>2 node needs rotation
+
+    d2 = np.flatnonzero(deg == 2)
+    if len(d2):
+        s = bounds[d2]
+        l0 = link_sorted[s]
+        l1 = link_sorted[s + 1]
+        o0 = np.where(a_id[l0] == d2, 0, 1)
+        o1 = np.where(a_id[l1] == d2, 0, 1)
+        pair_cw[2 * l0 + o0] = l1 + n
+        pair_cw[2 * l1 + o1] = l0 + n
+
+    hi = np.unique(deg[deg > 2])
+    if len(hi):
+        pair_ccw = pair_cw.copy()
+        for d in hi.tolist():
+            vs = np.flatnonzero(deg == d)
+            start = bounds[vs]
+            L = link_sorted[start[:, None] + np.arange(d)]  # (m, d)
+            aside = a_id[L] == vs[:, None]
+            ox = np.where(aside, bx[L], ax[L])
+            oy = np.where(aside, by[L], ay[L])
+            cx = np.where(aside[:, 0], ax[L[:, 0]], bx[L[:, 0]])
+            cy = np.where(aside[:, 0], ay[L[:, 0]], by[L[:, 0]])
+            vx = ox - cx[:, None]
+            vy = oy - cy[:, None]
+            for rot, tbl in ((1, pair_cw), (-1, pair_ccw)):
+                for j in range(d):
+                    vax = vx[:, j]
+                    vay = vy[:, j]
+                    cand = [k for k in range(d) if k != j]
+                    k0 = cand[0]
+                    vbx = vx[:, k0].copy()
+                    vby = vy[:, k0].copy()
+                    best = L[:, k0].copy()
+                    more = (vax * vby - vay * vbx) * rot >= 0
+                    for k in cand[1:]:
+                        vpx = vx[:, k]
+                        vpy = vy[:, k]
+                        ap_more = (vax * vpy - vay * vpx) * rot >= 0
+                        upd2 = more & ~ap_more
+                        upd = upd2 | ((more == ap_more) &
+                                      ((vpx * vby - vpy * vbx) * rot < 0))
+                        vbx = np.where(upd, vpx, vbx)
+                        vby = np.where(upd, vpy, vby)
+                        best = np.where(upd, L[:, k], best)
+                        more = more & ~upd2
+                    o = np.where(aside[:, j], 0, 1)
+                    tbl[2 * L[:, j] + o] = best
+
+    links.pair_cw = pair_cw.tolist()
+    links.pair_ccw = pair_ccw.tolist() if pair_ccw is not pair_cw \
+        else links.pair_cw
+
+
+def _is_fill_top_arr(fill: np.ndarray, rule: int) -> np.ndarray:
+    """Vectorized ``kernel.is_fill_top`` over a fill array."""
+    from . import kernel as K
+    if rule == K.XOR:
+        t = fill & K.BOTH_TOP
+        return (t == K.SUBJ_TOP) | (t == K.CLIP_TOP)
+    return is_fill_top(fill, rule)
+
+
+def _build_succ2(links: Links) -> np.ndarray:
+    """Directed-edge successor through degree-2 nodes only.
+
+    Directed edge ``2*l + o`` = link ``l`` exiting at its a-node
+    (``o=0``) or b-node (``o=1``); ``-1`` where the exit node has
+    degree != 2.  Injective on its domain, so the functional graph is
+    disjoint cycles plus dead-ending chains."""
+    n = len(links)
+    _, bounds, link_sorted = links._node_arrays
+    a_id, _ = links._np_ids
+    deg = np.diff(bounds)
+    succ = np.full(2 * n, -1, dtype=np.int64)
+    d2 = np.flatnonzero(deg == 2)
+    if len(d2):
+        s = bounds[d2]
+        l0 = link_sorted[s]
+        l1 = link_sorted[s + 1]
+        a0 = a_id[l0] == d2
+        a1 = a_id[l1] == d2
+        # edge (l0 exit at v) -> next link l1 entered at v, exiting at
+        # its other end; the next edge's o is 1 when l1 was entered on
+        # its a side (exit = b side ... o encodes exit side a=0/b=1)
+        succ[2 * l0 + np.where(a0, 0, 1)] = 2 * l1 + np.where(a1, 1, 0)
+        succ[2 * l1 + np.where(a1, 0, 1)] = 2 * l0 + np.where(a0, 1, 0)
+    return succ
+
+
+_PURE_CYCLE_CAP = 96  # vectorization pays for many short cycles; a few
+# long contours are cheaper on the sequential walk
+
+
+def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
+                     preserve_collinear: bool, min_area: int):
+    """Vectorized extraction of every contour whose cycle passes only
+    through degree-2 nodes ("pure" cycles).
+
+    Pure and impure links never share a node (a degree-2 node's two
+    links are cycle-mates, so they are both pure or both impure),
+    therefore pure contours never interact with the sequential walk's
+    visited state and can be computed up front, bit-exactly, and merged
+    back by discovery order (= each cycle's minimal link id).
+
+    Cycles that would need simplification (collinear vertices), fail
+    the area filter, are shorter than 3 links or longer than
+    ``_PURE_CYCLE_CAP`` are left to the sequential walk.
+
+    Returns ``None`` when unavailable, else ``(visited_init, starts,
+    holes, points)`` where ``visited_init`` is a uint8 array with pure
+    links pre-marked, ``starts`` is the sorted array of discovery keys
+    and ``points[i]`` is the materialized contour for ``starts[i]``.
+    """
+    if links._np_ids is None or links._np_fill is None:
+        return None
+    n = len(links)
+    succ = _build_succ2(links)
+    orig = np.flatnonzero(succ >= 0)
+    if not len(orig):
+        return None
+    a_id, b_id = links._np_ids
+    ax, ay, bx, by = links._np
+    _, bounds, link_sorted = links._node_arrays
+    fills = links._np_fill
+
+    groups = []  # (length, member directed edges)
+    cur = succ[orig]
+    k = 1
+    while len(orig) and k <= _PURE_CYCLE_CAP:
+        closed = cur == orig
+        if closed.any():
+            if k >= 3:
+                groups.append((k, orig[closed]))
+            keep = ~closed
+            orig = orig[keep]
+            cur = cur[keep]
+        nxt = succ[cur]
+        alive = nxt >= 0
+        if not alive.all():
+            orig = orig[alive]
+            nxt = nxt[alive]
+        cur = nxt
+        k += 1
+    if not groups:
+        return None
+
+    all_starts = []
+    all_holes = []
+    all_points = []
+    visited_init = np.zeros(n, dtype=np.uint8)
+    for L, edges in groups:
+        # min link id per cycle = discovery key
+        cur = edges
+        mn = cur >> 1
+        for _ in range(L - 1):
+            cur = succ[cur]
+            mn = np.minimum(mn, cur >> 1)
+        starts = np.unique(mn)
+        # left-top selection at the start link's a-node (degree 2)
+        va = a_id[starts]
+        i0 = link_sorted[bounds[va]]
+        i1 = link_sorted[bounds[va] + 1]
+        crs = (bx[i0] - ax[i0]) * (by[i1] - ay[i0]) - \
+            (by[i0] - ay[i0]) * (bx[i1] - ax[i0])
+        left = np.where(crs < 0, i0, i1)
+        hole = _is_fill_top_arr(fills[left], rule)
+        direction = hole == clockwise
+        d0 = 2 * left + np.where(direction, 0, 1)
+        m = len(starts)
+        P = np.empty((m, L, 2), dtype=np.int64)
+        M = np.empty((m, L), dtype=np.int64)
+        P[:, 0, 0] = np.where(direction, bx[left], ax[left])
+        P[:, 0, 1] = np.where(direction, by[left], ay[left])
+        M[:, 0] = left
+        cur = d0
+        for step in range(1, L):
+            cur = succ[cur]
+            l = cur >> 1
+            o = cur & 1
+            P[:, step, 0] = np.where(o == 1, ax[l], bx[l])
+            P[:, step, 1] = np.where(o == 1, ay[l], by[l])
+            M[:, step] = l
+        # validity: no degenerate vertices (unless preserved), area bar
+        ok = np.ones(m, dtype=bool)
+        if not preserve_collinear:
+            Pm = np.roll(P, 1, axis=1)
+            Pp = np.roll(P, -1, axis=1)
+            cr = (P[:, :, 0] - Pm[:, :, 0]) * (Pp[:, :, 1] - Pm[:, :, 1]) \
+                - (P[:, :, 1] - Pm[:, :, 1]) * (Pp[:, :, 0] - Pm[:, :, 0])
+            ok &= ~(cr == 0).any(axis=1)
+        if min_area:
+            x0 = P[:, :, 0]
+            y0 = P[:, :, 1]
+            x1 = np.roll(x0, -1, axis=1)
+            y1 = np.roll(y0, -1, axis=1)
+            area2 = (x0 * y1 - x1 * y0).sum(axis=1)
+            ok &= (np.abs(area2) >> 1) >= min_area
+        if not ok.all():
+            starts = starts[ok]
+            hole = hole[ok]
+            P = P[ok]
+            M = M[ok]
+        if not len(starts):
+            continue
+        visited_init[M.reshape(-1)] = np.where(
+            hole, HOLE_VISITED, HULL_VISITED).astype(
+                np.uint8).repeat(L)
+        all_starts.append(starts)
+        all_holes.append(hole)
+        # materialize tuples once, batched
+        pl = P.tolist()
+        all_points.extend(
+            ([tuple(p) for p in row] for row in pl))
+    if not all_starts:
+        return None
+    starts = np.concatenate(all_starts)
+    holes = np.concatenate(all_holes)
+    order = np.argsort(starts, kind="stable")
+    pts_ordered = [all_points[i] for i in order.tolist()]
+    return (visited_init, starts[order].tolist(), holes[order].tolist(),
+            pts_ordered)
+
 def _find_left_top_link(links: Links, link_index: int, visited) -> int:
     top_a = links.a[link_index]
     node = links.nodes[links.a_id[link_index]]
@@ -133,6 +439,15 @@ def _other(links: Links, i: int, node_id: int) -> Point:
 
 def _next_link(links: Links, link_id: int, node_id: int,
                clockwise: bool, visited) -> int:
+    tbl = links.pair_cw if clockwise else links.pair_ccw
+    if tbl is not None:
+        y = tbl[2 * link_id + (0 if links.a_id[link_id] == node_id else 1)]
+        if y >= 0:
+            n = len(links.a)
+            if y >= n:
+                return y - n  # degree-2 partner: unconditional
+            if visited[y] == UNVISITED:
+                return y
     node = links.nodes[node_id]
     if len(node) == 2:
         return node[1] if node[0] == link_id else node[0]
@@ -228,19 +543,26 @@ def simplify_contour(points: List[Point]) -> Tuple[List[Point], bool]:
     changed = True
     while changed and len(pts) >= 3:
         changed = False
-        out = []
         n = len(pts)
+        # scan-only fast path: most contours need no simplification
+        p0 = pts[-2]
+        p1 = pts[-1]
         for i in range(n):
-            p0 = pts[i - 1]
-            p1 = pts[i]
-            p2 = pts[(i + 1) % n]
-            if _cross(p0, p1, p2) == 0:
+            p2 = pts[i]
+            if (p1[0] - p0[0]) * (p2[1] - p0[1]) == \
+                    (p1[1] - p0[1]) * (p2[0] - p0[0]):
                 changed = True
-                modified = True
-            else:
-                out.append(p1)
-        if changed:
-            pts = out
+                break
+            p0 = p1
+            p1 = p2
+        if not changed:
+            break
+        modified = True
+        out = []
+        for i in range(n):
+            if _cross(pts[i - 1], pts[i], pts[(i + 1) % n]) != 0:
+                out.append(pts[i])
+        pts = out
     return pts, modified
 
 
@@ -451,15 +773,40 @@ def extract_shapes(links: Links, rule: int, clockwise: bool = False,
     contour comes back top-level in discovery order, holes unbound.
     """
     n = len(links)
-    visited = bytearray(n)
+    ensure_pair_tables(links)
+    plan = _pure_cycle_plan(links, rule, clockwise,
+                            preserve_output_collinear, min_output_area)
+    if plan is not None:
+        vis_init, p_starts, p_holes, p_points = plan
+        visited = bytearray(vis_init.tobytes())
+    else:
+        p_starts = []
+        visited = bytearray(n)
     shapes: List[list] = []
     holes: List[List[Point]] = []
     anchors: List[tuple] = []
     anchors_sorted = True
+    pp = 0
+    np_starts = len(p_starts)
+
+    def _flush_pure(limit: int) -> None:
+        nonlocal pp
+        while pp < np_starts and p_starts[pp] <= limit:
+            points = p_points[pp]
+            if p_holes[pp]:
+                left_bottom = points[1] if clockwise else points[0]
+                v_seg = _left_bottom_segment_from(points, left_bottom)
+                anchors.append((v_seg, ("hole", len(holes))))
+                holes.append(points)
+            else:
+                shapes.append([points])
+            pp += 1
 
     link_index = 0
     while link_index < n:
         if visited[link_index] != UNVISITED:
+            if pp < np_starts:
+                _flush_pure(link_index)
             link_index += 1
             continue
         left_top = _find_left_top_link(links, link_index, visited)
@@ -497,6 +844,7 @@ def extract_shapes(links: Links, rule: int, clockwise: bool = False,
         else:
             shapes.append([points])
 
+    _flush_pure(n)
     if not nest_holes:
         return [[c] for shape in shapes for c in shape] + \
                [[h] for h in holes]
@@ -587,6 +935,7 @@ def extract_shapes_ogc(links: Links, rule: int, clockwise: bool = False,
                        min_output_area: int = 0) -> List[list]:
     """OGC-valid variant of extract_shapes (options.ogc)."""
     n = len(links)
+    ensure_pair_tables(links)
     visited = bytearray(n)
     shapes: List[list] = []
     traversal = not clockwise

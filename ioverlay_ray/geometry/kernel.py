@@ -475,32 +475,173 @@ def _classify_pairs(segs: Segments, ii, jj, radius: int,
     any_round = False
     if mid.any():
         w = np.flatnonzero(mid)
-        t_list = np.stack([tax[w], tay[w], tbx[w], tby[w]], axis=1).tolist()
-        o_list = np.stack([oax[w], oay[w], obx[w], oby[w]], axis=1).tolist()
-        i_list = ii[w].tolist()
-        j_list = jj[w].tolist()
-        for k in range(len(w)):
-            ta, tya, tb, tyb = t_list[k]
-            oa, oya, ob, oyb = o_list[k]
-            ct, (px, py), is_round = _middle_cross(
-                ((ta, tya), (tb, tyb)), ((oa, oya), (ob, oyb)), radius)
-            any_round |= is_round
-            if ct == "pure":
-                m_idx.append(i_list[k]); m_px.append(px); m_py.append(py)
-                m_idx.append(j_list[k]); m_px.append(px); m_py.append(py)
-            elif ct == "target_end":
-                m_idx.append(j_list[k]); m_px.append(px); m_py.append(py)
-            else:  # other_end
-                m_idx.append(i_list[k]); m_px.append(px); m_py.append(py)
+        code, px, py, rnd = _middle_cross_batch(
+            tax[w], tay[w], tbx[w], tby[w],
+            oax[w], oay[w], obx[w], oby[w], radius)
+        any_round = bool(rnd.any())
+        pure = code == 0
+        if pure.any():
+            s = np.flatnonzero(pure)
+            m_idx.extend(ii[w[s]].tolist())
+            m_px.extend(px[s].tolist())
+            m_py.extend(py[s].tolist())
+            m_idx.extend(jj[w[s]].tolist())
+            m_px.extend(px[s].tolist())
+            m_py.extend(py[s].tolist())
+        te = code == 1
+        if te.any():
+            s = np.flatnonzero(te)
+            m_idx.extend(jj[w[s]].tolist())
+            m_px.extend(px[s].tolist())
+            m_py.extend(py[s].tolist())
+        oe = code == 2
+        if oe.any():
+            s = np.flatnonzero(oe)
+            m_idx.extend(ii[w[s]].tolist())
+            m_px.extend(px[s].tolist())
+            m_py.extend(py[s].tolist())
 
     return any_round
+
+
+def _middle_cross_batch(tax, tay, tbx, tby, oax, oay, obx, oby, radius):
+    """Vectorized _middle_cross over pair arrays: int64 fast path with a
+    Python-int fallback only for elements whose |a1| * |xy_b| product
+    would overflow int64 (cross_solver.rs:219-311 semantics, bit-exact).
+
+    Returns (code[0=pure,1=target_end,2=other_end], px, py, is_round).
+    """
+    n = len(tax)
+    # offset approach: translate by -target.a
+    a1x = tbx - tax
+    a1y = tby - tay
+    b0x = oax - tax
+    b0y = oay - tay
+    b1x = obx - tax
+    b1y = oby - tay
+    dy_b = b0y - b1y
+    dx_b = b0x - b1x
+    xy_b = b0x * b1y - b0y * b1x          # |.| < 2^63 for |c| < 2^30
+
+    px = np.zeros(n, dtype=np.int64)
+    py = np.zeros(n, dtype=np.int64)
+
+    vert = a1x == 0
+    horz = (~vert) & (a1y == 0)
+    gen = ~(vert | horz)
+
+    if vert.any():
+        # trunc-toward-zero division (Rust integer division)
+        num = xy_b[vert]
+        den = dx_b[vert]
+        q = np.abs(num) // np.abs(den)
+        py[vert] = np.where((num >= 0) == (den >= 0), q, -q)
+    if horz.any():
+        num = xy_b[horz]
+        den = dy_b[horz]
+        q = np.abs(num) // np.abs(den)
+        px[horz] = -np.where((num >= 0) == (den >= 0), q, -q)
+
+    overflow = np.zeros(n, dtype=bool)
+    if gen.any():
+        g = np.flatnonzero(gen)
+        div = a1y[g] * dx_b[g] - a1x[g] * dy_b[g]
+        uxy = np.abs(xy_b[g])
+        udiv = np.abs(div)
+        # fast-path gate: |a1| * |xy_b| + (udiv >> 1) must fit int64
+        amax = np.maximum(np.abs(a1x[g]), np.abs(a1y[g]))
+        safe = amax.astype(np.float64) * uxy.astype(np.float64) < 2.0 ** 62
+        s = np.sign(div) * np.sign(xy_b[g])
+        sx = np.where(a1x[g] > 0, 1, -1) * s
+        sy = np.where(a1y[g] > 0, 1, -1) * s
+        gs = g[safe]
+        if len(gs):
+            w = np.flatnonzero(safe)
+            half = udiv[w] >> 1
+            ux = (np.abs(a1x[g][w]) * uxy[w] + half) // udiv[w]
+            uy = (np.abs(a1y[g][w]) * uxy[w] + half) // udiv[w]
+            px[gs] = sx[w] * ux
+            py[gs] = sy[w] * uy
+        overflow[g[~safe]] = True
+
+    px = px + tax
+    py = py + tay
+
+    # wide-product fallback: exact Python ints (rare)
+    code = np.zeros(n, dtype=np.int8)
+    rnd = np.zeros(n, dtype=bool)
+    if overflow.any():
+        for k in np.flatnonzero(overflow).tolist():
+            ct, (fx, fy), is_round = _middle_cross(
+                ((int(tax[k]), int(tay[k])), (int(tbx[k]), int(tby[k]))),
+                ((int(oax[k]), int(oay[k])), (int(obx[k]), int(oby[k]))),
+                radius)
+            px[k] = fx
+            py[k] = fy
+            code[k] = {"pure": 0, "target_end": 1, "other_end": 2}[ct]
+            rnd[k] = is_round
+    ok = ~overflow
+
+    # on-line tests for the rounded point (int64 safe: diffs < 2^31)
+    def on_line(ax_, ay_, bx_, by_, cx_, cy_):
+        return (bx_ - ax_) * (cy_ - ay_) - (by_ - ay_) * (cx_ - ax_) == 0
+
+    t_line = on_line(tax, tay, tbx, tby, px, py)
+    o_line = on_line(oax, oay, obx, oby, px, py)
+    exact = ok & t_line & o_line          # pure, not rounded
+    rough = ok & ~exact
+    if rough.any():
+        r = np.flatnonzero(rough)
+        ra0 = (tax[r] - px[r]) ** 2 + (tay[r] - py[r]) ** 2
+        rb0 = (tbx[r] - px[r]) ** 2 + (tby[r] - py[r]) ** 2
+        ra1 = (oax[r] - px[r]) ** 2 + (oay[r] - py[r]) ** 2
+        rb1 = (obx[r] - px[r]) ** 2 + (oby[r] - py[r]) ** 2
+        near = (ra0 <= radius) | (ra1 <= radius) | \
+               (rb0 <= radius) | (rb1 <= radius)
+        rnd[r] = True
+        if near.any():
+            m = np.flatnonzero(near)
+            rm = r[m]
+            r0 = np.minimum(ra0[m], rb0[m])
+            r1 = np.minimum(ra1[m], rb1[m])
+            snap_t = r0 <= r1
+            # snap to a target end: candidate point, then reject if it
+            # lies on the other line
+            if snap_t.any():
+                st = np.flatnonzero(snap_t)
+                rs = rm[st]
+                use_a = ra0[m][st] < rb0[m][st]
+                cx = np.where(use_a, tax[rs], tbx[rs])
+                cy = np.where(use_a, tay[rs], tby[rs])
+                off = ~on_line(oax[rs], oay[rs], obx[rs], oby[rs], cx, cy)
+                sel = rs[off]
+                px[sel] = cx[off]
+                py[sel] = cy[off]
+                code[sel] = 1
+            snap_o = ~snap_t
+            if snap_o.any():
+                so = np.flatnonzero(snap_o)
+                rs = rm[so]
+                use_a = ra1[m][so] < rb1[m][so]
+                cx = np.where(use_a, oax[rs], obx[rs])
+                cy = np.where(use_a, oay[rs], oby[rs])
+                off = ~on_line(tax[rs], tay[rs], tbx[rs], tby[rs], cx, cy)
+                sel = rs[off]
+                px[sel] = cx[off]
+                py[sel] = cy[off]
+                code[sel] = 2
+    return code, px, py, rnd
 
 
 def _apply_marks(segs: Segments, m_idx, m_px, m_py,
                  string_clip: bool = False) -> Segments:
     """Subdivide marked segments at their split points, preserving winding
     counts; re-normalize direction; re-sort + merge
-    (split/solver.rs:158-251)."""
+    (split/solver.rs:158-251). Fully vectorized (round-2): marks are
+    ordered along each segment with one lexsort (runs of equal x follow
+    the segment's y direction — the _order_sub_marks semantics for
+    strictly-interior marks), sub-segments are built with offset
+    scatter, and direction re-normalization is a masked swap."""
     idx = np.asarray(m_idx, dtype=np.int64)
     px = np.asarray(m_px, dtype=np.int64)
     py = np.asarray(m_py, dtype=np.int64)
@@ -512,93 +653,79 @@ def _apply_marks(segs: Segments, m_idx, m_px, m_py,
         keep = np.concatenate(([True], ~dup))
         idx, px, py = idx[keep], px[keep], py[keep]
 
-    marked = np.unique(idx)
     marked_set_mask = np.zeros(len(segs), dtype=bool)
-    marked_set_mask[marked] = True
+    marked_set_mask[idx] = True
 
-    # fast path: segments with exactly ONE strictly-interior mark (the
-    # common case by far) subdivide vectorized into two halves with the
-    # original counts and no direction flip (a < p < b along a
-    # normalized segment)
-    fast_segs = None
-    if len(idx):
-        counts = np.bincount(idx, minlength=len(segs))
-        one = counts[idx] == 1
-        if one.any():
-            si = idx[one]
-            spx = px[one]
-            spy = py[one]
-            a_lt_p = (segs.ax[si] < spx) | ((segs.ax[si] == spx) &
-                                            (segs.ay[si] < spy))
-            p_lt_b = (spx < segs.bx[si]) | ((spx == segs.bx[si]) &
-                                            (spy < segs.by[si]))
-            ok = a_lt_p & p_lt_b
-            if ok.any():
-                si_ok = si[ok]
-                spx_ok = spx[ok]
-                spy_ok = spy[ok]
-                fast_segs = Segments(
-                    np.concatenate([segs.ax[si_ok], spx_ok]),
-                    np.concatenate([segs.ay[si_ok], spy_ok]),
-                    np.concatenate([spx_ok, segs.bx[si_ok]]),
-                    np.concatenate([spy_ok, segs.by[si_ok]]),
-                    np.concatenate([segs.subj[si_ok], segs.subj[si_ok]]),
-                    np.concatenate([segs.clip[si_ok], segs.clip[si_ok]]))
-                handled = np.zeros(len(segs), dtype=bool)
-                handled[si_ok] = True
-                slow_keep = ~handled[idx]
-                idx, px, py = idx[slow_keep], px[slow_keep], py[slow_keep]
+    # order marks ALONG each segment. Base order (x, y) is already
+    # correct except for runs of equal x on NON-vertical segments,
+    # where the reference flips runs by the neighbor-y rule
+    # (split/solver.rs:253-302, _order_sub_marks). Such runs are rare
+    # (several crossings rounded into one x column of a shallow
+    # segment) — those groups reorder through the exact Python rule;
+    # vertical segments' single run is already ascending-y = reference.
+    if len(idx) > 1:
+        run = (idx[1:] == idx[:-1]) & (px[1:] == px[:-1]) & \
+            (segs.ax[idx[1:]] != segs.bx[idx[1:]])
+        if run.any():
+            bad = np.unique(idx[np.concatenate(([False], run))])
+            sel = np.isin(idx, bad)
+            w = np.flatnonzero(sel)
+            pos = 0
+            while pos < len(w):
+                seg_i = int(idx[w[pos]])
+                end = pos
+                while end < len(w) and idx[w[end]] == seg_i:
+                    end += 1
+                span = w[pos:end]
+                pts = list(zip(px[span].tolist(), py[span].tolist()))
+                a = (int(segs.ax[seg_i]), int(segs.ay[seg_i]))
+                b = (int(segs.bx[seg_i]), int(segs.by[seg_i]))
+                pts = _order_sub_marks(pts, a, b)
+                px[span] = [p[0] for p in pts]
+                py[span] = [p[1] for p in pts]
+                pos = end
 
-    out_ax, out_ay, out_bx, out_by, out_subj, out_clip = [], [], [], [], [], []
+    # group marks by segment
+    grp_start = np.flatnonzero(np.concatenate(
+        ([True], idx[1:] != idx[:-1]))) if len(idx) else np.zeros(0, np.int64)
+    grp_seg = idx[grp_start] if len(idx) else np.zeros(0, np.int64)
+    k = np.diff(np.concatenate((grp_start, [len(idx)])))  # marks per seg
+    n_grp = len(grp_seg)
+    total = int(len(idx) + n_grp)          # sub-segments emitted
 
-    ax_l = segs.ax.tolist(); ay_l = segs.ay.tolist()
-    bx_l = segs.bx.tolist(); by_l = segs.by.tolist()
-    subj_l = segs.subj.tolist(); clip_l = segs.clip.tolist()
+    g_ord = np.repeat(np.arange(n_grp, dtype=np.int64), k + 1)
+    out_off = np.concatenate(([0], np.cumsum(k + 1)))[:-1]
+    pos = np.arange(total, dtype=np.int64)
+    local = pos - out_off[g_ord]
+    seg_of = grp_seg[g_ord]
+    mark_off = np.concatenate(([0], np.cumsum(k)))[:-1]
 
-    idx_l = idx.tolist(); px_l = px.tolist(); py_l = py.tolist()
+    first = local == 0
+    last = local == k[g_ord]
+    prev_i = np.clip(mark_off[g_ord] + local - 1, 0, max(len(idx) - 1, 0))
+    next_i = np.clip(mark_off[g_ord] + local, 0, max(len(idx) - 1, 0))
+    sx = np.where(first, segs.ax[seg_of], px[prev_i])
+    sy = np.where(first, segs.ay[seg_of], py[prev_i])
+    ex = np.where(last, segs.bx[seg_of], px[next_i])
+    ey = np.where(last, segs.by[seg_of], py[next_i])
+    su = segs.subj[seg_of]
+    cl = segs.clip[seg_of]
 
-    def emit(p, q, sgn_subj, sgn_clip):
-        if p < q:
-            out_ax.append(p[0]); out_ay.append(p[1])
-            out_bx.append(q[0]); out_by.append(q[1])
-            out_subj.append(sgn_subj); out_clip.append(sgn_clip)
-        else:
-            out_ax.append(q[0]); out_ay.append(q[1])
-            out_bx.append(p[0]); out_by.append(p[1])
-            out_subj.append(-sgn_subj)
-            if string_clip:  # invert swaps FORWARD/BACK (segm/string.rs:78-88)
-                out_clip.append(((sgn_clip & 1) << 1) | ((sgn_clip >> 1) & 1))
-            else:
-                out_clip.append(-sgn_clip)
+    flip = (sx > ex) | ((sx == ex) & (sy > ey))
+    n_ax = np.where(flip, ex, sx)
+    n_ay = np.where(flip, ey, sy)
+    n_bx = np.where(flip, sx, ex)
+    n_by = np.where(flip, sy, ey)
+    n_su = np.where(flip, -su, su)
+    if string_clip:  # invert swaps FORWARD/BACK (segm/string.rs:78-88)
+        flipped = ((cl & 1) << 1) | ((cl >> 1) & 1)
+        n_cl = np.where(flip, flipped, cl)
+    else:
+        n_cl = np.where(flip, -cl, cl)
 
-    pos = 0
-    n_marks = len(idx_l)
-    while pos < n_marks:
-        start = pos
-        seg_i = idx_l[pos]
-        pos += 1
-        while pos < n_marks and idx_l[pos] == seg_i:
-            pos += 1
-        pts = [(px_l[k], py_l[k]) for k in range(start, pos)]
-        a = (ax_l[seg_i], ay_l[seg_i])
-        b = (bx_l[seg_i], by_l[seg_i])
-        if len(pts) > 1:
-            pts = _order_sub_marks(pts, a, b)
-        su, cl = subj_l[seg_i], clip_l[seg_i]
-        prev = a
-        for p in pts:
-            emit(prev, p, su, cl)
-            prev = p
-        emit(prev, b, su, cl)
-
-    # untouched segments pass through
-    untouched = ~marked_set_mask
-    untouched_segs = segs.take(untouched)
-    new = Segments(out_ax, out_ay, out_bx, out_by, out_subj, out_clip)
-    parts = [untouched_segs, new]
-    if fast_segs is not None:
-        parts.append(fast_segs)
-    return sort_merge(Segments.concat(parts), string_clip)
+    untouched_segs = segs.take(~marked_set_mask)
+    new = Segments(n_ax, n_ay, n_bx, n_by, n_su, n_cl)
+    return sort_merge(Segments.concat([untouched_segs, new]), string_clip)
 
 
 def _order_sub_marks(pts, a, b):
@@ -669,41 +796,181 @@ def bottom_windings(segs: Segments, block: int = 256,
     along each segment.
     """
     n = len(segs)
-    bot_subj = np.zeros(n, dtype=np.int64)
-    bot_clip = np.zeros(n, dtype=np.int64)
     if n == 0:
-        return bot_subj, bot_clip
-
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy()
     mx = segs.ax + segs.bx          # doubled midpoint
     my = segs.ay + segs.by
+    return _stab_windings(segs, mx, my, np.arange(n), block, with_clip)
+
+
+def _stab_windings(segs: Segments, mx, my, q_pos, block: int = 256,
+                   with_clip: bool = True):
+    """Winding below the doubled points (mx, my) (queries in ax-sorted
+    position order ``q_pos``) against ALL segments of ``segs`` (sorted
+    by ax).
+
+    Fast path (column-prefix sweep, O(n log n)): segments are
+    replicated once per DISTINCT query column they cover, keyed by an
+    exact scaled rational y-at-x (scale C >= U^2 where U is the max
+    x-extent, so the integer keys order exactly like the rationals —
+    no crossings exist post-split, so the per-column order is a total
+    order), then one global lexsort + segmented prefix sum answers
+    every query. Dense-grid workloads (LinesNet) are O(n^2) under the
+    pairwise stab; this path restores the reference sweep's
+    complexity. Falls back to the exact pairwise window scan when the
+    scaled keys could overflow int64; the long tail above the
+    99th-percentile span is always handled pairwise so a few
+    full-width edges don't inflate U."""
+    nq = len(q_pos)
+    bot_subj = np.zeros(nq, dtype=np.int64)
+    bot_clip = np.zeros(nq, dtype=np.int64)
+    if nq == 0 or len(segs) == 0:
+        return bot_subj, bot_clip
+
     tax2 = 2 * segs.ax
     tbx2 = 2 * segs.bx
     ux = segs.bx - segs.ax
     uy = segs.by - segs.ay
+    spans = tbx2 - tax2
 
-    # segments are sorted by ax, so each x-contiguous query block only
-    # needs the column window whose x-span can reach it: ax in
-    # (qmin - max_span, qmax]. Turns the stab from O(n^2) into
-    # O(n * local density) for spatially-spread inputs (tiles, packed
-    # job batches).
-    max_span2 = int((tbx2 - tax2).max()) if n else 0
+    # Pick the span threshold separating fast-path (column-replicated)
+    # segments from the pairwise long tail.  Prefer the LARGEST
+    # threshold whose scaled keys still fit int64 and whose column
+    # replication stays within budget — ideally max(span), making the
+    # tail empty (a dense long tail is O(nq * n_long) pairwise).
+    qmx_all = mx[q_pos]
+    qmy_all = my[q_pos]
+    X = np.unique(qmx_all)
+    lo_all = np.searchsorted(X, tax2, side="left")
+    hi_all = np.searchsorted(X, tbx2, side="left")
+    counts_all = np.maximum(hi_all - lo_all, 0)
+    y_max = max(float(np.abs(segs.ay).max()),
+                float(np.abs(segs.by).max()), 1.0)
+    rep_budget = 8 * max(len(segs), nq)
+    threshold = None
+    if len(spans):
+        for qtile in (1.0, 0.999, 0.99):
+            thr = int(spans.max()) if qtile >= 1.0 else \
+                int(np.quantile(spans, qtile))
+            sm = spans <= thr
+            s_ux = ux[sm & (ux > 0)]
+            U = int(s_ux.max()) if len(s_ux) else 1
+            C = 1 << min(62, 2 * max(1, (U + 1).bit_length()))
+            num_max = 2.0 * y_max * U + U * 2.0 * thr
+            if (num_max * C < 2.0 ** 61 and 2.0 * y_max * C < 2.0 ** 61
+                    and int(counts_all[sm].sum()) <= rep_budget):
+                threshold = thr
+                break
+    if threshold is None:
+        threshold = int(np.quantile(spans, 0.99)) if len(spans) > 64 \
+            else int(spans.max())
+    long_mask = spans > threshold
+    long_idx = np.flatnonzero(long_mask)
 
-    for q0 in range(0, n, block):
-        q1 = min(n, q0 + block)
-        qmx = mx[q0:q1, None]
-        qmy = my[q0:q1, None]
+    def add_pairwise(q0, q1, cols):
+        qmx = mx[q_pos[q0:q1], None]
+        qmy = my[q_pos[q0:q1], None]
+        cover = (tax2[None, cols] <= qmx) & (qmx < tbx2[None, cols])
+        # strictly under: cross((b-a), (m - 2a)) > 0
+        cr = ux[None, cols] * (qmy - 2 * segs.ay[None, cols]) - \
+            uy[None, cols] * (qmx - 2 * segs.ax[None, cols])
+        under = cover & (cr > 0)
+        bot_subj[q0:q1] += under @ segs.subj[cols]
+        if with_clip:
+            bot_clip[q0:q1] += under @ segs.clip[cols]
+
+    # ---- column-prefix fast path over the short segments ----
+    short = np.flatnonzero(~long_mask)
+    done_fast = False
+    if len(short):
+        s_ux = ux[short]
+        nz = s_ux > 0
+        U = int(s_ux[nz].max()) if nz.any() else 1
+        C = 1 << min(62, 2 * max(1, (U + 1).bit_length()))
+        lo = lo_all[short]
+        hi = hi_all[short]
+        counts = counts_all[short]
+        total = int(counts.sum())
+        # worst-case scaled magnitudes (float estimate, safety margin)
+        num_max = 2.0 * y_max * U + U * 2.0 * threshold
+        q_max = 2.0 * y_max
+        if num_max * C < 2.0 ** 61 and q_max * C < 2.0 ** 61:
+            rep = np.repeat(np.arange(len(short), dtype=np.int64), counts)
+            offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            rep_col = np.arange(total, dtype=np.int64) \
+                - np.repeat(offs, counts) + np.repeat(lo, counts)
+            g = short[rep]
+            x2 = X[rep_col]
+            num = 2 * segs.ay[g] * ux[g] + uy[g] * (x2 - tax2[g])
+            K_rep = (num * C) // ux[g]        # floor: exact rational order
+            K_q = qmy_all * C
+            q_col = np.searchsorted(X, qmx_all)
+
+            col_all = np.concatenate((rep_col, q_col))
+            K_all = np.concatenate((K_rep, K_q))
+            tag = np.concatenate((np.ones(total, np.int8),
+                                  np.zeros(nq, np.int8)))
+            s_all = np.concatenate((segs.subj[g], np.zeros(nq, np.int64)))
+            c_all = np.concatenate((segs.clip[g], np.zeros(nq, np.int64))) \
+                if with_clip else None
+            order = np.lexsort((tag, K_all, col_all))
+            col_s = col_all[order]
+            run_start = np.concatenate(
+                ([True], col_s[1:] != col_s[:-1]))
+            # forward-fill each row's column-start index (indices are
+            # monotone, unlike the signed cumsum)
+            start_rows = np.maximum.accumulate(
+                np.where(run_start, np.arange(len(order)), 0))
+            # positions of query rows in the sorted order
+            inv = np.empty(len(order), np.int64)
+            inv[order] = np.arange(len(order))
+            q_rows = inv[total:]
+            excl_s = np.cumsum(s_all[order]) - s_all[order]
+            bot_subj[:] = excl_s[q_rows] - excl_s[start_rows[q_rows]]
+            if with_clip:
+                excl_c = np.cumsum(c_all[order]) - c_all[order]
+                bot_clip[:] = excl_c[q_rows] - excl_c[start_rows[q_rows]]
+            done_fast = True
+
+    if done_fast:
+        # add the long tail exactly, block-pairwise, windowed to the
+        # long segments whose x-span actually intersects each block
+        if len(long_idx):
+            l_ord = long_idx[np.argsort(tax2[long_idx], kind="stable")]
+            l_tax2 = tax2[l_ord]
+            l_tbx2_max = np.maximum.accumulate(tbx2[l_ord])
+            for q0 in range(0, nq, 4096):
+                q1 = min(nq, q0 + 4096)
+                qlo = int(qmx_all[q0:q1].min())
+                qhi = int(qmx_all[q0:q1].max())
+                c1 = int(np.searchsorted(l_tax2, qhi, side="right"))
+                # candidates start where the running max bx2 first
+                # exceeds qlo (sorted by ax2; spans vary, so use the
+                # prefix-max of bx2 as a conservative left bound)
+                c0 = int(np.searchsorted(l_tbx2_max[:c1], qlo,
+                                         side="right"))
+                sel = l_ord[c0:c1]
+                sel = sel[tbx2[sel] > qlo]
+                if len(sel):
+                    add_pairwise(q0, q1, sel)
+        return bot_subj, bot_clip
+
+    # ---- exact pairwise fallback (windowed by the span threshold) ----
+    for q0 in range(0, nq, block):
+        q1 = min(nq, q0 + block)
+        qmx = qmx_all[q0:q1]
         qlo = int(qmx.min())
         qhi = int(qmx.max())
-        c0 = int(np.searchsorted(tax2, qlo - max_span2, side="left"))
+        c0 = int(np.searchsorted(tax2, qlo - threshold, side="left"))
         c1 = int(np.searchsorted(tax2, qhi, side="right"))
-        cover = (tax2[None, c0:c1] <= qmx) & (qmx < tbx2[None, c0:c1])
-        # strictly under: cross((b-a), (m - 2a)) > 0
-        cr = ux[None, c0:c1] * (qmy - 2 * segs.ay[None, c0:c1]) - \
-             uy[None, c0:c1] * (qmx - 2 * segs.ax[None, c0:c1])
-        under = cover & (cr > 0)
-        bot_subj[q0:q1] = under @ segs.subj[c0:c1]
-        if with_clip:
-            bot_clip[q0:q1] = under @ segs.clip[c0:c1]
+        extra = long_idx[(long_idx < c0) | (long_idx >= c1)] \
+            if len(long_idx) else long_idx
+        if len(extra):
+            add_pairwise(q0, q1, np.concatenate((extra,
+                                                 np.arange(c0, c1))))
+        else:
+            add_pairwise(q0, q1, slice(c0, c1))
 
     return bot_subj, bot_clip
 

@@ -197,34 +197,12 @@ def strip_fills(segs: Segments, fill_rule: int,
 def bottom_windings_subset(segs: Segments, q_idx: np.ndarray,
                            block: int = 256):
     """bottom_windings for a subset of query rows against ALL rows of
-    ``segs`` (already sorted by ax)."""
-    nq = len(q_idx)
-    bot_subj = np.zeros(nq, dtype=np.int64)
-    bot_clip = np.zeros(nq, dtype=np.int64)
-    if nq == 0 or len(segs) == 0:
-        return bot_subj, bot_clip
-    mx = (segs.ax + segs.bx)[q_idx]
-    my = (segs.ay + segs.by)[q_idx]
-    tax2 = 2 * segs.ax
-    tbx2 = 2 * segs.bx
-    ux = segs.bx - segs.ax
-    uy = segs.by - segs.ay
-    max_span2 = int((tbx2 - tax2).max())
-    for q0 in range(0, nq, block):
-        q1 = min(nq, q0 + block)
-        qmx = mx[q0:q1, None]
-        qmy = my[q0:q1, None]
-        qlo = int(qmx.min())
-        qhi = int(qmx.max())
-        c0 = int(np.searchsorted(tax2, qlo - max_span2, side="left"))
-        c1 = int(np.searchsorted(tax2, qhi, side="right"))
-        cover = (tax2[None, c0:c1] <= qmx) & (qmx < tbx2[None, c0:c1])
-        cr = ux[None, c0:c1] * (qmy - 2 * segs.ay[None, c0:c1]) - \
-            uy[None, c0:c1] * (qmx - 2 * segs.ax[None, c0:c1])
-        under = cover & (cr > 0)
-        bot_subj[q0:q1] = under @ segs.subj[c0:c1]
-        bot_clip[q0:q1] = under @ segs.clip[c0:c1]
-    return bot_subj, bot_clip
+    ``segs`` (already sorted by ax); long-tail-aware windowing shared
+    with the kernel."""
+    from .kernel import _stab_windings
+    mx = segs.ax + segs.bx
+    my = segs.ay + segs.by
+    return _stab_windings(segs, mx, my, np.asarray(q_idx, np.int64), block)
 
 
 # ---------------------------------------------------------------------------
