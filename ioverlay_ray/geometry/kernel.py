@@ -338,25 +338,25 @@ def _middle_cross(t, o, radius):
 PAIR_BLOCK = 4_000_000  # max candidate pairs materialized at once
 
 
-def _candidate_pair_blocks(segs: Segments):
-    """Yield (i, j>i) candidate-pair blocks with x-overlap (sorted by a)
-    and y-range overlap. Mirrors the list-split pruning
-    (split/solver_list.rs:33-44); blocks bound peak memory so one dense
-    tile can't blow up a worker (the 100TB-regime guard)."""
-    n = len(segs)
-    # segments sorted by (a, b); pair window: j while a_j.x <= b_i.x
-    j_end = np.searchsorted(segs.ax, segs.bx, side="right")
-    counts = np.maximum(j_end - np.arange(1, n + 1), 0)
+def _pair_blocks_1d(segs: Segments, members: np.ndarray, bmin=None,
+                    band: int | None = None):
+    """(i, j>i) x-window candidate pairs over ``members`` (ascending
+    global indices).  With ``bmin``/``band``, keep only pairs whose
+    max(bmin_i, bmin_j) equals ``band`` (exact de-dup across y-bands)."""
+    m = len(members)
+    ax = segs.ax[members]
+    bx = segs.bx[members]
+    j_end = np.searchsorted(ax, bx, side="right")
+    counts = np.maximum(j_end - np.arange(1, m + 1), 0)
     if int(counts.sum()) == 0:
         return
 
-    ymin_i = np.minimum(segs.ay, segs.by)
-    ymax_i = np.maximum(segs.ay, segs.by)
+    ymin = np.minimum(segs.ay, segs.by)
+    ymax = np.maximum(segs.ay, segs.by)
     csum = np.concatenate(([0], np.cumsum(counts)))
 
     i0 = 0
-    while i0 < n:
-        # widest i-range whose pair count stays under the block cap
+    while i0 < m:
         i1 = int(np.searchsorted(csum, csum[i0] + PAIR_BLOCK, "right")) - 1
         i1 = max(i1, i0 + 1)
         c = counts[i0:i1]
@@ -364,19 +364,76 @@ def _candidate_pair_blocks(segs: Segments):
         if total == 0:
             i0 = i1
             continue
-        ii = np.repeat(np.arange(i0, i1), c)
+        pp = np.repeat(np.arange(i0, i1), c)
         offs = (csum[i0:i1] - csum[i0]).astype(np.int64)
-        jj = np.arange(total) - np.repeat(offs, c) + ii + 1
+        qq = np.arange(total) - np.repeat(offs, c) + pp + 1
+        ii = members[pp]
+        jj = members[qq]
 
-        low = ymin_i[ii]
-        high = ymax_i[ii]
-        ajy = segs.ay[jj]
-        bjy = segs.by[jj]
-        skip = ((low > ajy) & (low > bjy)) | ((high < ajy) & (high < bjy))
-        keep = ~skip
+        low = ymin[ii]
+        high = ymax[ii]
+        keep = ~(((low > segs.ay[jj]) & (low > segs.by[jj]))
+                 | ((high < segs.ay[jj]) & (high < segs.by[jj])))
+        if bmin is not None:
+            keep &= np.maximum(bmin[ii], bmin[jj]) == band
         if keep.any():
             yield ii[keep], jj[keep]
         i0 = i1
+
+
+def _candidate_pair_blocks(segs: Segments):
+    """Yield (i, j>i) candidate-pair blocks with x-overlap (sorted by a)
+    and y-range overlap.
+
+    Small inputs use the flat x-window scan (split/solver_list.rs:
+    33-44).  Dense inputs whose x-windows explode (spirals, long thin
+    boards) are bucketed into y-bands first — the flat analogue of the
+    reference's interval-tree regime (split/solver_tree.rs:34-97): each
+    segment joins every band its y-range overlaps, pairs are emitted in
+    the band max(bmin_i, bmin_j) only (exact de-dup), and the x-window
+    runs per band.  Blocks bound peak memory so one dense tile can't
+    blow up a worker (the 100TB-regime guard)."""
+    n = len(segs)
+    if n == 0:
+        return
+    ymin = np.minimum(segs.ay, segs.by)
+    ymax = np.maximum(segs.ay, segs.by)
+    use_bands = False
+    if n > 4096:
+        # estimate flat x-window pair count; band when it explodes
+        j_end = np.searchsorted(segs.ax, segs.bx, side="right")
+        flat_pairs = int(np.maximum(
+            j_end - np.arange(1, n + 1), 0).sum())
+        use_bands = flat_pairs > max(4 * n, 1 << 22)
+    if use_bands:
+        y0 = int(ymin.min())
+        y1 = int(ymax.max())
+        B = min(512, max(2, n // 2048))
+        while B > 1:
+            h = max(1, (y1 - y0 + B) // B)
+            bmin = (ymin - y0) // h
+            bmax = (ymax - y0) // h
+            rep = int((bmax - bmin + 1).sum())
+            if rep <= 4 * n:
+                break
+            B >>= 1
+        if B > 1:
+            counts = (bmax - bmin + 1).astype(np.int64)
+            order = np.repeat(np.arange(n), counts)
+            csum = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            bands = np.arange(len(order)) - np.repeat(csum, counts) \
+                + bmin[order]
+            srt = np.argsort(bands, kind="stable")
+            bands_s = bands[srt]
+            order_s = order[srt]
+            bounds = np.searchsorted(bands_s, np.arange(B + 1))
+            for b in range(B):
+                mem = order_s[bounds[b]:bounds[b + 1]]
+                if len(mem) < 2:
+                    continue
+                yield from _pair_blocks_1d(segs, mem, bmin, b)
+            return
+    yield from _pair_blocks_1d(segs, np.arange(n))
 
 
 def _candidate_pairs(segs: Segments):
@@ -804,6 +861,158 @@ def bottom_windings(segs: Segments, block: int = 256,
     return _stab_windings(segs, mx, my, np.arange(n), block, with_clip)
 
 
+def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
+    """Winding below doubled points (mx, my) via a vectorized segment
+    tree over query columns — the distributed analogue of the
+    reference's medium-regime sweep (split/solver_tree.rs:34-97).
+
+    Post-split segments share no interior points, so all segments
+    assigned to one canonical tree node (they span the node's full
+    column range) have one consistent vertical order across the node;
+    each query ranks against the node's y-sorted prefix sums by a
+    batched binary search whose comparator is the exact int64 cross
+    test at the query's own x — no approximate keys on the query side.
+    O((n+q)·log^2) with every step a numpy pass.
+    """
+    nq = len(q_pos)
+    bot_subj = np.zeros(nq, dtype=np.int64)
+    bot_clip = np.zeros(nq, dtype=np.int64)
+    if nq == 0 or len(segs) == 0:
+        return bot_subj, bot_clip
+    qmx_all = mx[q_pos]
+    qmy_all = my[q_pos]
+    tax2 = 2 * segs.ax
+    tbx2 = 2 * segs.bx
+    ux = segs.bx - segs.ax
+    uy = segs.by - segs.ay
+
+    X = np.unique(qmx_all)
+    ncols = len(X)
+    N = 1 << max(1, (ncols - 1).bit_length())
+    lo = np.searchsorted(X, tax2, side="left") + N
+    hi = np.searchsorted(X, tbx2, side="left") + N
+    keep = hi > lo
+    lo = lo[keep].copy()
+    hi = hi[keep].copy()
+    seg_ids = np.flatnonzero(keep)
+
+    # canonical segment-tree decomposition, all segments at once
+    node_parts = []
+    seg_parts = []
+    active = np.arange(len(seg_ids))
+    while len(active):
+        l = lo[active]
+        h = hi[active]
+        oddl = (l & 1) == 1
+        if oddl.any():
+            node_parts.append(l[oddl])
+            seg_parts.append(seg_ids[active[oddl]])
+            lo[active[oddl]] += 1
+        oddh = (hi[active] & 1) == 1
+        if oddh.any():
+            hi[active[oddh]] -= 1
+            node_parts.append(hi[active[oddh]])
+            seg_parts.append(seg_ids[active[oddh]])
+        lo[active] >>= 1
+        hi[active] >>= 1
+        active = active[lo[active] < hi[active]]
+    if not node_parts:
+        return bot_subj, bot_clip
+    nodes = np.concatenate(node_parts)
+    segids = np.concatenate(seg_parts)
+
+    # within-node order: exact y at the node's first covered column,
+    # tie-broken by slope (shared left endpoints), then an exact
+    # Fraction pass on truncation collisions
+    # first covered column of node v = v << (leaf_level - level(v));
+    # level via the float exponent (exact for v < 2^53)
+    leaf_bits = int(N).bit_length()
+    vbits = np.frexp(nodes.astype(np.float64))[1].astype(np.int64)
+    first_col = (nodes << (leaf_bits - vbits)) - N
+    xstar = X[np.minimum(first_col, ncols - 1)]
+    g = segids
+    den = ux[g]
+    num = 2 * segs.ay[g] * den + uy[g] * (xstar - tax2[g])
+    k1 = num // den
+    k2 = ((num - k1 * den) << 31) // den
+    # slope key: uy/ux two-part, packed into one int64
+    s1 = uy[g] // den
+    s2 = (((uy[g] - s1 * den)) << 31) // den
+    sk = (s1 << 31) | s2
+    order = np.lexsort((sk, k2, k1, nodes))
+    nodes_s = nodes[order]
+    seg_s = segids[order]
+    # exact re-sort of runs with colliding truncated keys
+    eqk = (nodes_s[1:] == nodes_s[:-1]) \
+        & (k1[order][1:] == k1[order][:-1]) \
+        & (k2[order][1:] == k2[order][:-1]) \
+        & (sk[order][1:] == sk[order][:-1])
+    if eqk.any():
+        from fractions import Fraction
+        idx = np.flatnonzero(eqk)
+        i = 0
+        while i < len(idx):
+            j = i
+            while j + 1 < len(idx) and idx[j + 1] == idx[j] + 1:
+                j += 1
+            a0 = int(idx[i])
+            b0 = int(idx[j]) + 1
+            rows = order[a0:b0 + 1].tolist()
+            rows.sort(key=lambda r: (
+                Fraction(int(num[r]), int(den[r])),
+                Fraction(int(uy[segids[r]]), int(den[r]))))
+            order[a0:b0 + 1] = rows
+            i = j + 1
+        nodes_s = nodes[order]
+        seg_s = segids[order]
+    # per-node bounds + prefix sums (exclusive); nodes_s is sorted, so
+    # run boundaries come from a diff, not a second sort
+    nb = np.concatenate(([True], nodes_s[1:] != nodes_s[:-1]))
+    node_first = np.flatnonzero(nb)
+    uniq_nodes = nodes_s[node_first]
+    node_last = np.concatenate((node_first[1:], [len(nodes_s)]))
+    csum_s = np.concatenate(([0], np.cumsum(segs.subj[seg_s])))
+    csum_c = np.concatenate(([0], np.cumsum(segs.clip[seg_s]))) \
+        if with_clip else None
+
+    q_col = np.searchsorted(X, qmx_all)
+    ax_s = segs.ax[seg_s]
+    ay_s = segs.ay[seg_s]
+    ux_s = ux[seg_s]
+    uy_s = uy[seg_s]
+    leaf = q_col + N
+    levels = int(N).bit_length()
+    for _ in range(levels):
+        pos = np.searchsorted(uniq_nodes, leaf)
+        hit = (pos < len(uniq_nodes))
+        pos = np.minimum(pos, len(uniq_nodes) - 1)
+        hit &= uniq_nodes[pos] == leaf
+        if hit.any():
+            qs = np.flatnonzero(hit)
+            start = node_first[pos[qs]]
+            b_lo = np.zeros(len(qs), dtype=np.int64)
+            b_hi = (node_last[pos[qs]] - start).astype(np.int64)
+            qx = qmx_all[qs]
+            qy = qmy_all[qs]
+            while True:
+                open_m = b_lo < b_hi
+                if not open_m.any():
+                    break
+                mid = (b_lo + b_hi) >> 1
+                t = start + np.where(open_m, mid, 0)
+                cr = ux_s[t] * (qy - 2 * ay_s[t]) - \
+                    uy_s[t] * (qx - 2 * ax_s[t])
+                below = (cr > 0) & open_m
+                b_lo = np.where(below, mid + 1, b_lo)
+                b_hi = np.where(open_m & ~below, mid, b_hi)
+            r = start + b_lo
+            bot_subj[qs] += csum_s[r] - csum_s[start]
+            if with_clip:
+                bot_clip[qs] += csum_c[r] - csum_c[start]
+        leaf >>= 1
+    return bot_subj, bot_clip
+
+
 def _stab_windings(segs: Segments, mx, my, q_pos, block: int = 256,
                    with_clip: bool = True):
     """Winding below the doubled points (mx, my) (queries in ax-sorted
@@ -848,6 +1057,7 @@ def _stab_windings(segs: Segments, mx, my, q_pos, block: int = 256,
     y_max = max(float(np.abs(segs.ay).max()),
                 float(np.abs(segs.by).max()), 1.0)
     rep_budget = 8 * max(len(segs), nq)
+    uy_max = float(np.abs(uy).max()) if len(uy) else 1.0
     threshold = None
     if len(spans):
         for qtile in (1.0, 0.999, 0.99):
@@ -855,14 +1065,17 @@ def _stab_windings(segs: Segments, mx, my, q_pos, block: int = 256,
                 int(np.quantile(spans, qtile))
             sm = spans <= thr
             s_ux = ux[sm & (ux > 0)]
-            U = int(s_ux.max()) if len(s_ux) else 1
-            C = 1 << min(62, 2 * max(1, (U + 1).bit_length()))
-            num_max = 2.0 * y_max * U + U * 2.0 * thr
-            if (num_max * C < 2.0 ** 61 and 2.0 * y_max * C < 2.0 ** 61
+            U = float(s_ux.max()) if len(s_ux) else 1.0
+            # two-part exact key: |num| <= 2*y_max*U + uy_max*2*U
+            if (2.0 * U * (y_max + uy_max) < 2.0 ** 62
                     and int(counts_all[sm].sum()) <= rep_budget):
                 threshold = thr
                 break
     if threshold is None:
+        if nq > 2048:
+            # replication over budget or keys overflow: the segment-tree
+            # sweep handles dense-column workloads in O(n log^2 n)
+            return _tree_windings(segs, mx, my, q_pos, with_clip)
         threshold = int(np.quantile(spans, 0.99)) if len(spans) > 64 \
             else int(spans.max())
     long_mask = spans > threshold
@@ -886,36 +1099,66 @@ def _stab_windings(segs: Segments, mx, my, q_pos, block: int = 256,
     if len(short):
         s_ux = ux[short]
         nz = s_ux > 0
-        U = int(s_ux[nz].max()) if nz.any() else 1
-        C = 1 << min(62, 2 * max(1, (U + 1).bit_length()))
+        U = float(s_ux[nz].max()) if nz.any() else 1.0
         lo = lo_all[short]
-        hi = hi_all[short]
         counts = counts_all[short]
         total = int(counts.sum())
-        # worst-case scaled magnitudes (float estimate, safety margin)
-        num_max = 2.0 * y_max * U + U * 2.0 * threshold
-        q_max = 2.0 * y_max
-        if num_max * C < 2.0 ** 61 and q_max * C < 2.0 ** 61:
+        if 2.0 * U * (y_max + uy_max) < 2.0 ** 62 and total <= rep_budget:
             rep = np.repeat(np.arange(len(short), dtype=np.int64), counts)
             offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
             rep_col = np.arange(total, dtype=np.int64) \
                 - np.repeat(offs, counts) + np.repeat(lo, counts)
             g = short[rep]
             x2 = X[rep_col]
-            num = 2 * segs.ay[g] * ux[g] + uy[g] * (x2 - tax2[g])
-            K_rep = (num * C) // ux[g]        # floor: exact rational order
-            K_q = qmy_all * C
+            den = ux[g]
+            num = 2 * segs.ay[g] * den + uy[g] * (x2 - tax2[g])
+            # exact rational order via (floor quotient, 31-bit fraction)
+            # + an exact Fraction tie-break on truncation collisions
+            k1 = num // den
+            k2 = ((num - k1 * den) << 31) // den
             q_col = np.searchsorted(X, qmx_all)
 
             col_all = np.concatenate((rep_col, q_col))
-            K_all = np.concatenate((K_rep, K_q))
+            k1_all = np.concatenate((k1, qmy_all))
+            k2_all = np.concatenate((k2, np.zeros(nq, np.int64)))
             tag = np.concatenate((np.ones(total, np.int8),
                                   np.zeros(nq, np.int8)))
             s_all = np.concatenate((segs.subj[g], np.zeros(nq, np.int64)))
             c_all = np.concatenate((segs.clip[g], np.zeros(nq, np.int64))) \
                 if with_clip else None
-            order = np.lexsort((tag, K_all, col_all))
+            order = np.lexsort((tag, k2_all, k1_all, col_all))
             col_s = col_all[order]
+            eq = (col_s[1:] == col_s[:-1]) \
+                & (k1_all[order][1:] == k1_all[order][:-1]) \
+                & (k2_all[order][1:] == k2_all[order][:-1])
+            if eq.any():
+                tag_s = tag[order]
+                num_list = None
+                idx = np.flatnonzero(eq)
+                i = 0
+                changed = False
+                while i < len(idx):
+                    j = i
+                    while j + 1 < len(idx) and idx[j + 1] == idx[j] + 1:
+                        j += 1
+                    lo_r = int(idx[i])
+                    hi_r = int(idx[j]) + 1
+                    if (tag_s[lo_r:hi_r + 1] == 0).any():
+                        if num_list is None:
+                            from fractions import Fraction
+                            num_full = np.concatenate((num, qmy_all))
+                            den_full = np.concatenate(
+                                (den, np.ones(nq, np.int64)))
+                        rows = order[lo_r:hi_r + 1].tolist()
+                        rows.sort(key=lambda r: (
+                            Fraction(int(num_full[r]), int(den_full[r])),
+                            int(tag[r])))
+                        order[lo_r:hi_r + 1] = rows
+                        changed = True
+                        num_list = True
+                    i = j + 1
+                if changed:
+                    col_s = col_all[order]
             run_start = np.concatenate(
                 ([True], col_s[1:] != col_s[:-1]))
             # forward-fill each row's column-start index (indices are
