@@ -279,7 +279,8 @@ _PURE_CYCLE_CAP = 96  # vectorization pays for many short cycles; a few
 
 
 def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
-                     preserve_collinear: bool, min_area: int):
+                     preserve_collinear: bool, min_area: int,
+                     materialize: bool = True):
     """Vectorized extraction of every contour whose cycle passes only
     through degree-2 nodes ("pure" cycles).
 
@@ -394,12 +395,17 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
                 np.uint8).repeat(L)
         all_starts.append(starts)
         all_holes.append(hole)
-        # materialize tuples once, batched
-        pl = P.tolist()
-        all_points.extend(
-            ([tuple(p) for p in row] for row in pl))
+        if materialize:
+            # materialize tuples once, batched
+            pl = P.tolist()
+            all_points.extend(
+                ([tuple(p) for p in row] for row in pl))
+        else:
+            all_points.append(P)
     if not all_starts:
         return None
+    if not materialize:
+        return (visited_init, all_starts, all_holes, all_points)
     starts = np.concatenate(all_starts)
     holes = np.concatenate(all_holes)
     order = np.argsort(starts, kind="stable")
@@ -850,6 +856,86 @@ def extract_shapes(links: Links, rule: int, clockwise: bool = False,
                [[h] for h in holes]
     join_holes(shapes, holes, anchors, clockwise, anchors_sorted)
     return shapes
+
+
+def extract_stats(links: Links, rule: int, clockwise: bool = False,
+                  preserve_output_collinear: bool = False,
+                  min_output_area: int = 0):
+    """Per-contour (anchor_x, signed area2, is_hole) WITHOUT
+    materializing Python point lists — the stats surface for packed
+    fleets of small jobs (counting/area reductions).  Pure cycles stay
+    as numpy matrices; only impure contours fall back to the walk.
+    Signed area follows traversal direction: hulls positive, holes
+    negative (clockwise=False)."""
+    n = len(links)
+    ensure_pair_tables(links)
+    plan = _pure_cycle_plan(links, rule, clockwise,
+                            preserve_output_collinear, min_output_area,
+                            materialize=False)
+    xs_parts = []
+    a2_parts = []
+    hole_parts = []
+    if plan is not None:
+        vis_init, g_starts, g_holes, g_P = plan
+        visited = bytearray(vis_init.tobytes())
+        for starts, hole, P in zip(g_starts, g_holes, g_P):
+            x0 = P[:, :, 0]
+            y0 = P[:, :, 1]
+            x1 = np.roll(x0, -1, axis=1)
+            y1 = np.roll(y0, -1, axis=1)
+            a2 = (x0 * y1 - x1 * y0).sum(axis=1)
+            xs_parts.append(P[:, 0, 0])
+            a2_parts.append(a2)
+            hole_parts.append(hole)
+    else:
+        visited = bytearray(n)
+
+    sq_x = []
+    sq_a2 = []
+    sq_h = []
+    link_index = 0
+    while link_index < n:
+        if visited[link_index] != UNVISITED:
+            link_index += 1
+            continue
+        left_top = _find_left_top_link(links, link_index, visited)
+        fill = links.fill[left_top]
+        hole = is_fill_top(fill, rule)
+        state = HOLE_VISITED if hole else HULL_VISITED
+        direction = (hole == clockwise)
+        if direction:
+            begin = links.b[left_top]
+            node_id = links.a_id[left_top]
+            last_node_id = links.b_id[left_top]
+        else:
+            begin = links.a[left_top]
+            node_id = links.b_id[left_top]
+            last_node_id = links.a_id[left_top]
+        points = _find_contour(links, visited, left_top, begin, node_id,
+                               last_node_id, direction, state)
+        points, is_valid, _ = validate_contour(
+            points, min_output_area, preserve_output_collinear)
+        if not is_valid:
+            link_index += 1
+            continue
+        a2 = 0
+        npts = len(points)
+        for i in range(npts):
+            p0 = points[i - 1]
+            p1 = points[i]
+            a2 += p0[0] * p1[1] - p1[0] * p0[1]
+        sq_x.append(points[0][0])
+        sq_a2.append(a2)
+        sq_h.append(hole)
+    if sq_x:
+        xs_parts.append(np.asarray(sq_x, np.int64))
+        a2_parts.append(np.asarray(sq_a2, np.int64))
+        hole_parts.append(np.asarray(sq_h, bool))
+    if not xs_parts:
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), np.zeros(0, bool)
+    return (np.concatenate(xs_parts), np.concatenate(a2_parts),
+            np.concatenate(hole_parts))
 
 
 # ---------------------------------------------------------------------------

@@ -203,6 +203,74 @@ def build_segments(subj_contours: Sequence, clip_contours: Sequence,
     return segs
 
 
+def build_segments_flat(xs: np.ndarray, ys: np.ndarray,
+                        offsets: np.ndarray, subj_flags: np.ndarray,
+                        preserve_collinear: bool = False) -> Segments:
+    """Vectorized ``build_segments`` over FLAT columnar contours — the
+    zero-copy Arrow interchange surface (offsets + coords, no Python
+    point lists).
+
+    ``xs``/``ys``: flat vertex coords; ``offsets``: (n_contours+1)
+    vertex offsets; ``subj_flags``: per-contour True=subject.
+    Contours with a degenerate vertex (duplicate/collinear, per the
+    PointFilter) or fewer than 3 vertices fall back to the sequential
+    filter; clean contours (the overwhelming case for packed fleets)
+    are built entirely with array ops.
+    """
+    xs = np.asarray(xs, dtype=np.int64)
+    ys = np.asarray(ys, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    subj_flags = np.asarray(subj_flags, dtype=bool)
+    nc = len(offsets) - 1
+    if nc == 0:
+        return Segments.empty()
+    lens = np.diff(offsets)
+    total = int(offsets[-1])
+    cid = np.repeat(np.arange(nc), lens)
+    # cyclic neighbors within each contour
+    idx = np.arange(total)
+    start = np.repeat(offsets[:-1], lens)
+    end = start + np.repeat(lens, lens)
+    nxt = np.where(idx + 1 < end, idx + 1, start)
+    prv = np.where(idx - 1 >= start, idx - 1, end - 1)
+    crs = (xs - xs[prv]) * (ys[nxt] - ys[prv]) \
+        - (ys - ys[prv]) * (xs[nxt] - xs[prv])
+    bad_vertex = crs == 0
+    bad_contour = np.zeros(nc, dtype=bool)
+    np.logical_or.at(bad_contour, cid, bad_vertex)
+    bad_contour |= lens < 3
+
+    clean = ~bad_contour
+    parts = []
+    if clean.any():
+        keep_v = clean[cid]
+        p_x = xs[keep_v]
+        p_y = ys[keep_v]
+        q_x = xs[nxt[keep_v]]
+        q_y = ys[nxt[keep_v]]
+        fwd = (p_x < q_x) | ((p_x == q_x) & (p_y < q_y))
+        a_x = np.where(fwd, p_x, q_x)
+        a_y = np.where(fwd, p_y, q_y)
+        b_x = np.where(fwd, q_x, p_x)
+        b_y = np.where(fwd, q_y, p_y)
+        w = np.where(fwd, 1, -1).astype(np.int64)
+        is_s = subj_flags[cid[keep_v]]
+        parts.append(Segments(a_x, a_y, b_x, b_y,
+                              np.where(is_s, w, 0),
+                              np.where(is_s, 0, w)))
+    if bad_contour.any():
+        subj_py = []
+        clip_py = []
+        for c in np.flatnonzero(bad_contour).tolist():
+            pts = list(zip(xs[offsets[c]:offsets[c + 1]].tolist(),
+                           ys[offsets[c]:offsets[c + 1]].tolist()))
+            (subj_py if subj_flags[c] else clip_py).append(pts)
+        parts.append(build_segments(subj_py, clip_py, preserve_collinear))
+    segs = Segments.concat(parts)
+    check_coords(segs.ax, segs.ay, segs.bx, segs.by)
+    return segs
+
+
 # ---------------------------------------------------------------------------
 # Sort + merge (segm/sort.rs, segm/merge.rs:26-87)
 # ---------------------------------------------------------------------------
@@ -948,21 +1016,26 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
         & (k2[order][1:] == k2[order][:-1]) \
         & (sk[order][1:] == sk[order][:-1])
     if eqk.any():
-        from fractions import Fraction
-        idx = np.flatnonzero(eqk)
-        i = 0
-        while i < len(idx):
-            j = i
-            while j + 1 < len(idx) and idx[j + 1] == idx[j] + 1:
-                j += 1
-            a0 = int(idx[i])
-            b0 = int(idx[j]) + 1
-            rows = order[a0:b0 + 1].tolist()
-            rows.sort(key=lambda r: (
-                Fraction(int(num[r]), int(den[r])),
-                Fraction(int(uy[segids[r]]), int(den[r]))))
-            order[a0:b0 + 1] = rows
-            i = j + 1
+        # only runs containing a TRUNCATED key (nonzero remainder in the
+        # y or slope fraction) can be misordered; exact ties are equal
+        frac = ((num - k1 * den) != 0) | ((uy[g] - s1 * den) != 0)
+        frac_s = frac[order].astype(np.int8)
+        bounds_r = np.flatnonzero(np.concatenate(([True], ~eqk)))
+        L = len(order)
+        multi = np.diff(np.concatenate((bounds_r, [L]))) > 1
+        frac_any = np.maximum.reduceat(frac_s, bounds_r) > 0
+        flagged = np.flatnonzero(multi & frac_any)
+        if len(flagged):
+            from fractions import Fraction
+            ends = np.concatenate((bounds_r, [L]))
+            for rrun in flagged.tolist():
+                a0 = int(ends[rrun])
+                b0 = int(ends[rrun + 1])
+                rows = order[a0:b0].tolist()
+                rows.sort(key=lambda r: (
+                    Fraction(int(num[r]), int(den[r])),
+                    Fraction(int(uy[segids[r]]), int(den[r]))))
+                order[a0:b0] = rows
         nodes_s = nodes[order]
         seg_s = segids[order]
     # per-node bounds + prefix sums (exclusive); nodes_s is sorted, so
@@ -1132,32 +1205,34 @@ def _stab_windings(segs: Segments, mx, my, q_pos, block: int = 256,
                 & (k1_all[order][1:] == k1_all[order][:-1]) \
                 & (k2_all[order][1:] == k2_all[order][:-1])
             if eq.any():
-                tag_s = tag[order]
-                num_list = None
-                idx = np.flatnonzero(eq)
-                i = 0
-                changed = False
-                while i < len(idx):
-                    j = i
-                    while j + 1 < len(idx) and idx[j + 1] == idx[j] + 1:
-                        j += 1
-                    lo_r = int(idx[i])
-                    hi_r = int(idx[j]) + 1
-                    if (tag_s[lo_r:hi_r + 1] == 0).any():
-                        if num_list is None:
-                            from fractions import Fraction
-                            num_full = np.concatenate((num, qmy_all))
-                            den_full = np.concatenate(
-                                (den, np.ones(nq, np.int64)))
-                        rows = order[lo_r:hi_r + 1].tolist()
+                # ties between EXACT values (zero remainder) are already
+                # ordered correctly by the tag key; only truncated
+                # fractions can misorder and need the exact re-sort
+                frac = np.zeros(total + nq, dtype=bool)
+                frac[:total] = (num - k1 * den) != 0
+                frac_s = frac[order].astype(np.int8)
+                isq_s = (tag[order] == 0).astype(np.int8)
+                bounds_r = np.flatnonzero(
+                    np.concatenate(([True], ~eq)))
+                L = len(order)
+                multi = np.diff(np.concatenate((bounds_r, [L]))) > 1
+                frac_any = np.maximum.reduceat(frac_s, bounds_r) > 0
+                qry_any = np.maximum.reduceat(isq_s, bounds_r) > 0
+                flagged = np.flatnonzero(multi & frac_any & qry_any)
+                if len(flagged):
+                    from fractions import Fraction
+                    num_full = np.concatenate((num, qmy_all))
+                    den_full = np.concatenate(
+                        (den, np.ones(nq, np.int64)))
+                    ends = np.concatenate((bounds_r, [L]))
+                    for rrun in flagged.tolist():
+                        lo_r = int(ends[rrun])
+                        hi_r = int(ends[rrun + 1])
+                        rows = order[lo_r:hi_r].tolist()
                         rows.sort(key=lambda r: (
                             Fraction(int(num_full[r]), int(den_full[r])),
                             int(tag[r])))
-                        order[lo_r:hi_r + 1] = rows
-                        changed = True
-                        num_list = True
-                    i = j + 1
-                if changed:
+                        order[lo_r:hi_r] = rows
                     col_s = col_all[order]
             run_start = np.concatenate(
                 ([True], col_s[1:] != col_s[:-1]))

@@ -65,6 +65,19 @@ class OverlayGraph:
             preserve_output_collinear=self.preserve_output_collinear,
             min_output_area=self.min_output_area)
 
+    def extract_stats(self, rule):
+        """(anchor_x, signed area2, is_hole) arrays — no Python-point
+        materialization (see extract.extract_stats)."""
+        from .extract import extract_stats
+        rule = _as_rule(rule)
+        mask = rule_include_mask(self.fills, rule)
+        links = build_links(self.segs, self.fills, mask)
+        connect_nodes(links)
+        return extract_stats(
+            links, rule, clockwise=self.clockwise,
+            preserve_output_collinear=self.preserve_output_collinear,
+            min_output_area=self.min_output_area)
+
 
 def build_graph(subj: Sequence[Contour], clip: Sequence[Contour],
                 fill_rule=NON_ZERO, *, clockwise: bool = False,
@@ -78,6 +91,26 @@ def build_graph(subj: Sequence[Contour], clip: Sequence[Contour],
     if len(segs) == 0:
         return None
     fills = compute_fills(segs, fill_rule)
+    return OverlayGraph(
+        segs, fills, clockwise=clockwise,
+        preserve_output_collinear=preserve_output_collinear,
+        min_output_area=min_output_area, ogc=ogc)
+
+
+def build_graph_from_segments(segs, fill_rule=NON_ZERO, *,
+                              clockwise: bool = False,
+                              preserve_output_collinear: bool = False,
+                              min_output_area: int = 0,
+                              ogc: bool = False) -> Optional[OverlayGraph]:
+    """build_graph over a pre-built Segments table (the flat columnar
+    interchange path: callers construct segments with
+    kernel.build_segments_flat from Arrow offsets+coords)."""
+    from .kernel import split_segments as _split, compute_fills as _fills
+    fill_rule = _as_fill_rule(fill_rule)
+    segs = _split(segs)
+    if len(segs) == 0:
+        return None
+    fills = _fills(segs, fill_rule)
     return OverlayGraph(
         segs, fills, clockwise=clockwise,
         preserve_output_collinear=preserve_output_collinear,
@@ -163,6 +196,113 @@ def overlay_pack_all(jobs: Sequence[tuple], rules, fill_rule=NON_ZERO,
             out[k][code].append([[(x - dx, y) for x, y in c]
                                  for c in shape])
     return out
+
+
+def overlay_pack_stats(jobs: Sequence[tuple], rule, fill_rule=NON_ZERO,
+                       margin: int = 4, **options):
+    """overlay_pack that returns only per-job (polygon_count, area2)
+    int64 arrays — the packed STATS surface: no Python geometry is ever
+    materialized (counts come from hull contours; area2 = hulls minus
+    holes via traversal-signed shoelace)."""
+    n_jobs = len(jobs)
+    n_polys = np.zeros(n_jobs, dtype=np.int64)
+    area2 = np.zeros(n_jobs, dtype=np.int64)
+    if n_jobs == 0:
+        return n_polys, area2
+
+    spans = []
+    mins = []
+    for subj, clip in jobs:
+        xs = [p[0] for cs in (subj, clip) for c in cs for p in c]
+        if not xs:
+            spans.append(0)
+            mins.append(0)
+        else:
+            spans.append(max(xs) - min(xs))
+            mins.append(min(xs))
+    stride = 1 << max(1, (max(spans) + 2 * margin)).bit_length()
+    if stride * n_jobs >= (1 << 29):
+        mid = max(1, n_jobs // 2)
+        if mid == n_jobs:
+            raise ValueError("single job exceeds the coordinate range")
+        c1, a1 = overlay_pack_stats(jobs[:mid], rule, fill_rule, margin,
+                                    **options)
+        c2, a2_ = overlay_pack_stats(jobs[mid:], rule, fill_rule, margin,
+                                     **options)
+        return np.concatenate((c1, c2)), np.concatenate((a1, a2_))
+
+    all_subj, all_clip = [], []
+    for k, (subj, clip) in enumerate(jobs):
+        dx = k * stride + margin - mins[k]
+        all_subj.extend([[(x + dx, y) for x, y in c] for c in subj])
+        all_clip.extend([[(x + dx, y) for x, y in c] for c in clip])
+
+    graph = build_graph(all_subj, all_clip, fill_rule, **options)
+    if graph is None:
+        return n_polys, area2
+    xs, a2, holes = graph.extract_stats(_as_rule(rule))
+    if len(xs):
+        job = xs // stride
+        np.add.at(n_polys, job[~holes], 1)
+        np.add.at(area2, job, a2)
+    return n_polys, area2
+
+
+def overlay_pack_stats_flat(xs, ys, offsets, job_of_contour, subj_flags,
+                            rule, fill_rule=NON_ZERO, margin: int = 4,
+                            n_jobs: int | None = None, **options):
+    """``overlay_pack_stats`` over FLAT columnar contours: vertex
+    coords + contour offsets + per-contour job id (ascending) and
+    subject flag.  No Python geometry anywhere — the end-to-end flat
+    interchange path for packed stats fleets."""
+    xs = np.asarray(xs, dtype=np.int64)
+    ys = np.asarray(ys, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    job = np.asarray(job_of_contour, dtype=np.int64)
+    subj_flags = np.asarray(subj_flags, dtype=bool)
+    nc = len(offsets) - 1
+    if n_jobs is None:
+        n_jobs = int(job.max()) + 1 if nc else 0
+    n_polys = np.zeros(n_jobs, dtype=np.int64)
+    area2 = np.zeros(n_jobs, dtype=np.int64)
+    if nc == 0:
+        return n_polys, area2
+    lens = np.diff(offsets)
+    cmin = np.minimum.reduceat(xs, offsets[:-1])
+    cmax = np.maximum.reduceat(xs, offsets[:-1])
+    big = np.int64(1) << 62
+    jmin = np.full(n_jobs, big, dtype=np.int64)
+    jmax = np.full(n_jobs, -big, dtype=np.int64)
+    np.minimum.at(jmin, job, cmin)
+    np.maximum.at(jmax, job, cmax)
+    span_max = int((jmax - jmin)[jmax >= jmin].max()) if nc else 0
+    stride = 1 << max(1, (span_max + 2 * margin)).bit_length()
+    per_pack = max(1, ((1 << 29) // stride) - 1)
+    from .kernel import build_segments_flat
+    rule_code = _as_rule(rule)
+    for j0 in range(0, n_jobs, per_pack):
+        j1 = min(n_jobs, j0 + per_pack)
+        c0 = int(np.searchsorted(job, j0, side="left"))
+        c1 = int(np.searchsorted(job, j1, side="left"))
+        if c0 == c1:
+            continue
+        v0 = int(offsets[c0])
+        v1 = int(offsets[c1])
+        sub_off = offsets[c0:c1 + 1] - v0
+        jb = job[c0:c1]
+        dx = (jb - j0) * stride + margin - jmin[jb]
+        x_t = xs[v0:v1] + np.repeat(dx, lens[c0:c1])
+        segs = build_segments_flat(x_t, ys[v0:v1], sub_off,
+                                   subj_flags[c0:c1])
+        graph = build_graph_from_segments(segs, fill_rule, **options)
+        if graph is None:
+            continue
+        sx, a2v, holes = graph.extract_stats(rule_code)
+        if len(sx):
+            out_job = sx // stride + j0
+            np.add.at(n_polys, out_job[~holes], 1)
+            np.add.at(area2, out_job, a2v)
+    return n_polys, area2
 
 
 def overlay_all(subj, clip, fill_rule=NON_ZERO, rules=None, **options) -> dict:

@@ -216,8 +216,8 @@ def oriented_edges(segs: Segments, fills: np.ndarray, rule: int):
     mask = rule_include_mask(fills, rule)
     idx = np.flatnonzero(mask)
     f = fills[idx]
-    top = np.array([is_fill_top(int(v), rule) for v in f.tolist()],
-                   dtype=bool)
+    from .extract import _is_fill_top_arr
+    top = np.asarray(_is_fill_top_arr(f, rule), dtype=bool)
     ax, ay = segs.ax[idx], segs.ay[idx]
     bx, by = segs.bx[idx], segs.by[idx]
     tx = np.where(top, ax, bx)

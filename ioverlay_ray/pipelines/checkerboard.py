@@ -25,8 +25,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..geometry.overlay import overlay_pack
-from ..stages.geo_arrow import shapes_area2
+from ..geometry.overlay import overlay_pack_stats, overlay_pack_stats_flat
 
 SIDE = 20
 PITCH = 30
@@ -39,35 +38,69 @@ def _square(x0: int, y0: int) -> list:
 
 
 class XorSquareStage:
-    """(family, i, j) rows -> per-square XOR piece counts + area2."""
+    """(family, i, j) rows -> per-square XOR piece counts + area2.
+
+    Fully flat-columnar: contours are built as numpy coordinate
+    arrays (no Python point lists) and run through the packed stats
+    kernel (overlay_pack_stats_flat)."""
 
     def __init__(self, n: int):
         self.n = n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fam = batch.column("family").to_numpy(zero_copy_only=False)
-        ii = batch.column("i").to_numpy(zero_copy_only=False)
-        jj = batch.column("j").to_numpy(zero_copy_only=False)
+        ii = batch.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+        jj = batch.column("j").to_numpy(zero_copy_only=False).astype(np.int64)
         n = self.n
-        jobs = []
-        for r in range(len(fam)):
-            i = int(ii[r]); j = int(jj[r])
-            if fam[r] == 0:
-                subj = [_square(PITCH * i, PITCH * j)]
-                partners = [
-                    _square(OFFSET + PITCH * pi, OFFSET + PITCH * pj)
-                    for pi in (i - 1, i) for pj in (j - 1, j)
-                    if 0 <= pi < n - 1 and 0 <= pj < n - 1]
-            else:
-                subj = [_square(OFFSET + PITCH * i, OFFSET + PITCH * j)]
-                partners = [
-                    _square(PITCH * pi, PITCH * pj)
-                    for pi in (i, i + 1) for pj in (j, j + 1)
-                    if 0 <= pi < n and 0 <= pj < n]
-            jobs.append((subj, partners))
-        packed = overlay_pack(jobs, "difference", "nonzero")
-        n_polys = np.array([len(p) for p in packed], np.int64)
-        area2 = np.array([shapes_area2(p) for p in packed], np.int64)
+        rows = len(fam)
+        f1 = fam != 0
+        base = np.where(f1, OFFSET, 0)
+        sx0 = base + PITCH * ii
+        sy0 = base + PITCH * jj
+        pbase = np.where(f1, 0, OFFSET)
+        plim = np.where(f1, n, n - 1)
+        di = np.where(f1, 0, -1)
+        # contour records: (job, is_subj, x0, y0)
+        job_parts = [np.arange(rows, dtype=np.int64)]
+        subj_parts = [np.ones(rows, dtype=bool)]
+        x0_parts = [sx0]
+        y0_parts = [sy0]
+        for a in (0, 1):
+            for b in (0, 1):
+                pi = ii + di + a
+                pj = jj + di + b
+                ok = (pi >= 0) & (pi < plim) & (pj >= 0) & (pj < plim)
+                r = np.flatnonzero(ok)
+                if len(r):
+                    job_parts.append(r)
+                    subj_parts.append(np.zeros(len(r), dtype=bool))
+                    x0_parts.append(pbase[r] + PITCH * pi[r])
+                    y0_parts.append(pbase[r] + PITCH * pj[r])
+        job = np.concatenate(job_parts)
+        is_subj = np.concatenate(subj_parts)
+        x0 = np.concatenate(x0_parts)
+        y0 = np.concatenate(y0_parts)
+        o = np.argsort(job, kind="stable")
+        job = job[o]
+        is_subj = is_subj[o]
+        x0 = x0[o]
+        y0 = y0[o]
+        nc = len(job)
+        # square vertices in _square order
+        xs = np.empty((nc, 4), dtype=np.int64)
+        ys = np.empty((nc, 4), dtype=np.int64)
+        xs[:, 0] = x0
+        xs[:, 1] = x0 + SIDE
+        xs[:, 2] = x0 + SIDE
+        xs[:, 3] = x0
+        ys[:, 0] = y0
+        ys[:, 1] = y0
+        ys[:, 2] = y0 + SIDE
+        ys[:, 3] = y0 + SIDE
+        offsets = np.arange(nc + 1, dtype=np.int64) * 4
+        n_polys, area2 = overlay_pack_stats_flat(
+            xs.reshape(-1), ys.reshape(-1), offsets, job, is_subj,
+            "difference", "nonzero", n_jobs=rows)
         return pa.table({
             "n_polys": pa.array(n_polys, pa.int64()),
             "area2": pa.array(area2, pa.int64()),

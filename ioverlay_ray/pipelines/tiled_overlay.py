@@ -114,26 +114,48 @@ def _bin_marks(radius: int):
     return fn
 
 
+def _mix64(*cols) -> np.ndarray:
+    """Vectorized 64-bit mixing hash of int64 columns (splitmix-style);
+    collisions are verified against the full coordinates, so the hash
+    only has to be a good router, not unique."""
+    h = np.zeros(len(cols[0]), dtype=np.uint64)
+    for c in cols:
+        v = np.asarray(c, dtype=np.int64).view(np.uint64)
+        h ^= v + np.uint64(0x9E3779B97F4A7C15) \
+            + (h << np.uint64(6)) + (h >> np.uint64(2))
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+    return h
+
+
 def _apply_stage(marks_ref):
+    """Apply broadcast split marks to parent segments, fully
+    vectorized: hash parents, range-lookup into the hash-sorted marks
+    arrays, verify the 4 coordinates, expand to (seg, px, py) triples
+    (split/solver_fragment.rs:152-178 mark application)."""
     def fn(batch: pa.Table) -> pa.Table:
-        by_key: Dict[int, list] = ray.get(marks_ref)
+        d = ray.get(marks_ref)
         segs = _segs_of(batch)
-        m_idx: list = []
-        m_px: list = []
-        m_py: list = []
-        ax_l = segs.ax.tolist()
-        ay_l = segs.ay.tolist()
-        bx_l = segs.bx.tolist()
-        by_l = segs.by.tolist()
-        for i in range(len(segs)):
-            pts = by_key.get(_pack_key(ax_l[i], ay_l[i], bx_l[i], by_l[i]))
-            if pts:
-                for (px, py) in pts:
-                    m_idx.append(i)
-                    m_px.append(px)
-                    m_py.append(py)
-        if m_idx:
-            segs = _apply_marks(segs, m_idx, m_px, m_py)
+        h = _mix64(segs.ax, segs.ay, segs.bx, segs.by)
+        lo = np.searchsorted(d["h"], h, side="left")
+        hi = np.searchsorted(d["h"], h, side="right")
+        cnt = hi - lo
+        rows = np.flatnonzero(cnt > 0)
+        if len(rows):
+            reps = cnt[rows]
+            total = int(reps.sum())
+            seg_rep = np.repeat(rows, reps)
+            offs = np.concatenate(([0], np.cumsum(reps)))[:-1]
+            mark_pos = np.arange(total) - np.repeat(offs, reps) \
+                + np.repeat(lo[rows], reps)
+            ok = ((d["ax"][mark_pos] == segs.ax[seg_rep])
+                  & (d["ay"][mark_pos] == segs.ay[seg_rep])
+                  & (d["bx"][mark_pos] == segs.bx[seg_rep])
+                  & (d["by"][mark_pos] == segs.by[seg_rep]))
+            if ok.any():
+                segs = _apply_marks(segs, seg_rep[ok],
+                                    d["px"][mark_pos[ok]],
+                                    d["py"][mark_pos[ok]])
         return _seg_table(segs)
     return fn
 
@@ -170,18 +192,20 @@ def split_rounds_ds(segs_ds, strip_w: int, max_rounds: int = 64):
         if len(marks) == 0:
             return ds
         any_round = bool((marks["is_round"] != 0).any())
-        by_key: Dict[int, list] = {}
-        seen = set()
-        for ax, ay, bx, by, px, py in zip(
-                marks["ax"], marks["ay"], marks["bx"], marks["by"],
-                marks["px"], marks["py"]):
-            key = _pack_key(int(ax), int(ay), int(bx), int(by))
-            dk = (key, int(px), int(py))
-            if dk in seen:
-                continue
-            seen.add(dk)
-            by_key.setdefault(key, []).append((int(px), int(py)))
-        marks_ref = ray.put(by_key)
+        cols = [marks[c].to_numpy().astype(np.int64)
+                for c in ("ax", "ay", "bx", "by", "px", "py")]
+        # vectorized de-dup of identical (parent, point) marks
+        o = np.lexsort(tuple(reversed(cols)))
+        cols = [c[o] for c in cols]
+        uniq = np.concatenate(([True], np.any(
+            [c[1:] != c[:-1] for c in cols], axis=0)))
+        cols = [c[uniq] for c in cols]
+        h = _mix64(cols[0], cols[1], cols[2], cols[3])
+        ho = np.argsort(h, kind="stable")
+        marks_ref = ray.put({
+            "h": h[ho], "ax": cols[0][ho], "ay": cols[1][ho],
+            "bx": cols[2][ho], "by": cols[3][ho],
+            "px": cols[4][ho], "py": cols[5][ho]})
         ds = _merged(ds.map_batches(_apply_stage(marks_ref),
                                     batch_format="pyarrow")).materialize()
         exp = min(60, exp + 1)

@@ -1,0 +1,108 @@
+"""Flat columnar interchange + stats extraction vs the full pipeline.
+
+The flat surfaces (kernel.build_segments_flat, overlay.extract_stats,
+overlay.overlay_pack_stats[_flat]) must agree exactly with the
+materializing path on counts and areas.
+"""
+
+import numpy as np
+import pytest
+
+from ioverlay_ray.geometry.kernel import build_segments, build_segments_flat
+from ioverlay_ray.geometry.overlay import (overlay_pack, overlay_pack_stats,
+                                           overlay_pack_stats_flat)
+from ioverlay_ray.stages.geo_arrow import shapes_area2
+
+
+def _rand_poly(rng, cx, cy):
+    r = int(rng.integers(8, 40))
+    k = int(rng.integers(3, 8))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+    pts = [(int(cx + r * np.cos(a)), int(cy + r * np.sin(a))) for a in ang]
+    return pts if len(set(pts)) >= 3 else _rand_poly(rng, cx, cy)
+
+
+def _flat(contours):
+    xs, ys, offs = [], [], [0]
+    for c in contours:
+        xs.extend(p[0] for p in c)
+        ys.extend(p[1] for p in c)
+        offs.append(len(xs))
+    return (np.asarray(xs, np.int64), np.asarray(ys, np.int64),
+            np.asarray(offs, np.int64))
+
+
+def test_build_segments_flat_matches_lists():
+    rng = np.random.default_rng(11)
+    subj = [_rand_poly(rng, 50, 50) for _ in range(7)]
+    clip = [_rand_poly(rng, 60, 40) for _ in range(5)]
+    # include a degenerate contour to exercise the fallback
+    subj.append([(0, 0), (10, 0), (20, 0), (20, 20), (0, 20)])
+    ref = build_segments(subj, clip)
+    xs, ys, offs = _flat(subj + clip)
+    flags = np.array([True] * len(subj) + [False] * len(clip))
+    got = build_segments_flat(xs, ys, offs, flags)
+    # same multiset of segments: compare sorted tuples
+    def key(segs):
+        return sorted(zip(segs.ax.tolist(), segs.ay.tolist(),
+                          segs.bx.tolist(), segs.by.tolist(),
+                          segs.subj.tolist(), segs.clip.tolist()))
+    assert key(got) == key(ref)
+
+
+@pytest.mark.parametrize("rule", ["intersect", "union", "difference", "xor"])
+def test_pack_stats_matches_pack(rule):
+    rng = np.random.default_rng(23)
+    jobs = []
+    for _ in range(120):
+        subj = [_rand_poly(rng, 50, 50)]
+        clip = [_rand_poly(rng, int(rng.integers(30, 70)),
+                           int(rng.integers(30, 70)))]
+        jobs.append((subj, clip))
+    packed = overlay_pack(jobs, rule, "nonzero")
+    cnt_ref = np.array([len(p) for p in packed])
+    a2_ref = np.array([shapes_area2(p) for p in packed])
+    cnt, a2 = overlay_pack_stats(jobs, rule, "nonzero")
+    assert np.array_equal(cnt, cnt_ref)
+    assert np.array_equal(a2, a2_ref)
+
+
+def test_pack_stats_flat_matches_pack():
+    rng = np.random.default_rng(31)
+    jobs = []
+    for _ in range(80):
+        subj = [_rand_poly(rng, 50, 50)]
+        clip = [_rand_poly(rng, int(rng.integers(30, 70)),
+                           int(rng.integers(30, 70)))]
+        jobs.append((subj, clip))
+    packed = overlay_pack(jobs, "xor", "nonzero")
+    cnt_ref = np.array([len(p) for p in packed])
+    a2_ref = np.array([shapes_area2(p) for p in packed])
+
+    xs, ys, offs, job, flags = [], [], [0], [], []
+    for k, (subj, clip) in enumerate(jobs):
+        for is_s, group in ((True, subj), (False, clip)):
+            for c in group:
+                xs.extend(p[0] for p in c)
+                ys.extend(p[1] for p in c)
+                offs.append(len(xs))
+                job.append(k)
+                flags.append(is_s)
+    cnt, a2 = overlay_pack_stats_flat(
+        np.asarray(xs, np.int64), np.asarray(ys, np.int64),
+        np.asarray(offs, np.int64), np.asarray(job, np.int64),
+        np.asarray(flags, bool), "xor", "nonzero")
+    assert np.array_equal(cnt, cnt_ref)
+    assert np.array_equal(a2, a2_ref)
+
+
+def test_pack_stats_holes():
+    # shape with a hole: area2 must net out the hole (signed shoelace)
+    outer = [(0, 0), (100, 0), (100, 100), (0, 100)]
+    inner = [(40, 40), (60, 40), (60, 60), (40, 60)]
+    jobs = [([outer], [inner])]
+    packed = overlay_pack(jobs, "difference", "nonzero")
+    a2_ref = shapes_area2(packed[0])
+    cnt, a2 = overlay_pack_stats(jobs, "difference", "nonzero")
+    assert cnt[0] == len(packed[0])
+    assert a2[0] == a2_ref
