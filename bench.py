@@ -83,13 +83,46 @@ def run_checkerboard(n: int) -> dict:
     return checkerboard_xor(n, batch_size=4096)
 
 
+def run_lines_net(n: int) -> dict:
+    """Reference perf test 2 (LinesNet intersect; label = 2n) through
+    the bit-exact tile-distributed pipeline; compares to BASELINE.md's
+    published reference rows at the same label."""
+    from ioverlay_ray.pipelines.perf_workloads import (many_lines_x,
+                                                       many_lines_y)
+    from ioverlay_ray.pipelines.tiled_overlay import (tiled_rings_ds,
+                                                      rings_area2)
+    subj = many_lines_x(20, n)
+    clip = many_lines_y(20, n)
+    t0 = time.time()
+    rings = tiled_rings_ds(subj, clip, "intersect", "nonzero", 256)
+    area2 = rings_area2(rings)
+    dt = time.time() - t0
+    # n^2 output squares of side a/2=10, except the bottom row's are
+    # clipped to 10x5 (the first horizontal strip overhangs the board)
+    assert area2 == 200 * n * n - 100 * n, (area2, n)
+    return {"sec": dt, "label": 2 * n, "polygons": n * n,
+            "polygons_per_sec": int(n * n / dt)}
+
+
+def run_spiral(count: int) -> dict:
+    """Reference perf test 3 (Spiral subject-only overlay; label =
+    count). Dominated by one connected component, so this is the
+    single-kernel regime (the tile pipeline ties it at this size)."""
+    from ioverlay_ray.pipelines.perf_workloads import spiral_single
+    return spiral_single(count)
+
+
 def bench_once(sf_dir: str, num_cpus: int, n_images: int) -> dict:
     _init_ray(num_cpus)
     flag = run_flagship(n_images)
     checker = run_checkerboard(int(os.environ.get("GRAFT_CHECKER_N", "256")))
+    lines = run_lines_net(int(os.environ.get("GRAFT_LINES_N", "256")))
+    spiral = run_spiral(int(os.environ.get("GRAFT_SPIRAL_N", "32768")))
     queries = run_queries(sf_dir)
     queries["checkerboard_xor"] = round(checker["sec"], 3)
     queries["flagship_overlay_join"] = round(flag["sec"], 3)
+    queries["lines_net_intersect"] = round(lines["sec"], 3)
+    queries["spiral_subject"] = round(spiral["sec"], 3)
     total = sum(queries.values())
     import ray
     ray.shutdown()
@@ -106,6 +139,10 @@ def bench_once(sf_dir: str, num_cpus: int, n_images: int) -> dict:
         "flagship_pairs_per_sec": flag["pairs_per_sec"],
         "checkerboard_polygons": checker["polygons"],
         "checkerboard_polygons_per_sec": checker["polygons_per_sec"],
+        "lines_net_label": lines["label"],
+        "lines_net_polygons_per_sec": lines["polygons_per_sec"],
+        "spiral_label": int(os.environ.get("GRAFT_SPIRAL_N", "32768")),
+        "spiral_sec": round(spiral["sec"], 3),
     }
 
 

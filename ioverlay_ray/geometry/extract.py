@@ -178,6 +178,8 @@ def ensure_pair_tables(links: Links) -> None:
             or links._np_ids is None:
         return
     n = len(links)
+    if n < 512:
+        return  # table build overhead beats the walk's savings
     n_nodes, bounds, link_sorted = links._node_arrays
     a_id, b_id = links._np_ids
     ax, ay, bx, by = links._np
@@ -302,6 +304,8 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
     if links._np_ids is None or links._np_fill is None:
         return None
     n = len(links)
+    if n < 1024:
+        return None  # sequential walk is cheaper than the array setup
     succ = _build_succ2(links)
     orig = np.flatnonzero(succ >= 0)
     if not len(orig):

@@ -29,15 +29,17 @@ def _small_table(sf_dir: str, table: str, columns=None) -> pa.Table:
     return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
                          columns=columns)
 
-def _conc(compute_bound: bool = False) -> int:
+def _conc(compute_bound: bool = False):
     """Actor-pool width. Mixed pipelines (producer + actor + consumer)
     cap at a quarter of the CPUs as backpressure; compute-DOMINATED
     stages (MinHash, SimHash: per-doc hashing is ~all the wall time)
-    scale with the cluster, keeping a 2-CPU producer reserve."""
+    AUTOSCALE with the cluster (min 2, max cpus-2) so small inputs pay
+    two actor startups, not thirty, while big inputs still fill the
+    node."""
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 8))
     if compute_bound:
-        return max(2, cpus - 2)
+        return (2, max(2, cpus - 2))
     return min(8, max(2, cpus // 4))
 
 
@@ -389,10 +391,14 @@ def q_jaccard_verify(sf_dir: str, threshold_e3: int = 300) -> pd.DataFrame:
     each joined batch verifies exact n-gram Jaccard locally; emits pairs
     with jaccard >= threshold."""
     from ..stages.dedup import jaccard
-    cand = _minhash_candidates_ds(sf_dir)
+    # materialize between joins: two chained lazy JoinOperators can
+    # resource-deadlock (join aggregator actors + upstream map tasks
+    # all waiting on CPUs); the candidate table is O(near-dups), far
+    # smaller than the corpus, so the barrier is cheap at any scale
+    cand = _minhash_candidates_ds(sf_dir).materialize()
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     j1 = cand.join(docs, "inner", 8, on=("min_doc",), right_on=("doc_id",),
-                   right_suffix="_a")
+                   right_suffix="_a").materialize()
     j2 = j1.join(docs, "inner", 8, on=("max_doc",), right_on=("doc_id",),
                  right_suffix="_b")
 
