@@ -90,14 +90,89 @@ class FloatPointAdapter:
                  for contour in shape] for shape in shapes]
 
 
+def _clean_float_contour(pts: list, despike_only: bool) -> list:
+    """Float-space output cleaning (float/overlay.rs:359-366; i_shape
+    DeSpikeContour / SimplifyContour semantics): dequantization can
+    collapse distinct int vertices onto one float point or line, so
+    remove duplicates + spikes (cross==0, reversal) and — unless
+    collinear output is preserved — collinear midpoints, iterating to
+    a fixed point."""
+    def degen(p0, p1, p2) -> bool:
+        cr = (p1[0] - p0[0]) * (p2[1] - p0[1]) \
+            - (p1[1] - p0[1]) * (p2[0] - p0[0])
+        if cr != 0.0:
+            return False
+        if not despike_only:
+            return True
+        dot = (p1[0] - p0[0]) * (p2[0] - p1[0]) \
+            + (p1[1] - p0[1]) * (p2[1] - p1[1])
+        return dot < 0.0
+
+    # running-stack removal (a removed vertex re-exposes its neighbors
+    # in the same pass), then seam fixups for the closed loop
+    changed = True
+    while changed and len(pts) >= 3:
+        changed = False
+        out: list = []
+        for p in pts:
+            if out and p == out[-1]:
+                changed = True
+                continue
+            out.append(p)
+            while len(out) >= 3 and degen(out[-3], out[-2], out[-1]):
+                del out[-2]
+                changed = True
+                if len(out) >= 2 and out[-1] == out[-2]:
+                    del out[-1]
+        while len(out) >= 3 and degen(out[-2], out[-1], out[0]):
+            del out[-1]
+            changed = True
+        while len(out) >= 3 and degen(out[-1], out[0], out[1]):
+            del out[0]
+            changed = True
+        if len(out) >= 2 and out[0] == out[-1]:
+            del out[-1]
+            changed = True
+        pts = out
+    return pts
+
+
+def clean_float_shapes(shapes: List[list], preserve_collinear: bool
+                       ) -> List[list]:
+    """Apply clean_result to dequantized shapes; drops contours that
+    degenerate below 3 points (and shapes whose hull degenerates)."""
+    out = []
+    for shape in shapes:
+        cleaned = []
+        for k, contour in enumerate(shape):
+            c = _clean_float_contour(list(contour), preserve_collinear)
+            if len(c) >= 3:
+                cleaned.append(c)
+            elif k == 0:
+                cleaned = None
+                break
+        if cleaned:
+            out.append(cleaned)
+    return out
+
+
 def float_overlay(subj: Sequence, clip: Sequence, rule,
                   fill_rule="evenodd", scale: float | None = None,
-                  **options) -> List[list]:
-    """Boolean overlay on float contours (SingleFloatOverlay::overlay)."""
+                  clean_result: bool = True, **options) -> List[list]:
+    """Boolean overlay on float contours (SingleFloatOverlay::overlay).
+
+    ``clean_result`` mirrors OverlayOptions::clean_result (default true
+    for the f64 -> int64 engine, float/overlay.rs:454): the dequantized
+    output is de-spiked (or fully simplified when collinear output is
+    not preserved)."""
     adapter = FloatPointAdapter.from_contours(subj, clip, scale=scale)
     shapes = int_overlay(adapter.to_int(subj), adapter.to_int(clip),
                          rule, fill_rule, **options)
-    return adapter.to_float_shapes(shapes)
+    shapes = adapter.to_float_shapes(shapes)
+    if clean_result:
+        shapes = clean_float_shapes(
+            shapes, options.get("preserve_output_collinear", False))
+    return shapes
 
 
 def float_simplify(contours: Sequence, fill_rule="nonzero",

@@ -121,3 +121,29 @@ def test_vector_extraction_subject_square():
         pts.add((bx, by))
     assert pts == {(-10240, -10240), (-10240, 10240),
                    (10240, 10240), (10240, -10240)}
+
+
+def test_clean_float_shapes_simplify_and_despike():
+    from ioverlay_ray.geometry.float_api import clean_float_shapes
+    # collinear midpoint + duplicate + spike in float space
+    ring = [(0.0, 0.0), (5.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+            (10.0, 10.0), (5.0, 10.0), (5.0, 20.0), (5.0, 10.0),
+            (0.0, 10.0)]
+    cleaned = clean_float_shapes([[ring]], preserve_collinear=False)
+    assert cleaned == [[[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+                         (0.0, 10.0)]]]
+    # despike-only keeps the collinear midpoint but removes the spike
+    despiked = clean_float_shapes([[ring]], preserve_collinear=True)
+    assert (5.0, 0.0) in despiked[0][0]
+    assert (5.0, 20.0) not in despiked[0][0]
+    # hull degenerating to <3 points drops the whole shape
+    assert clean_float_shapes([[[(0.0, 0.0), (5.0, 0.0),
+                                 (10.0, 0.0)]]], False) == []
+
+
+def test_float_overlay_clean_result_flag():
+    from ioverlay_ray.geometry.float_api import float_overlay
+    subj = [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]]
+    a = float_overlay(subj, [], "subject", "nonzero")
+    b = float_overlay(subj, [], "subject", "nonzero", clean_result=False)
+    assert a == b  # clean output unchanged by the cleaning pass
