@@ -101,12 +101,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dissolve_area": gq.q_dissolve_area,
         "q_giant_pip": gp.q_giant_pip,
         "q_tiled_overlay": gq.q_tiled_overlay,  # SQL-checked since r2
-        # geometry engine (rows-only)
+        # geometry engine (rows-only; fixture corpus is gated by the
+        # 147-case golden pytest suite with variant-aware compare —
+        # the golden variants are ambiguous, so no single-valued SQL)
         "q_overlay_fixture_corpus": gq.q_overlay_fixture_corpus,
         "q_flagship_tiles": gq.q_flagship_tiles,
-        # multimodal (rows-only: binary decode paths)
+        # multimodal (SQL-checked since r2: generator-recompute VALUES
+        # oracles verify the encode->parquet->decode round trip)
         "q_image_decode_stats": mq.q_image_decode_stats,
         "q_image_embed_topk": mq.q_image_embed_topk,
+        # rows-only: real string-kernel geometry per scanline
         "q_raster_scanlines": mq.q_raster_scanlines,
     }
 
@@ -649,4 +653,41 @@ def oracle_sql() -> dict[str, str]:
             FROM c CROSS JOIN q
             QUALIFY rank <= 5
         """,
+        # multimodal round-trip oracles: expected values recomputed
+        # directly from the deterministic pixel generator (no encode,
+        # no Ray) and embedded as literals — verifies the whole
+        # encode -> parquet -> actor-pool-decode pipeline
+        "q_image_decode_stats": _image_decode_stats_oracle(),
+        "q_image_embed_topk": _image_embed_topk_oracle(),
     }
+
+
+def _image_decode_stats_oracle() -> str:
+    from ioverlay_ray.pipelines.media import decode_stats_oracle_rows
+    vals = ",\n".join(
+        f"('{i}', {r}, {g}, {b}, {s}, {p})"
+        for i, r, g, b, s, p in decode_stats_oracle_rows(256))
+    return f"""
+        SELECT image_id,
+               CAST(mean_r AS BIGINT) AS mean_r,
+               CAST(mean_g AS BIGINT) AS mean_g,
+               CAST(mean_b AS BIGINT) AS mean_b,
+               CAST(std AS BIGINT) AS std,
+               CAST(phash_decoded AS BIGINT) AS phash_decoded
+        FROM (VALUES {vals})
+        AS t(image_id, mean_r, mean_g, mean_b, std, phash_decoded)
+        ORDER BY image_id
+    """
+
+
+def _image_embed_topk_oracle() -> str:
+    from ioverlay_ray.pipelines.media import embed_topk_oracle_rows
+    vals = ",\n".join(f"({q}, {r}, {v})"
+                      for q, r, v in embed_topk_oracle_rows(256))
+    return f"""
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(rank AS BIGINT) AS rank
+        FROM (VALUES {vals}) AS t(query_id, rank, vec_id)
+        ORDER BY query_id, rank
+    """

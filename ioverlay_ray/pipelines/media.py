@@ -85,3 +85,60 @@ def q_raster_scanlines(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
     out = annotated.map_batches(ScanlineRasterStage, batch_format="pyarrow",
                                 concurrency=4).to_pandas()
     return out.sort_values("pair_id").reset_index(drop=True)
+
+
+def decode_stats_oracle_rows(n_images: int = 256) -> list:
+    """Independent recompute of q_image_decode_stats straight from the
+    deterministic generator (sources/synth.py make_pixels) — no encode,
+    no Ray: verifies the whole encode->parquet->decode pipeline
+    round-trip. Returns (image_id, mean_r, mean_g, mean_b, std,
+    phash_decoded) int-scaled rows for a SQL VALUES literal."""
+    from ..sources.synth import _rng, make_pixels, phash64
+    rows = []
+    for i in range(n_images):
+        rng = _rng(42, i)
+        w = int(rng.integers(16, 64))
+        h = int(rng.integers(16, 64))
+        px = make_pixels(42, i, w, h).astype(np.float64)
+        rows.append((
+            f"img_{i:012d}",
+            int(round(px[..., 0].mean() * 1000)),
+            int(round(px[..., 1].mean() * 1000)),
+            int(round(px[..., 2].mean() * 1000)),
+            int(round(px.std() * 1000)),
+            int(phash64(px.astype(np.uint8))),
+        ))
+    return rows
+
+
+def embed_topk_oracle_rows(n_images: int = 256, k: int = 5) -> list:
+    """Independent recompute of q_image_embed_topk from the generator:
+    grayscale-grid embeddings, cosine scores, merge_topk's exact
+    (query_id, -score, vec_id) ranking. Returns (query_id, rank,
+    vec_id) rows."""
+    from ..sources.synth import _rng, make_pixels
+    g = 8
+    vecs = []
+    for i in range(n_images):
+        rng = _rng(42, i)
+        w = int(rng.integers(16, 64))
+        h = int(rng.integers(16, 64))
+        gray = make_pixels(42, i, w, h).astype(np.float64).sum(axis=2)
+        yi = (np.arange(g) * gray.shape[0]) // g
+        xi = (np.arange(g) * gray.shape[1]) // g
+        v = gray[yi][:, xi].flatten()
+        n = np.linalg.norm(v)
+        vecs.append(v / n if n else v)
+    emb = np.array(vecs)
+    q = emb[:4]
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims = (emb / norms) @ qn.T
+    rows = []
+    for qi in range(4):
+        order = sorted(range(n_images),
+                       key=lambda v_: (-sims[v_, qi], v_))[:k]
+        for r, v_ in enumerate(order, 1):
+            rows.append((qi, r, v_))
+    return rows
