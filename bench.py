@@ -44,7 +44,7 @@ def run_flagship(n_images: int, concurrency=None) -> dict:
     best = None
     for _ in range(2):
         t0 = time.time()
-        res = flagship.overlay_join(ds, "intersect", batch_size=128)
+        res = flagship.overlay_join_stats(ds, "intersect", batch_size=128)
         summary = flagship.tile_summary(res).to_pandas()
         dt = time.time() - t0
         if best is None or dt < best:

@@ -77,6 +77,23 @@ def overlay_join(ds: "ray.data.Dataset", rule: str = "intersect",
         batch_size=batch_size, concurrency=concurrency)
 
 
+def overlay_join_stats(ds: "ray.data.Dataset", rule: str = "intersect",
+                       fill_rule: str = "nonzero", resolution: int = 4,
+                       concurrency: int | None = None,
+                       batch_size: int | None = None) -> "ray.data.Dataset":
+    """overlay_join for aggregation-only consumers: flat columnar
+    end-to-end (no Python geometry), emitting (pair_id, tile_id, rule,
+    n_shapes, area2) rows only. Same values as overlay_join minus the
+    shapes column."""
+    from ..stages.overlay_stage import OverlayStatsStage
+    annotated = ds.map_batches(AnnotateStage(resolution),
+                               batch_format="pyarrow",
+                               batch_size=batch_size)
+    return annotated.map_batches(
+        OverlayStatsStage(rule, fill_rule), batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)
+
+
 def overlay_join_all_rules(ds, rules=("intersect", "union", "difference",
                                       "xor"), fill_rule="nonzero",
                            resolution: int = 4, batch_size: int = 256,

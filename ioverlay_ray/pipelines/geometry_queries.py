@@ -286,7 +286,7 @@ def q_flagship_tiles(sf_dir: str, n_images: int = 512) -> pd.DataFrame:
     image table (rows-only check: deterministic tile assignments)."""
     from . import flagship
     ds = flagship.images_dataset(n_images)
-    res = flagship.overlay_join(ds, "intersect")
+    res = flagship.overlay_join_stats(ds, "intersect")
     return flagship.tile_summary(res).to_pandas().sort_values(
         "tile_id").reset_index(drop=True)
 

@@ -43,6 +43,39 @@ def shape_array(rows: list) -> pa.Array:
         [[[list(p) for p in c] for c in s] for s in rows], type=SHAPE)
 
 
+def shape_column_flat(col):
+    """SHAPE-typed Arrow column -> (xs, ys, contour_offsets, row_of_
+    contour) numpy views, zero-copy from the Arrow buffers (the flat
+    interchange surface: no Python point lists).
+
+    contour_offsets has one entry per contour + 1; row_of_contour maps
+    each contour to its source row index."""
+    import numpy as np
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col
+    # level 0: row -> contours
+    off0 = np.asarray(arr.offsets)
+    contours = arr.values          # list<POINT>
+    off1 = np.asarray(contours.offsets)
+    points = contours.values       # fixed_size_list<int64, 2> or list
+    if pa.types.is_fixed_size_list(points.type):
+        vals = np.asarray(points.values)
+    else:
+        vals = np.asarray(points.flatten())
+    nrows = len(arr)
+    c0 = off0[0]
+    c1 = off0[nrows]
+    row_of_contour = np.repeat(np.arange(nrows, dtype=np.int64),
+                               np.diff(off0).astype(np.int64))
+    offs = (off1[c0:c1 + 1] - off1[c0]).astype(np.int64)
+    p0 = off1[c0]
+    p1 = off1[c1]
+    xs = vals[2 * p0:2 * p1:2].astype(np.int64, copy=False)
+    ys = vals[2 * p0 + 1:2 * p1:2].astype(np.int64, copy=False)
+    return xs, ys, offs, row_of_contour
+
+
 def shapes_area2(shapes: list) -> int:
     """Twice the signed area summed over all contours (hole contours have
     opposite orientation, so holes subtract)."""

@@ -87,6 +87,62 @@ class OverlayStage:
         return pa.table(out)
 
 
+class OverlayStatsStage:
+    """(subj, clip) pairs -> (n_shapes, area2) per row with NO Python
+    geometry anywhere: Arrow nested lists are read as flat
+    offsets+coords views (geo_arrow.shape_column_flat) and run through
+    the packed stats kernel (overlay_pack_stats_flat). The stage for
+    aggregation-only consumers (tile summaries, counts)."""
+
+    def __init__(self, rule="intersect", fill_rule="nonzero",
+                 clockwise: bool = False):
+        self.rule = kernel.RULE_NAMES[rule] if isinstance(rule, str) else rule
+        self.fill_rule = (kernel.FILL_RULE_NAMES[fill_rule]
+                          if isinstance(fill_rule, str) else fill_rule)
+        self.clockwise = clockwise
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geometry.overlay import overlay_pack_stats_flat
+        sx, sy, soff, srow = geo_arrow.shape_column_flat(
+            batch.column("subj"))
+        cx, cy, coff, crow = geo_arrow.shape_column_flat(
+            batch.column("clip"))
+        nrows = len(batch)
+        # merge both sides into one job-sorted flat contour table
+        job = np.concatenate((srow, crow))
+        flags = np.concatenate((np.ones(len(srow), dtype=bool),
+                                np.zeros(len(crow), dtype=bool)))
+        lens = np.concatenate((np.diff(soff), np.diff(coff)))
+        starts = np.concatenate((soff[:-1], coff[:-1] + len(sx)))
+        xs_all = np.concatenate((sx, cx))
+        ys_all = np.concatenate((sy, cy))
+        order = np.argsort(job, kind="stable")
+        job = job[order]
+        flags = flags[order]
+        lens = lens[order]
+        starts = starts[order]
+        total = int(lens.sum())
+        # gather permuted contour vertices
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        idx = np.arange(total, dtype=np.int64) \
+            - np.repeat(offs[:-1], lens) + np.repeat(starts, lens)
+        xs = xs_all[idx]
+        ys = ys_all[idx]
+        n_shapes, area2 = overlay_pack_stats_flat(
+            xs, ys, offs, job, flags, self.rule, self.fill_rule,
+            n_jobs=nrows, clockwise=self.clockwise)
+        out = {
+            "pair_id": batch.column("pair_id"),
+            "tile_id": batch.column("tile_id"),
+            "rule": pa.array([self.rule] * nrows, pa.uint8()),
+            "n_shapes": pa.array(n_shapes, pa.int64()),
+            "area2": pa.array(area2, pa.int64()),
+        }
+        if "image_id" in batch.column_names:
+            out["image_id"] = batch.column("image_id")
+        return pa.table(out)
+
+
 class MultiRuleOverlayStage:
     """Build the overlay graph once per pair, extract several rules
     (Overlay::build_graph_view pattern, core/overlay.rs:303-313)."""

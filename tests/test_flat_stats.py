@@ -106,3 +106,16 @@ def test_pack_stats_holes():
     cnt, a2 = overlay_pack_stats(jobs, "difference", "nonzero")
     assert cnt[0] == len(packed[0])
     assert a2[0] == a2_ref
+
+
+def test_overlay_stats_stage_matches_overlay_stage(ray_session):
+    import ray.data
+    from ioverlay_ray.pipelines import flagship
+    ds = flagship.images_dataset(96)
+    full = flagship.tile_summary(
+        flagship.overlay_join(ds, "intersect")).to_pandas() \
+        .sort_values("tile_id").reset_index(drop=True)
+    stats = flagship.tile_summary(
+        flagship.overlay_join_stats(ds, "intersect")).to_pandas() \
+        .sort_values("tile_id").reset_index(drop=True)
+    assert full.equals(stats)
