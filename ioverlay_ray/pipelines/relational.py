@@ -58,7 +58,8 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("l_quantity", "sum"), sum_base=("base", "sum"),
             sum_disc=("disc", "sum"), count_order=("l_quantity", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
@@ -103,7 +104,8 @@ def q_nation_customers(sf_dir: str) -> pd.DataFrame:
             df = pd.DataFrame({"n_name": names})
             g = df.groupby("n_name", as_index=False).size()
             g.columns = ["n_name", "num_customers"]
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     ds = _read(sf_dir, "customer", ["c_nationkey"])
     parts = ds.map_batches(CountPerNation, batch_format="pyarrow",
@@ -122,7 +124,8 @@ def q_order_revenue_topk(sf_dir: str) -> pd.DataFrame:
         df = batch.to_pandas()
         df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
         g = df.groupby("l_orderkey", as_index=False)["rev"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     ds = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -146,7 +149,8 @@ def q_part_brands(sf_dir: str) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().groupby("p_brand", as_index=False).size()
         df.columns = ["p_brand", "n_parts"]
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = parts.groupby("p_brand", as_index=False)["n_parts"].sum()
@@ -162,7 +166,8 @@ def q_events_daily(sf_dir: str) -> pd.DataFrame:
         df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
         g = df.groupby(["day", "event_type"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()

@@ -49,7 +49,8 @@ def hash_aggregate(ds, keys: List[str], aggs: AggSpec,
         df = batch.to_pandas()
         g = df.groupby(keys, as_index=False).agg(**partial_spec)
         g["__part"] = _part_of(g, keys, num_partitions)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     def merge(group: pa.Table) -> pa.Table:
         df = group.to_pandas()
@@ -57,7 +58,8 @@ def hash_aggregate(ds, keys: List[str], aggs: AggSpec,
             return group.select(keys + list(aggs))
         out = df.drop(columns="__part").groupby(
             keys, as_index=False).agg(**merge_spec)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("__part")

@@ -60,8 +60,9 @@ def merge_topk(partials: pa.Table, k: int = 5) -> pa.Table:
                         ascending=[True, False, True])
     df["rank"] = df.groupby("query_id").cumcount() + 1
     df = df[df["rank"] <= k][["query_id", "vec_id", "rank"]]
-    return pa.Table.from_pandas(df.reset_index(drop=True),
-                                preserve_index=False)
+    return pa.Table.from_pandas(
+        df.reset_index(drop=True),
+        preserve_index=False).replace_schema_metadata(None)
 
 
 class HyperplaneLSHStage:

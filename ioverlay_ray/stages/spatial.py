@@ -134,8 +134,9 @@ def merge_knn(partials: pa.Table, k: int = 5) -> pa.Table:
     df = df.sort_values(["query_id", "dist2", "center_id"])
     df["rank"] = df.groupby("query_id").cumcount() + 1
     df = df[df["rank"] <= k][["query_id", "center_id", "rank"]]
-    return pa.Table.from_pandas(df.reset_index(drop=True),
-                                preserve_index=False)
+    return pa.Table.from_pandas(
+        df.reset_index(drop=True),
+        preserve_index=False).replace_schema_metadata(None)
 
 
 class RingKnnStage:
