@@ -158,12 +158,60 @@ def relate_pack(jobs: Sequence[tuple], fill_rule="evenodd") -> list:
     fills = compute_fills(segs, fr)
     # segments come out sorted by ax -> bands are contiguous runs
     band_of = segs.ax // stride
-    bounds = np.searchsorted(band_of, np.arange(n_jobs + 1))
+    # all seven flags are per-band ANY-reductions — one bincount per
+    # flag over the whole packed table instead of a Python loop of
+    # small-array slices per job
+    def band_any(mask: np.ndarray) -> np.ndarray:
+        return np.bincount(band_of[mask], minlength=n_jobs) > 0
+
+    has_subj = (fills & SUBJ_BOTH) != 0
+    has_clip = (fills & CLIP_BOTH) != 0
+    interior_v = (((fills & BOTH_TOP) == BOTH_TOP) |
+                  ((fills & BOTH_BOTTOM) == BOTH_BOTTOM))
+    st = (fills & SUBJ_TOP) != 0
+    sb = (fills & SUBJ_BOTTOM) != 0
+    ct = (fills & CLIP_TOP) != 0
+    cb = (fills & CLIP_BOTTOM) != 0
+
+    f_subj = band_any(has_subj)
+    f_clip = band_any(has_clip)
+    f_interior = band_any(interior_v)
+    f_shared = band_any(has_subj & has_clip)
+    f_within_v = band_any((st & ~ct) | (sb & ~cb))
+    f_covers_v = band_any((ct & ~st) | (cb & ~sb))
+
+    subj_interior = (fills & SUBJ_BOTH) == SUBJ_BOTH
+    clip_interior = (fills & CLIP_BOTH) == CLIP_BOTH
+    eligible = (fills != 0) & ~subj_interior & ~clip_interior & \
+               (has_subj != has_clip)
+    s_sel = eligible & has_subj
+    c_sel = eligible & has_clip
+    f_coincide = np.zeros(n_jobs, dtype=bool)
+    if s_sel.any() and c_sel.any():
+        # band offsets are baked into x, so endpoint keys can only
+        # collide within one band: a single global isin suffices
+        def keys(mask):
+            xs = np.concatenate([segs.ax[mask], segs.bx[mask]])
+            ys = np.concatenate([segs.ay[mask], segs.by[mask]])
+            return (xs << 32) ^ (ys & 0xFFFFFFFF)
+        sk = keys(s_sel)
+        matched = np.isin(sk, keys(c_sel))
+        if matched.any():
+            s_bands = np.concatenate([band_of[s_sel]] * 2)
+            f_coincide = np.bincount(s_bands[matched],
+                                     minlength=n_jobs) > 0
+
     out = []
     for k in range(n_jobs):
-        lo, hi = int(bounds[k]), int(bounds[k + 1])
-        out.append(Relation._from_slice(segs.take(slice(lo, hi)),
-                                        fills[lo:hi]))
+        r = Relation.__new__(Relation)
+        r._subj_present = bool(f_subj[k])
+        r._clip_present = bool(f_clip[k])
+        r._interior = bool(f_interior[k])
+        r._shared = bool(f_shared[k])
+        r._coincide = bool(f_coincide[k])
+        r._within_violation = bool(f_within_v[k])
+        r._covers_violation = bool(f_covers_v[k])
+        out.append(r)
     return out
 
 

@@ -75,14 +75,46 @@ class PIPCountStage:
         self.polys = polys
         self.x_col = x_col
         self.y_col = y_col
+        # detect the all-axis-aligned-rect case once per actor: winding
+        # for a rect reduces to x in [x0, x1) and y in (y0, y1], so a
+        # sort + per-rect searchsorted replaces the per-edge sweep
+        self.rects = None
+        rects = []
+        for poly_id, shape in polys:
+            if len(shape) != 1 or len(shape[0]) != 4:
+                break
+            xs = [p[0] for p in shape[0]]
+            ys = [p[1] for p in shape[0]]
+            ok = all((shape[0][i - 1][0] == shape[0][i][0]) !=
+                     (shape[0][i - 1][1] == shape[0][i][1])
+                     for i in range(4))
+            if not ok:
+                break
+            rects.append((poly_id, min(xs), max(xs), min(ys), max(ys)))
+        else:
+            if rects:
+                self.rects = rects
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        px = np.asarray(batch.column(self.x_col).to_pylist(), np.int64)
-        py = np.asarray(batch.column(self.y_col).to_pylist(), np.int64)
+        px = batch.column(self.x_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        py = batch.column(self.y_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         ids, counts = [], []
-        for poly_id, shape in self.polys:
-            ids.append(poly_id)
-            counts.append(int(points_in_polygon(px, py, shape).sum()))
+        if self.rects is not None:
+            order = np.argsort(px, kind="stable")
+            pxs = px[order]
+            pys = py[order]
+            for poly_id, x0, x1, y0, y1 in self.rects:
+                lo = int(np.searchsorted(pxs, x0, side="left"))
+                hi = int(np.searchsorted(pxs, x1, side="left"))
+                ys = pys[lo:hi]
+                ids.append(poly_id)
+                counts.append(int(((ys > y0) & (ys <= y1)).sum()))
+        else:
+            for poly_id, shape in self.polys:
+                ids.append(poly_id)
+                counts.append(int(points_in_polygon(px, py, shape).sum()))
         return pa.table({
             "poly_id": pa.array(ids, pa.int64()),
             "n_points": pa.array(counts, pa.int64()),
