@@ -50,29 +50,54 @@ class MinHashStage:
         self.b = rng.integers(0, self._P31, size=num_perm, dtype=np.int64)
         self.k = k
         self.num_perm = num_perm
+        # per-actor cache: shingle -> column in the permuted-value
+        # matrix. Real corpora repeat shingles heavily, so the md5 +
+        # permutation work per DISTINCT shingle is paid once per actor.
+        self._cache: dict = {}
+        self._vals = np.empty((num_perm, 0), dtype=np.int64)
+
+    def _perm_columns(self, shingles) -> None:
+        """Hash + permute shingles not yet cached (vectorized)."""
+        new = [s for s in dict.fromkeys(shingles) if s not in self._cache]
+        if not new:
+            return
+        # 31-bit md5-based shingle hash, little-endian first 8 bytes ==
+        # DuckDB md5_number_upper & 0x7FFFFFFF (SQL-reproducible)
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                            "little") & 0x7FFFFFFF for s in new),
+            dtype=np.int64, count=len(new))
+        # products stay < 2^62 because both factors are < 2^31
+        vals = (self.a[:, None] * hv[None, :] + self.b[:, None]) % self._P31
+        base = self._vals.shape[1]
+        self._vals = np.concatenate((self._vals, vals), axis=1)
+        for j, s in enumerate(new):
+            self._cache[s] = base + j
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingles(text, self.k)
         if not sh:
             return np.zeros(self.num_perm, dtype=np.int64)
-        # 31-bit md5-based shingle hash, little-endian first 8 bytes ==
-        # DuckDB md5_number_upper & 0x7FFFFFFF (SQL-reproducible)
-        hv = np.fromiter(
-            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
-                            "little") & 0x7FFFFFFF for s in sh),
-            dtype=np.int64, count=len(sh))
-        # one (num_perm x n_shingles) int64 matrix, no Python loop:
-        # products stay < 2^62 because both factors are < 2^31
-        vals = (self.a[:, None] * hv[None, :] + self.b[:, None]) % self._P31
-        return vals.min(axis=1)
+        self._perm_columns(sh)
+        cols = [self._cache[s] for s in sh]
+        return self._vals[:, cols].min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = [self.signature(t) for t in texts]
+        doc_sh = [_shingles(t, self.k) for t in texts]
+        self._perm_columns([s for sh in doc_sh for s in sh])
+        flat = [self._cache[s] for sh in doc_sh for s in sh]
+        lens = np.array([len(sh) for sh in doc_sh], dtype=np.int64)
+        sigs = np.zeros((len(texts), self.num_perm), dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            g = self._vals[:, flat]          # (num_perm, total)
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            mins = np.minimum.reduceat(g, offs[nz], axis=1)
+            sigs[nz] = mins.T
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "minhash": pa.array([s.tolist() for s in sigs],
-                                pa.list_(pa.int64())),
+            "minhash": pa.array(sigs.tolist(), pa.list_(pa.int64())),
         })
 
 
