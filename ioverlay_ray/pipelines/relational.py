@@ -224,11 +224,10 @@ def _minhash_candidates_ds(sf_dir: str):
     materialization): signatures -> band keys -> groupby band -> buckets
     with >1 distinct member -> distinct (min_doc, max_doc)."""
     from ..stages.agg import hash_aggregate
-    from ..stages.dedup import LSHBandStage, MinHashStage
+    from ..stages.dedup import MinHashBandStage
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow",
-                          concurrency=_conc(compute_bound=True))
-    bands = sigs.map_batches(LSHBandStage(), batch_format="pyarrow")
+    bands = ds.map_batches(MinHashBandStage, batch_format="pyarrow",
+                           concurrency=_conc(compute_bound=True))
     counts = hash_aggregate(bands, ["band_key"], {
         "members": ("doc_id", "count"),
         "min_doc": ("doc_id", "min"),

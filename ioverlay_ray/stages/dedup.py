@@ -101,6 +101,22 @@ class MinHashStage:
         })
 
 
+class MinHashBandStage(MinHashStage):
+    """Fused doc -> LSH band rows (minhash signature computed in the
+    same actor, never materialized as an Arrow column): one stage hop
+    instead of two for the candidate pipeline."""
+
+    def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 7,
+                 bands: int = 16, rows: int = 4):
+        super().__init__(num_perm, k, seed)
+        self.bands = bands
+        self.rows = rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = super().__call__(batch)
+        return LSHBandStage(self.bands, self.rows)(sigs)
+
+
 class LSHBandStage:
     """signature -> (band_key, doc_id) rows, one per band; a groupby on
     band_key yields the candidate buckets."""
