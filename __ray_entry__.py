@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jaccard_verify": rq.q_jaccard_verify,
         "q_simhash": rq.q_simhash,
         "q_ann_cosine_topk": rq.q_ann_cosine_topk,
+        "q_ann_ivf_topk": rq.q_ann_ivf_topk,
         "q_embedding_neardup": rq.q_embedding_neardup,
         "q_ann_lsh_buckets": rq.q_ann_lsh_buckets,
         # geometry engine (SQL-checked via arithmetic oracles)
@@ -128,6 +129,20 @@ def _planes_cte(dim: int = 64, n_planes: int = 8, seed: int = 11) -> str:
             i, ", ".join(repr(float(v)) for v in planes[:, i]))
         for i in range(n_planes))
     return f"planes(pid, pv) AS (VALUES {rows})"
+
+
+def _ivf_cents_cte(dim: int = 64, k_lists: int = 16, seed: int = 13) -> str:
+    """Fixed seeded unit centroids as SQL literals — the SAME numpy
+    generation as stages/ann.py IVFScanStage (repr doubles, exact)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((k_lists, dim))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(v)) for v in c[i]))
+        for i in range(k_lists))
+    return f"cents(cid, cv) AS (VALUES {rows})"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -479,6 +494,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(sim * 1000) AS BIGINT) AS sim_e3
             FROM pairs WHERE sim > 0.4
             ORDER BY id_a, id_b
+        """,
+        "q_ann_ivf_topk": f"""
+            -- IVF ANN: coarse-quantize to the literal seed-13 unit
+            -- centroids, probe the 4 closest lists per query, cosine
+            -- top-5 within the probed lists only
+            WITH {_ivf_cents_cte()},
+            n AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), assign AS (
+                SELECT vec_id, cid FROM (
+                    SELECT n.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY n.vec_id
+                               ORDER BY list_cosine_similarity(n.e, c.cv)
+                                   DESC, c.cid) AS rn
+                    FROM n CROSS JOIN cents c) WHERE rn = 1
+            ), q AS (
+                SELECT vec_id AS query_id, e AS qe FROM n WHERE vec_id < 8
+            ), probes AS (
+                SELECT query_id, cid FROM (
+                    SELECT q.query_id, c.cid,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY list_cosine_similarity(q.qe, c.cv)
+                                   DESC, c.cid) AS rn
+                    FROM q CROSS JOIN cents c) WHERE rn <= 4
+            ), cand AS (
+                SELECT q.query_id, n.vec_id,
+                       list_cosine_similarity(n.e, q.qe) AS score
+                FROM q JOIN probes p ON p.query_id = q.query_id
+                     JOIN assign a ON a.cid = p.cid
+                     JOIN n ON n.vec_id = a.vec_id
+            )
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+            FROM cand
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank
         """,
         "q_ann_lsh_buckets": f"""
             WITH {_planes_cte()},

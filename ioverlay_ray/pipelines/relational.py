@@ -335,6 +335,29 @@ def q_ann_cosine_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFra
                       k).to_pandas()
 
 
+def q_ann_ivf_topk(sf_dir: str, n_queries: int = 8, k_lists: int = 16,
+                   nprobe: int = 4, k: int = 5) -> pd.DataFrame:
+    """IVF ANN: coarse quantization to fixed seeded unit centroids,
+    per-query scan restricted to the nprobe closest lists (the
+    inverted-file scale path; at 10^12 rows lists are hash-partitioned
+    and only probed partitions are read). SQL-checked: the centroids
+    are data-independent, so the oracle embeds them as literals."""
+    from ..stages.ann import IVFScanStage, merge_topk
+    qt = _small_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"] < n_queries].sort_values("vec_id")
+    queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    qref = ray.put(queries)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    partials = ds.map_batches(
+        IVFScanStage, batch_format="pyarrow",
+        fn_constructor_args=(qref, qdf["vec_id"].tolist(), k_lists,
+                             nprobe, k),
+        concurrency=_conc())
+    return merge_topk(pa.Table.from_pandas(partials.to_pandas()),
+                      k).to_pandas()
+
+
 def q_ann_lsh_buckets(sf_dir: str, n_planes: int = 8) -> pd.DataFrame:
     """LSH-bucketed ANN scale path: hyperplane signatures -> bucket
     groupby (deterministic seed; rows-only check). At 10^12 rows this

@@ -82,3 +82,60 @@ class HyperplaneLSHStage:
             "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
             "vec_id": batch.column("vec_id"),
         })
+
+
+class IVFScanStage:
+    """IVF (inverted-file) ANN scan stage — the classic scale path:
+    vectors are coarsely quantized to their nearest centroid (argmax
+    dot against fixed seeded unit centroids, data-independent so the
+    SQL oracle can reproduce them as literals), and each query scores
+    ONLY vectors whose list is among its ``nprobe`` closest lists.
+    Emits per-batch partial top-k; merge with merge_topk."""
+
+    def __init__(self, queries, query_ids, k_lists: int = 16,
+                 nprobe: int = 4, k: int = 5, seed: int = 13):
+        import ray
+        if isinstance(queries, ray.ObjectRef):
+            queries = ray.get(queries)
+        rng = np.random.default_rng(seed)
+        c = rng.standard_normal((k_lists, len(np.asarray(queries)[0])))
+        self.cents = c / np.linalg.norm(c, axis=1, keepdims=True)
+        q = np.asarray(queries, dtype=np.float64)
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.query_ids = list(query_ids)
+        self.k = k
+        # per-query probe set: top-nprobe centroids by dot, ties by id
+        dots = self.qn @ self.cents.T
+        self.probes = []
+        for qi in range(len(self.qn)):
+            order = sorted(range(k_lists), key=lambda c_: (-dots[qi, c_], c_))
+            self.probes.append(set(order[:nprobe]))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.array(batch.column("embedding").to_pylist(),
+                       dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        en = emb / norms
+        cd = en @ self.cents.T                     # (n, k_lists)
+        assign = np.argmax(cd, axis=1)             # ties -> lowest id
+        sims = en @ self.qn.T                      # (n, nq)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            probed = np.isin(assign, list(self.probes[qi]))
+            if not probed.any():
+                continue
+            col = sims[probed, qi]
+            vid = ids[probed]
+            k = min(self.k, len(col))
+            top = np.argpartition(-col, k - 1)[:k]
+            for t in top:
+                out_q.append(qid)
+                out_v.append(int(vid[t]))
+                out_s.append(float(col[t]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })

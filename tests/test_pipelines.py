@@ -201,3 +201,22 @@ def test_checkerboard_xor_matches_direct(ray_session):
             for i in range(n - 1) for j in range(n - 1)]
     direct = overlay(subj, clip, "xor", "nonzero")
     assert res["area2"] == shapes_area2(direct)
+
+
+def test_ann_ivf_topk(ray_session):
+    from ioverlay_ray.pipelines.relational import (q_ann_cosine_topk,
+                                                   q_ann_ivf_topk)
+    sf = "/root/testdata/sf0.001"
+    ivf = q_ann_ivf_topk(sf)
+    assert set(ivf.columns) == {"query_id", "vec_id", "rank"}
+    assert (ivf.groupby("query_id")["rank"].max() <= 5).all()
+    # rank 1 should be the query itself (self-similarity = 1, and the
+    # query's own list is always probed)
+    top1 = ivf[ivf["rank"] == 1]
+    assert (top1["query_id"].values == top1["vec_id"].values).all()
+    # IVF recall vs exact top-k: probing 4/16 lists keeps most of the
+    # true neighbours on this corpus
+    exact = q_ann_cosine_topk(sf)
+    e_pairs = set(zip(exact["query_id"], exact["vec_id"]))
+    i_pairs = set(zip(ivf["query_id"], ivf["vec_id"]))
+    assert len(i_pairs & e_pairs) >= int(0.4 * len(e_pairs))
