@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_daily": rq.q_events_daily,
         "q_event_sessions": rq.q_event_sessions,
         # training-data ops
+        "q_event_asof_order": rq.q_event_asof_order,
         "q_doc_dedup_exact": rq.q_doc_dedup_exact,
         "q_doc_token_stats": rq.q_doc_token_stats,
         "q_doc_quality": rq.q_doc_quality,
@@ -706,6 +707,26 @@ def oracle_sql() -> dict[str, str]:
                                 center_id) AS BIGINT) AS rank
             FROM c CROSS JOIN q
             QUALIFY rank <= 5
+        """,
+        "q_event_asof_order": """
+            -- as-of join: most recent order per customer at event time;
+            -- ties on the date resolve to the largest orderkey
+            SELECT event_id, o_orderkey, total_cents
+            FROM (
+                SELECT e.event_id, o.o_orderkey,
+                       CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                           AS total_cents,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC,
+                                    o.o_orderkey DESC) AS rn
+                FROM events e
+                JOIN orders o
+                  ON o.o_custkey = e.user_id %
+                     (SELECT MAX(o_custkey) + 1 FROM orders)
+                 AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
+            ORDER BY event_id
         """,
         # multimodal round-trip oracles: expected values recomputed
         # directly from the deterministic pixel generator (no encode,

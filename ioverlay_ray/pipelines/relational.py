@@ -411,6 +411,52 @@ def q_event_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q_event_asof_order(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event looks up the customer's most recent order
+    at event time (hash-partitioned co-group + vectorized rank-packed
+    merge, stages/asof.py; DuckDB window oracle)."""
+    from ..stages.asof import asof_join
+    import pyarrow.compute as pc
+
+    orders_small = _small_table(sf_dir, "orders", ["o_custkey"])
+    ncust = int(pc.max(orders_small.column("o_custkey")).as_py()) + 1
+
+    def ev_prep(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "asof_key": pa.array(uid % ncust, pa.int64()),
+            "ts": batch.column("ts"),
+        })
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(batch.column("o_totalprice"), 100.0))
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "o_orderdate": batch.column("o_orderdate"),
+            "o_orderkey": batch.column("o_orderkey"),
+            "total_cents": cents.cast(pa.int64()),
+        })
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(ev_prep, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey",
+                    "o_totalprice"]) \
+        .map_batches(ord_prep, batch_format="pyarrow")
+    out = asof_join(
+        events, orders,
+        left_key="asof_key", left_t="ts",
+        right_key="o_custkey", right_t="o_orderdate",
+        right_id="o_orderkey",
+        left_cols={"event_id": "event_id"},
+        right_cols={"o_orderkey": "o_orderkey",
+                    "total_cents": "total_cents"}).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True) \
+        .astype(np.int64)
+
+
 def q_jaccard_verify(sf_dir: str, threshold_e3: int = 300) -> pd.DataFrame:
     """Near-dup detection end to end, 100TB-shaped: MinHash+LSH candidate
     pairs (a Dataset) are joined BACK to the documents table with two

@@ -220,3 +220,11 @@ def test_ann_ivf_topk(ray_session):
     e_pairs = set(zip(exact["query_id"], exact["vec_id"]))
     i_pairs = set(zip(ivf["query_id"], ivf["vec_id"]))
     assert len(i_pairs & e_pairs) >= int(0.4 * len(e_pairs))
+
+
+def test_event_asof_order(ray_session):
+    from ioverlay_ray.pipelines.relational import q_event_asof_order
+    out = q_event_asof_order("/root/testdata/sf0.001")
+    assert list(out.columns) == ["event_id", "o_orderkey", "total_cents"]
+    assert out["event_id"].is_monotonic_increasing
+    assert len(out) > 0
