@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_sessions": rq.q_event_sessions,
         # training-data ops
         "q_event_asof_order": rq.q_event_asof_order,
+        "q_part_value_range": rq.q_part_value_range,
         "q_doc_dedup_exact": rq.q_doc_dedup_exact,
         "q_doc_token_stats": rq.q_doc_token_stats,
         "q_doc_quality": rq.q_doc_quality,
@@ -727,6 +728,15 @@ def oracle_sql() -> dict[str, str]:
                  AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
             ORDER BY event_id
+        """,
+        "q_part_value_range": """
+            -- range join: events counted into each part's value bracket
+            SELECT p.p_partkey, COUNT(*) AS n_events
+            FROM part p JOIN events e
+              ON e.value >= p.p_size * 2.0
+             AND e.value <  p.p_size * 2.0 + 30.0
+            GROUP BY p.p_partkey
+            ORDER BY p.p_partkey
         """,
         # multimodal round-trip oracles: expected values recomputed
         # directly from the deterministic pixel generator (no encode,

@@ -411,6 +411,43 @@ def q_event_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q_part_value_range(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join: count events whose value falls in each
+    part's derived [p_size*2, p_size*2 + 30) bracket. Scale shape:
+    the interval table is the SMALL side — its sorted endpoints are
+    broadcast once, and each event batch answers ALL intervals with
+    two searchsorted calls over its locally sorted values (partial
+    counts, one tiny final sum); no shuffle, no per-pair work."""
+    part = _small_table(sf_dir, "part", ["p_partkey", "p_size"])
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)
+    lo = part.column("p_size").to_numpy().astype(np.float64) * 2.0
+    hi = lo + 30.0
+    iv_ref = ray.put((pk, lo, hi))
+
+    class RangeCountStage:
+        def __init__(self, ref):
+            self.pk, self.lo, self.hi = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = np.sort(batch.column("value").to_numpy(
+                zero_copy_only=False).astype(np.float64))
+            n = np.searchsorted(v, self.hi, side="left") \
+                - np.searchsorted(v, self.lo, side="left")
+            return pa.table({
+                "p_partkey": pa.array(self.pk, pa.int64()),
+                "n_events": pa.array(n.astype(np.int64), pa.int64()),
+            })
+
+    ds = _read(sf_dir, "events", ["value"])
+    parts = ds.map_batches(RangeCountStage, batch_format="pyarrow",
+                           fn_constructor_args=(iv_ref,),
+                           concurrency=_conc()).to_pandas()
+    out = parts.groupby("p_partkey", as_index=False)["n_events"].sum()
+    out = out[out["n_events"] > 0]
+    return out.sort_values("p_partkey").reset_index(drop=True) \
+        .astype(np.int64)
+
+
 def q_event_asof_order(sf_dir: str) -> pd.DataFrame:
     """As-of join: each event looks up the customer's most recent order
     at event time (hash-partitioned co-group + vectorized rank-packed

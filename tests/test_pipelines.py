@@ -228,3 +228,10 @@ def test_event_asof_order(ray_session):
     assert list(out.columns) == ["event_id", "o_orderkey", "total_cents"]
     assert out["event_id"].is_monotonic_increasing
     assert len(out) > 0
+
+
+def test_part_value_range(ray_session):
+    from ioverlay_ray.pipelines.relational import q_part_value_range
+    out = q_part_value_range("/root/testdata/sf0.001")
+    assert list(out.columns) == ["p_partkey", "n_events"]
+    assert (out["n_events"] > 0).all()
