@@ -250,8 +250,10 @@ def dissolve(ds: "ray.data.Dataset", base: int = 64, levels: int = 5,
                    .map_groups(union_level, batch_format="pyarrow"))
         current = current.materialize()
         if may_finalize:
-            finals.append(current.filter(expr="level == -1").materialize())
-            current = current.filter(expr="level >= 0").materialize()
+            # lazy filters over the materialized level output: cheap
+            # block scans at consumption, no extra barriers per level
+            finals.append(current.filter(expr="level == -1"))
+            current = current.filter(expr="level >= 0")
     for f in finals:
         current = current.union(f)
     return current

@@ -94,3 +94,30 @@ def test_dissolve_with_holes(ray_session):
     assert len(shape) == 1          # hole filled
     assert dissolve_area2(ray.data.from_arrow(t), base=64, levels=3) \
         == 2 * 100 * 100
+
+
+def test_root_crosser_unions_with_risen_shapes(ray_session):
+    # a coarse-level crosser must union with shapes that rise to the
+    # root from below (regression: they were keyed to different top
+    # groups and double-counted)
+    import ray.data
+    from ioverlay_ray.pipelines.dissolve import (dissolve_area2,
+                                                 shape_to_rings)
+    base, levels = 64, 3  # cells: 64 / 128 / 256
+    # A crosses the coarse (256) boundary -> clamped to the top level
+    # with a NONZERO coarse cell id (min corner in coarse cell 1)
+    A = [[(300, 10), (600, 10), (600, 90), (300, 90)]]
+    # B fits a mid (128) cell -> assigned level 1, unions there, rises
+    # to the root as cell 0; it lies fully inside A
+    B = [[(385, 40), (500, 40), (500, 80), (385, 80)]]
+    rows = []
+    for s in (A, B):
+        xs = [p[0] for c in s for p in c]
+        ys = [p[1] for c in s for p in c]
+        rows.append({"rings": shape_to_rings(s),
+                     "x0": min(xs), "y0": min(ys),
+                     "x1": max(xs) + 1, "y1": max(ys) + 1})
+    ds = ray.data.from_items(rows)
+    got = dissolve_area2(ds, base=base, levels=levels)
+    # union area, not the sum: B is inside A = 300x80
+    assert got == 2 * (300 * 80)
