@@ -786,8 +786,10 @@ def extract_shapes(links: Links, rule: int, clockwise: bool = False,
     ensure_pair_tables(links)
     plan = _pure_cycle_plan(links, rule, clockwise,
                             preserve_output_collinear, min_output_area)
+    all_pure = False
     if plan is not None:
         vis_init, p_starts, p_holes, p_points = plan
+        all_pure = bool(vis_init.all())
         visited = bytearray(vis_init.tobytes())
     else:
         p_starts = []
@@ -812,7 +814,7 @@ def extract_shapes(links: Links, rule: int, clockwise: bool = False,
                 shapes.append([points])
             pp += 1
 
-    link_index = 0
+    link_index = n if all_pure else 0
     while link_index < n:
         if visited[link_index] != UNVISITED:
             if pp < np_starts:
@@ -879,8 +881,10 @@ def extract_stats(links: Links, rule: int, clockwise: bool = False,
     xs_parts = []
     a2_parts = []
     hole_parts = []
+    all_pure = False
     if plan is not None:
         vis_init, g_starts, g_holes, g_P = plan
+        all_pure = bool(vis_init.all())
         visited = bytearray(vis_init.tobytes())
         for starts, hole, P in zip(g_starts, g_holes, g_P):
             x0 = P[:, :, 0]
@@ -897,7 +901,7 @@ def extract_stats(links: Links, rule: int, clockwise: bool = False,
     sq_x = []
     sq_a2 = []
     sq_h = []
-    link_index = 0
+    link_index = n if all_pure else 0
     while link_index < n:
         if visited[link_index] != UNVISITED:
             link_index += 1
