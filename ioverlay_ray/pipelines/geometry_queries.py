@@ -237,7 +237,11 @@ def q_dissolve_area(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "part", ["p_partkey", "p_size"]) \
         .map_batches(rects, batch_format="pyarrow")
-    area2 = dissolve_area2(ds, base=64, levels=5)
+    # reduce depth sized to the data: each level is one shuffle round
+    # (~0.5 s of fixed cost locally), and a 1024^2 world only needs
+    # 64 -> 128 -> 256-cell rounds before the root; a 100 TB world
+    # uses proportionally more levels, not bigger groups
+    area2 = dissolve_area2(ds, base=64, levels=3)
     return pd.DataFrame({"union_area2": np.array([area2], np.int64)})
 
 
