@@ -27,8 +27,11 @@ def _conc() -> int:
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    # single-row-group test files: force multiple blocks so map stages
+    # parallelize (see relational._read)
+    nb = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns)
+                                 columns=columns, override_num_blocks=nb)
 
 
 def part_rects(partkey: np.ndarray, size: np.ndarray):

@@ -150,8 +150,10 @@ def q_giant_pip(sf_dir: str, n_teeth: int = 2000) -> pd.DataFrame:
             "py": pa.array((eid * 17) % 12, pa.int64()),
         })
 
+    nb = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
     pts = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                                columns=["event_id"]) \
+                                columns=["event_id"],
+                                override_num_blocks=nb) \
         .map_batches(to_points, batch_format="pyarrow")
     inside = giant_pip_count(pts, contour)
     return pd.DataFrame({"n_inside": np.array([inside], np.int64)})

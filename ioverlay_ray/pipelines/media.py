@@ -26,8 +26,11 @@ def q_image_decode_stats(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
                         f"ioverlay_images_{n_images}_42")
     files = [os.path.join(path, f) for f in sorted(os.listdir(path))
              if f.endswith(".parquet")]
+    import ray as _ray
+    nb = max(len(files), int(_ray.cluster_resources().get("CPU", 8)))
     ds = ray.data.read_parquet(
-        files, columns=["image_id", "bytes", "w", "h", "fmt"])
+        files, columns=["image_id", "bytes", "w", "h", "fmt"],
+        override_num_blocks=nb)
     out = ds.map_batches(DecodeStage, batch_format="pyarrow",
                          fn_constructor_kwargs={"check_phash": True},
                          concurrency=2).to_pandas()
@@ -54,8 +57,11 @@ def q_image_embed_topk(sf_dir: str, n_images: int = 256,
                         f"ioverlay_images_{n_images}_42")
     files = [os.path.join(path, f) for f in sorted(os.listdir(path))
              if f.endswith(".parquet")]
+    import ray as _ray
+    nb = max(len(files), int(_ray.cluster_resources().get("CPU", 8)))
     ds = ray.data.read_parquet(
-        files, columns=["image_id", "bytes", "w", "h", "fmt"])
+        files, columns=["image_id", "bytes", "w", "h", "fmt"],
+        override_num_blocks=nb)
     emb = ds.map_batches(EmbedStage, batch_format="pyarrow", concurrency=2)
     emb_df = emb.to_pandas().sort_values("image_id").reset_index(drop=True)
     queries = np.array(emb_df["embedding"].iloc[:4].tolist())

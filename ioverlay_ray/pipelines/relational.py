@@ -19,9 +19,16 @@ import ray
 import ray.data
 
 
-def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+def _read(sf_dir: str, table: str, columns=None,
+          num_blocks: int | None = None) -> "ray.data.Dataset":
+    # the test tables are single-row-group files; without an explicit
+    # block target Ray reads each as ONE block and every downstream
+    # map stage becomes a single task
+    if num_blocks is None:
+        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns)
+                                 columns=columns,
+                                 override_num_blocks=num_blocks)
 
 
 def _small_table(sf_dir: str, table: str, columns=None) -> pa.Table:
@@ -186,7 +193,8 @@ def q_doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: hash-partition by content key, keep min doc_id."""
     from ..stages.dedup import exact_key_stage
     from ..stages.agg import hash_aggregate
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               num_blocks=8)
     keyed = ds.map_batches(exact_key_stage, batch_format="pyarrow")
     kept = hash_aggregate(keyed, ["content_key"],
                           {"doc_id": ("doc_id", "min")}).to_pandas()
@@ -197,25 +205,29 @@ def q_doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
 
 def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import token_stats
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               num_blocks=8)
     return ds.map_batches(token_stats, batch_format="pyarrow").to_pandas()
 
 
 def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import quality_features
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               num_blocks=8)
     return ds.map_batches(quality_features, batch_format="pyarrow").to_pandas()
 
 
 def q_doc_lang(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import lang_id
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               num_blocks=8)
     return ds.map_batches(lang_id, batch_format="pyarrow").to_pandas()
 
 
 def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import fingerprint
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               num_blocks=8)
     return ds.map_batches(fingerprint, batch_format="pyarrow").to_pandas()
 
 
@@ -224,10 +236,11 @@ def _minhash_candidates_ds(sf_dir: str):
     materialization): signatures -> band keys -> groupby band -> buckets
     with >1 distinct member -> distinct (min_doc, max_doc)."""
     from ..stages.agg import hash_aggregate
-    from ..stages.dedup import MinHashBandStage
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    bands = ds.map_batches(MinHashBandStage, batch_format="pyarrow",
-                           concurrency=_conc(compute_bound=True))
+    from ..stages.dedup import minhash_band_rows
+    # ~8 blocks: enough parallelism while each task's per-worker
+    # shingle cache still amortizes over hundreds of docs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    bands = ds.map_batches(minhash_band_rows, batch_format="pyarrow")
     counts = hash_aggregate(bands, ["band_key"], {
         "members": ("doc_id", "count"),
         "min_doc": ("doc_id", "min"),
@@ -258,7 +271,8 @@ def q_minhash_bands(sf_dir: str) -> pd.DataFrame:
 
 def q_simhash(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import SimHashStage
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               num_blocks=8)
     return ds.map_batches(SimHashStage, batch_format="pyarrow",
                           concurrency=_conc(compute_bound=True)).to_pandas()
 
@@ -543,7 +557,8 @@ def q_doc_minhash(sf_dir: str) -> pd.DataFrame:
     """Full MinHash signatures per document as a comma-joined string
     (SQL-checked against the permutation arithmetic oracle)."""
     from ..stages.dedup import MinHashStage
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               num_blocks=8)
     sigs = ds.map_batches(MinHashStage, batch_format="pyarrow",
                           concurrency=_conc(compute_bound=True)).to_pandas()
     sigs["sig"] = sigs["minhash"].map(

@@ -117,6 +117,21 @@ class MinHashBandStage(MinHashStage):
         return LSHBandStage(self.bands, self.rows)(sigs)
 
 
+_WORKER_STAGES: dict = {}
+
+
+def minhash_band_rows(batch: pa.Table) -> pa.Table:
+    """Task-pool form of MinHashBandStage: the stage (and its shingle
+    cache) lives in a worker-process module global, so it runs on Ray's
+    prestarted workers — no per-query actor spin-up — and the cache
+    persists across queries on the same worker."""
+    st = _WORKER_STAGES.get("minhash_bands")
+    if st is None:
+        st = MinHashBandStage()
+        _WORKER_STAGES["minhash_bands"] = st
+    return st(batch)
+
+
 class LSHBandStage:
     """signature -> (band_key, doc_id) rows, one per band; a groupby on
     band_key yields the candidate buckets."""
