@@ -157,7 +157,7 @@ def scaling_worker(num_cpus: int, n_images: int) -> dict:
     best = None
     for _ in range(2):
         t0 = time.time()
-        res = flagship.overlay_join_all_rules(
+        res = flagship.overlay_join_all_rules_stats(
             ds, rules=("intersect", "union", "difference", "xor"))
         rows = res.count()
         dt = time.time() - t0

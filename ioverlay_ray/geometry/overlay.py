@@ -248,6 +248,66 @@ def overlay_pack_stats(jobs: Sequence[tuple], rule, fill_rule=NON_ZERO,
     return n_polys, area2
 
 
+def overlay_pack_stats_all_flat(xs, ys, offsets, job_of_contour,
+                                subj_flags, rules, fill_rule=NON_ZERO,
+                                margin: int = 4,
+                                n_jobs: int | None = None, **options):
+    """overlay_pack_stats_flat for SEVERAL rules: one packed split/fill
+    pass, one stats extract per rule (the graph-view pattern). Returns
+    {rule_code: (n_polys, area2)}."""
+    xs = np.asarray(xs, dtype=np.int64)
+    ys = np.asarray(ys, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    job = np.asarray(job_of_contour, dtype=np.int64)
+    subj_flags = np.asarray(subj_flags, dtype=bool)
+    nc = len(offsets) - 1
+    if n_jobs is None:
+        n_jobs = int(job.max()) + 1 if nc else 0
+    rule_codes = [_as_rule(r) for r in rules]
+    out = {code: (np.zeros(n_jobs, dtype=np.int64),
+                  np.zeros(n_jobs, dtype=np.int64))
+           for code in rule_codes}
+    if nc == 0:
+        return out
+    lens = np.diff(offsets)
+    cmin = np.minimum.reduceat(xs, offsets[:-1])
+    cmax = np.maximum.reduceat(xs, offsets[:-1])
+    big = np.int64(1) << 62
+    jmin = np.full(n_jobs, big, dtype=np.int64)
+    jmax = np.full(n_jobs, -big, dtype=np.int64)
+    np.minimum.at(jmin, job, cmin)
+    np.maximum.at(jmax, job, cmax)
+    span_max = int((jmax - jmin)[jmax >= jmin].max()) if nc else 0
+    stride = 1 << max(1, (span_max + 2 * margin)).bit_length()
+    per_pack = max(1, ((1 << 29) // stride) - 1)
+    from .kernel import build_segments_flat
+    for j0 in range(0, n_jobs, per_pack):
+        j1 = min(n_jobs, j0 + per_pack)
+        c0 = int(np.searchsorted(job, j0, side="left"))
+        c1 = int(np.searchsorted(job, j1, side="left"))
+        if c0 == c1:
+            continue
+        v0 = int(offsets[c0])
+        v1 = int(offsets[c1])
+        sub_off = offsets[c0:c1 + 1] - v0
+        jb = job[c0:c1]
+        dx = (jb - j0) * stride + margin - jmin[jb]
+        x_t = xs[v0:v1] + np.repeat(dx, lens[c0:c1])
+        segs = build_segments_flat(x_t, ys[v0:v1], sub_off,
+                                   subj_flags[c0:c1])
+        graph = build_graph_from_segments(segs, fill_rule, **options)
+        if graph is None:
+            continue
+        for code in rule_codes:
+            sx, a2v, holes = graph.extract_stats(code)
+            if len(sx):
+                out_job = sx // stride + j0
+                n_polys, area2 = out[code]
+                np.add.at(n_polys, out_job[~holes], 1)
+                np.add.at(area2, out_job, a2v)
+    return out
+
+
 def overlay_pack_stats_flat(xs, ys, offsets, job_of_contour, subj_flags,
                             rule, fill_rule=NON_ZERO, margin: int = 4,
                             n_jobs: int | None = None, **options):

@@ -94,6 +94,23 @@ def overlay_join_stats(ds: "ray.data.Dataset", rule: str = "intersect",
         batch_size=batch_size, concurrency=concurrency)
 
 
+def overlay_join_all_rules_stats(ds, rules=("intersect", "union",
+                                             "difference", "xor"),
+                                 fill_rule="nonzero", resolution: int = 4,
+                                 batch_size: int = 256,
+                                 concurrency: int | None = None):
+    """Multi-rule join emitting stats rows only (graph-view + flat
+    columnar; no shapes column) — same row count/values as
+    overlay_join_all_rules minus the geometry."""
+    from ..stages.overlay_stage import MultiRuleStatsStage
+    annotated = ds.map_batches(AnnotateStage(resolution),
+                               batch_format="pyarrow",
+                               batch_size=max(1024, batch_size))
+    return annotated.map_batches(
+        MultiRuleStatsStage(rules, fill_rule), batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)
+
+
 def overlay_join_all_rules(ds, rules=("intersect", "union", "difference",
                                       "xor"), fill_rule="nonzero",
                            resolution: int = 4, batch_size: int = 256,

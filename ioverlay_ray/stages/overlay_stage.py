@@ -143,6 +143,69 @@ class OverlayStatsStage:
         return pa.table(out)
 
 
+class MultiRuleStatsStage:
+    """OverlayStatsStage for several rules: split/fill once per packed
+    batch, one stats extract per rule (graph-view), no Python geometry
+    and no shapes column — the bandwidth-light form of the multi-rule
+    join for aggregation consumers."""
+
+    def __init__(self, rules=("intersect", "union", "difference", "xor"),
+                 fill_rule="nonzero", clockwise: bool = False):
+        self.rules = [(r, kernel.RULE_NAMES[r]) for r in rules]
+        self.fill_rule = kernel.FILL_RULE_NAMES[fill_rule] \
+            if isinstance(fill_rule, str) else fill_rule
+        self.clockwise = clockwise
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geometry.overlay import overlay_pack_stats_all_flat
+        sx, sy, soff, srow = geo_arrow.shape_column_flat(
+            batch.column("subj"))
+        cx, cy, coff, crow = geo_arrow.shape_column_flat(
+            batch.column("clip"))
+        nrows = len(batch)
+        job = np.concatenate((srow, crow))
+        flags = np.concatenate((np.ones(len(srow), dtype=bool),
+                                np.zeros(len(crow), dtype=bool)))
+        lens = np.concatenate((np.diff(soff), np.diff(coff)))
+        starts = np.concatenate((soff[:-1], coff[:-1] + len(sx)))
+        xs_all = np.concatenate((sx, cx))
+        ys_all = np.concatenate((sy, cy))
+        order = np.argsort(job, kind="stable")
+        job = job[order]
+        flags = flags[order]
+        lens = lens[order]
+        starts = starts[order]
+        total = int(lens.sum())
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        idx = np.arange(total, dtype=np.int64) \
+            - np.repeat(offs[:-1], lens) + np.repeat(starts, lens)
+        per_rule = overlay_pack_stats_all_flat(
+            xs_all[idx], ys_all[idx], offs, job, flags,
+            [code for _, code in self.rules], self.fill_rule,
+            n_jobs=nrows, clockwise=self.clockwise)
+        pair = batch.column("pair_id").to_numpy(zero_copy_only=False)
+        tile = batch.column("tile_id").to_numpy(zero_copy_only=False)
+        out_pair = []
+        out_tile = []
+        out_rule = []
+        out_n = []
+        out_a = []
+        for _, code in self.rules:
+            n_polys, area2 = per_rule[code]
+            out_pair.append(pair)
+            out_tile.append(tile)
+            out_rule.append(np.full(nrows, code, np.uint8))
+            out_n.append(n_polys)
+            out_a.append(area2)
+        return pa.table({
+            "pair_id": pa.array(np.concatenate(out_pair), pa.int64()),
+            "tile_id": pa.array(np.concatenate(out_tile), pa.int64()),
+            "rule": pa.array(np.concatenate(out_rule), pa.uint8()),
+            "n_shapes": pa.array(np.concatenate(out_n), pa.int64()),
+            "area2": pa.array(np.concatenate(out_a), pa.int64()),
+        })
+
+
 class MultiRuleOverlayStage:
     """Build the overlay graph once per pair, extract several rules
     (Overlay::build_graph_view pattern, core/overlay.rs:303-313)."""
