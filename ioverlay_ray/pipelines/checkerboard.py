@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..geometry.overlay import overlay_pack_stats, overlay_pack_stats_flat
+from ..geometry.overlay import overlay_pack_stats_flat
 
 SIDE = 20
 PITCH = 30

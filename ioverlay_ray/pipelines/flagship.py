@@ -16,7 +16,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-from ..sources.synth import make_images_table
 from ..stages.overlay_stage import AnnotateStage, MultiRuleOverlayStage, OverlayStage
 
 

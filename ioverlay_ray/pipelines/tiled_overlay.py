@@ -42,9 +42,8 @@ from ..geometry.kernel import (FILL_RULE_NAMES, RULE_NAMES, Segments,
                                _classify_pairs, build_segments,
                                fills_from_windings, is_fill_top,
                                rule_include_mask)
-from ..geometry.tiled import (assemble_shapes, bind_tags,
-                              bottom_windings_subset, stitch_chains,
-                              strip_walk, _ring_area2)
+from ..geometry.tiled import (bind_tags, bottom_windings_subset,
+                              stitch_chains, strip_walk, _ring_area2)
 from ..geometry.extract import _left_bottom_segment
 
 PTS = pa.list_(pa.int64())  # flat x,y pairs

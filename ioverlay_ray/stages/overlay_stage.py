@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..geometry import kernel
-from ..geometry.overlay import build_graph, overlay, overlay_pack, overlay_pack_all
+from ..geometry.overlay import overlay_pack, overlay_pack_all
 from ..sources.synth import annotations_for_batch
 from . import geo_arrow, tile
 
