@@ -66,13 +66,18 @@ def run_queries(sf_dir: str) -> dict:
              "q_pip_count", "q_knn_centers", "q_overlay_fixture_corpus",
              "q_rect_relate", "q_clip_segments", "q_dissolve_area",
              "q_image_decode_stats", "q_event_sessions", "q_giant_pip"]
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "2"))
     out = {}
     for name in names:
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeat):
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
@@ -116,10 +121,23 @@ def run_spiral(count: int) -> dict:
 
 def bench_once(sf_dir: str, num_cpus: int, n_images: int) -> dict:
     _init_ray(num_cpus)
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "2"))
+
+    def best_of(fn, *args):
+        best = None
+        for _ in range(repeat):
+            r = fn(*args)
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        return best
+
     flag = run_flagship(n_images)
-    checker = run_checkerboard(int(os.environ.get("GRAFT_CHECKER_N", "256")))
-    lines = run_lines_net(int(os.environ.get("GRAFT_LINES_N", "256")))
-    spiral = run_spiral(int(os.environ.get("GRAFT_SPIRAL_N", "32768")))
+    checker = best_of(run_checkerboard,
+                      int(os.environ.get("GRAFT_CHECKER_N", "256")))
+    lines = best_of(run_lines_net,
+                    int(os.environ.get("GRAFT_LINES_N", "256")))
+    spiral = best_of(run_spiral,
+                     int(os.environ.get("GRAFT_SPIRAL_N", "32768")))
     queries = run_queries(sf_dir)
     queries["checkerboard_xor"] = round(checker["sec"], 3)
     queries["flagship_overlay_join"] = round(flag["sec"], 3)
