@@ -89,6 +89,12 @@ def asof_join(left_ds, right_ds, *, left_key: str, left_t: str,
 
         all_t = np.unique(r_t)
         K = np.int64(len(all_t) + 2)
+        kmax = max(int(key.max()), 1)
+        if kmax * int(K) >= (1 << 62):
+            raise ValueError(
+                "asof_join rank-pack overflow: key range x distinct "
+                "right timestamps exceeds int64; raise num_partitions "
+                "so each partition holds fewer distinct times")
         r_pack = r_key * K + np.searchsorted(all_t, r_t).astype(np.int64)
         l_key = key[left]
         l_pack = l_key * K + np.searchsorted(
