@@ -964,26 +964,31 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     hi = hi[keep].copy()
     seg_ids = np.flatnonzero(keep)
 
-    # canonical segment-tree decomposition, all segments at once
+    # canonical segment-tree decomposition, all segments at once;
+    # arrays are COMPACTED each level (no repeated fancy indexing into
+    # the full-size buffers)
     node_parts = []
     seg_parts = []
-    active = np.arange(len(seg_ids))
-    while len(active):
-        l = lo[active]
-        h = hi[active]
+    l = lo
+    h = hi
+    sid = seg_ids
+    while len(l):
         oddl = (l & 1) == 1
         if oddl.any():
-            node_parts.append(l[oddl])
-            seg_parts.append(seg_ids[active[oddl]])
-            lo[active[oddl]] += 1
-        oddh = (hi[active] & 1) == 1
+            node_parts.append(l[oddl].copy())
+            seg_parts.append(sid[oddl].copy())
+            l = l + oddl
+        oddh = (h & 1) == 1
         if oddh.any():
-            hi[active[oddh]] -= 1
-            node_parts.append(hi[active[oddh]])
-            seg_parts.append(seg_ids[active[oddh]])
-        lo[active] >>= 1
-        hi[active] >>= 1
-        active = active[lo[active] < hi[active]]
+            h = h - oddh
+            node_parts.append(h[oddh].copy())
+            seg_parts.append(sid[oddh].copy())
+        l >>= 1
+        h >>= 1
+        keep = l < h
+        l = l[keep]
+        h = h[keep]
+        sid = sid[keep]
     if not node_parts:
         return bot_subj, bot_clip
     nodes = np.concatenate(node_parts)

@@ -176,10 +176,16 @@ def _merged(ds, num_partitions: int = 32):
     return agg.map_batches(drop_zero, batch_format="pyarrow")
 
 
-def split_rounds_ds(segs_ds, strip_w: int, max_rounds: int = 64):
+def split_rounds_ds(segs_ds, strip_w: int, max_rounds: int = 64,
+                    pre_merged: bool = False):
     """Iterate the snap fixed point over the segments Dataset; returns
-    the converged (split + merged) Dataset."""
-    ds = _merged(segs_ds).materialize()
+    the converged (split + merged) Dataset.
+
+    ``pre_merged``: caller guarantees winding-merged de-duplicated
+    segments (e.g. a driver-side sort_merge), skipping the initial
+    distributed merge exchange."""
+    ds = segs_ds.materialize() if pre_merged \
+        else _merged(segs_ds).materialize()
     exp = 0
     for _ in range(max_rounds):
         radius = 1 << exp
@@ -531,9 +537,12 @@ def tiled_rings_ds(subj: Sequence, clip: Sequence, rule, fill_rule,
         rule = RULE_NAMES[rule.lower().replace("_", "")]
     if isinstance(fill_rule, str):
         fill_rule = FILL_RULE_NAMES[fill_rule.lower().replace("_", "")]
-    segs = build_segments(subj, clip)
+    from ..geometry.kernel import sort_merge
+    # driver-side inputs: merge locally so the first split round can
+    # skip its distributed merge exchange entirely
+    segs = sort_merge(build_segments(subj, clip))
     ds = ray.data.from_arrow(_seg_table(segs))
-    ds = split_rounds_ds(ds, strip_w)
+    ds = split_rounds_ds(ds, strip_w, pre_merged=True)
     edges = (ds.map_batches(_strip_replicate(strip_w),
                             batch_format="pyarrow")
              .groupby("strip")
