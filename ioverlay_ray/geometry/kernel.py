@@ -1012,14 +1012,25 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     s1 = uy[g] // den
     s2 = (((uy[g] - s1 * den)) << 31) // den
     sk = (s1 << 31) | s2
-    order = np.lexsort((sk, k2, k1, nodes))
-    nodes_s = nodes[order]
-    seg_s = segids[order]
-    # exact re-sort of runs with colliding truncated keys
-    eqk = (nodes_s[1:] == nodes_s[:-1]) \
-        & (k1[order][1:] == k1[order][:-1]) \
-        & (k2[order][1:] == k2[order][:-1]) \
-        & (sk[order][1:] == sk[order][:-1])
+    if len(k1) and int(np.abs(k1).max()) < (1 << 31):
+        # (k1, k2) packs into one 63-bit key: 3-key sort
+        kp = ((k1 + (1 << 31)) << 31) | k2
+        order = np.lexsort((sk, kp, nodes))
+        kp_s = kp[order]
+        nodes_s = nodes[order]
+        seg_s = segids[order]
+        eqk = (nodes_s[1:] == nodes_s[:-1]) \
+            & (kp_s[1:] == kp_s[:-1]) \
+            & (sk[order][1:] == sk[order][:-1])
+    else:
+        order = np.lexsort((sk, k2, k1, nodes))
+        nodes_s = nodes[order]
+        seg_s = segids[order]
+        # exact re-sort of runs with colliding truncated keys
+        eqk = (nodes_s[1:] == nodes_s[:-1]) \
+            & (k1[order][1:] == k1[order][:-1]) \
+            & (k2[order][1:] == k2[order][:-1]) \
+            & (sk[order][1:] == sk[order][:-1])
     if eqk.any():
         # only runs containing a TRUNCATED key (nonzero remainder in the
         # y or slope fraction) can be misordered; exact ties are equal
