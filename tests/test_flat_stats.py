@@ -119,3 +119,37 @@ def test_overlay_stats_stage_matches_overlay_stage(ray_session):
         flagship.overlay_join_stats(ds, "intersect")).to_pandas() \
         .sort_values("tile_id").reset_index(drop=True)
     assert full.equals(stats)
+
+
+def test_pure_cycle_plan_matches_sequential_walk():
+    # extraction with the vectorized pure-cycle plan must be
+    # BIT-IDENTICAL (order, rotation, holes) to the sequential walk
+    import ioverlay_ray.geometry.extract as E
+    from ioverlay_ray.geometry.overlay import overlay
+
+    rng = np.random.default_rng(77)
+    scenes = []
+    for s in range(6):
+        polys = []
+        for _ in range(40):
+            cx, cy = rng.integers(0, 2000, 2)
+            r = int(rng.integers(4, 300))
+            k = int(rng.integers(3, 9))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            pts = [(int(cx + r * np.cos(a)), int(cy + r * np.sin(a)))
+                   for a in ang]
+            if len(set(pts)) >= 3:
+                polys.append(pts)
+        scenes.append((polys[:20], polys[20:]))
+
+    cap = E._PURE_CYCLE_CAP
+    try:
+        for subj, clip in scenes:
+            for rule in ("union", "xor", "difference", "intersect"):
+                E._PURE_CYCLE_CAP = cap
+                with_plan = overlay(subj, clip, rule)
+                E._PURE_CYCLE_CAP = 0  # plan disabled -> pure walk
+                sequential = overlay(subj, clip, rule)
+                assert with_plan == sequential, rule
+    finally:
+        E._PURE_CYCLE_CAP = cap
