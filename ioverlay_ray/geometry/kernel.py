@@ -492,14 +492,45 @@ def _candidate_pair_blocks(segs: Segments):
             bands = np.arange(len(order)) - np.repeat(csum, counts) \
                 + bmin[order]
             srt = np.argsort(bands, kind="stable")
-            bands_s = bands[srt]
+            band_m = bands[srt]
             order_s = order[srt]
-            bounds = np.searchsorted(bands_s, np.arange(B + 1))
-            for b in range(B):
-                mem = order_s[bounds[b]:bounds[b + 1]]
-                if len(mem) < 2:
+            # x-windows for ALL bands in one pass: rank-pack
+            # (band, rank(ax)) so one global searchsorted finds each
+            # member's window end within its band
+            m = len(order_s)
+            ax_vals = np.unique(segs.ax)
+            KK = np.int64(len(ax_vals) + 2)
+            xr = np.searchsorted(ax_vals, segs.ax[order_s])
+            packed = band_m * KK + xr
+            qr = np.searchsorted(ax_vals, segs.bx[order_s],
+                                 side="right")
+            j_end = np.searchsorted(packed, band_m * KK + qr,
+                                    side="left")
+            cts = np.maximum(j_end - np.arange(1, m + 1), 0)
+            pcs = np.concatenate(([0], np.cumsum(cts)))
+            i0 = 0
+            while i0 < m:
+                i1 = int(np.searchsorted(pcs, pcs[i0] + PAIR_BLOCK,
+                                         "right")) - 1
+                i1 = max(i1, i0 + 1)
+                c = cts[i0:i1]
+                total = int(c.sum())
+                if total == 0:
+                    i0 = i1
                     continue
-                yield from _pair_blocks_1d(segs, mem, bmin, b)
+                pp = np.repeat(np.arange(i0, i1), c)
+                offs = (pcs[i0:i1] - pcs[i0]).astype(np.int64)
+                qq = np.arange(total) - np.repeat(offs, c) + pp + 1
+                ii = order_s[pp]
+                jj = order_s[qq]
+                low = ymin[ii]
+                high = ymax[ii]
+                keep = ~(((low > segs.ay[jj]) & (low > segs.by[jj]))
+                         | ((high < segs.ay[jj]) & (high < segs.by[jj])))
+                keep &= np.maximum(bmin[ii], bmin[jj]) == band_m[pp]
+                if keep.any():
+                    yield ii[keep], jj[keep]
+                i0 = i1
             return
     yield from _pair_blocks_1d(segs, np.arange(n))
 
