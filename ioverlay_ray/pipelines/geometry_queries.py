@@ -139,9 +139,11 @@ def q_knn_centers(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["event_id"])
     qs = ds.map_batches(to_queries, batch_format="pyarrow")
+    # 51 query points: two actors amortize the per-actor cell-index
+    # build; a wide pool would pay 8 index builds for 51 rows
     out = qs.map_batches(RingKnnStage, batch_format="pyarrow",
                          fn_constructor_args=(centers_ref, k, 14),
-                         concurrency=_conc()).to_pandas()
+                         concurrency=2).to_pandas()
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True) \
         .astype(np.int64)
 
