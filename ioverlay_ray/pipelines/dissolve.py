@@ -221,7 +221,10 @@ def dissolve(ds: "ray.data.Dataset", base: int = 64, levels: int = 5,
             if last:
                 ncell = gcell
             elif nxt == levels - 1:
-                ncell = 0  # root
+                # SALT the root: risers pre-union in 8 parallel groups
+                # at the top level; a final round merges the salts
+                # (union is associative, so grouping is free to choose)
+                ncell = gcell % 8
             else:
                 ncell = int(parent_cell(np.array([gcell], np.int64))[0])
             out = _union_group(group, nxt, ncell, max_group_rows)
@@ -254,6 +257,22 @@ def dissolve(ds: "ray.data.Dataset", base: int = 64, levels: int = 5,
             # block scans at consumption, no extra barriers per level
             finals.append(current.filter(expr="level == -1"))
             current = current.filter(expr="level >= 0")
+
+    # merge the salted top-level groups into the single global root
+    def root_union(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table({"level": pa.array([], pa.int64()),
+                             "cell": pa.array([], pa.int64()),
+                             "rings": pa.array([], RINGS)})
+        return _union_group(group, levels - 1, 0, max_group_rows)
+
+    def root_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "gkey", pa.array(np.zeros(len(batch), np.int64)))
+
+    current = (current.map_batches(root_key, batch_format="pyarrow")
+               .groupby("gkey")
+               .map_groups(root_union, batch_format="pyarrow"))
     for f in finals:
         current = current.union(f)
     return current
