@@ -283,9 +283,35 @@ def dissolve_area2(ds: "ray.data.Dataset", **kw) -> int:
     out = dissolve(ds, **kw)
 
     def area(batch: pa.Table) -> pa.Table:
+        # vectorized shoelace straight off the Arrow buffers: one naive
+        # consecutive-pair sum over the flat (x, y) stream, then fix the
+        # terms that crossed ring borders and add each ring's wrap term
+        col = batch.column("rings")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        inner = col.values            # list<int64> rings
+        off1 = np.asarray(inner.offsets, dtype=np.int64)
+        flat = np.asarray(inner.values, dtype=np.int64)
+        a0 = off1[0]
+        flat = flat[a0:off1[-1]]
+        bounds = (off1 - a0) // 2      # ring boundaries in point space
+        xs = flat[0::2]
+        ys = flat[1::2]
         total = 0
-        for rings in batch.column("rings").to_pylist():
-            total += shapes_area2([rings_to_shape(rings)])
+        if len(xs) > 1:
+            total = int(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+        ends = bounds[1:]
+        starts = bounds[:-1]
+        ok = ends > starts
+        e = ends[ok] - 1               # last point of each ring
+        s = starts[ok]
+        # remove border terms e -> e+1 (except after the final ring)
+        inner_e = e[e + 1 < len(xs)]
+        if len(inner_e):
+            total -= int(np.sum(xs[inner_e] * ys[inner_e + 1]
+                                - xs[inner_e + 1] * ys[inner_e]))
+        # add each ring's wrap term e -> s
+        total += int(np.sum(xs[e] * ys[s] - xs[s] * ys[e]))
         return pa.table({"area2": pa.array([total], pa.int64())})
 
     parts = out.map_batches(area, batch_format="pyarrow").to_pandas()
