@@ -530,9 +530,11 @@ def shapes_ds(rings, strip_w: int):
 # ---------------------------------------------------------------------------
 
 def tiled_rings_ds(subj: Sequence, clip: Sequence, rule, fill_rule,
-                   strip_w: int = 256):
+                   strip_w: int | None = None):
     """Distributed strip overlay up to closed RINGS (region-on-left:
-    hulls CCW, holes CW) as a Dataset of (kind, pts) rows."""
+    hulls CCW, holes CW) as a Dataset of (kind, pts) rows.
+
+    ``strip_w=None`` auto-sizes strips to ~2x the cluster CPUs."""
     if isinstance(rule, str):
         rule = RULE_NAMES[rule.lower().replace("_", "")]
     if isinstance(fill_rule, str):
@@ -541,6 +543,12 @@ def tiled_rings_ds(subj: Sequence, clip: Sequence, rule, fill_rule,
     # driver-side inputs: merge locally so the first split round can
     # skip its distributed merge exchange entirely
     segs = sort_merge(build_segments(subj, clip))
+    if strip_w is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        extent = (int(segs.bx.max()) - int(segs.ax.min())) \
+            if len(segs) else 1
+        target = max(1, extent // max(1, 2 * cpus))
+        strip_w = 1 << max(4, (target - 1).bit_length())
     ds = ray.data.from_arrow(_seg_table(segs))
     ds = split_rounds_ds(ds, strip_w, pre_merged=True)
     edges = (ds.map_batches(_strip_replicate(strip_w),
