@@ -105,9 +105,9 @@ def q_pip_count(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["event_id"])
     pts = ds.map_batches(to_points, batch_format="pyarrow")
-    partials = pts.map_batches(PIPCountStage, batch_format="pyarrow",
-                               fn_constructor_args=(polys_ref,),
-                               concurrency=_conc()).to_pandas()
+    from ..stages.spatial import pip_count_fn
+    partials = pts.map_batches(pip_count_fn(polys_ref),
+                               batch_format="pyarrow").to_pandas()
     out = partials.groupby("poly_id", as_index=False)["n_points"].sum()
     out.columns = ["p_partkey", "n_points"]
     return out.astype(np.int64)

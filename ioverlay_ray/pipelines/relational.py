@@ -341,10 +341,10 @@ def q_ann_cosine_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFra
     queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
     qref = ray.put(queries)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    from ..stages.ann import cosine_topk_fn
     partials = ds.map_batches(
-        CosineTopKStage, batch_format="pyarrow",
-        fn_constructor_args=(qref, qdf["vec_id"].tolist(), k),
-        concurrency=_conc())
+        cosine_topk_fn(qref, qdf["vec_id"].tolist(), k),
+        batch_format="pyarrow")
     return merge_topk(pa.Table.from_pandas(partials.to_pandas()),
                       k).to_pandas()
 

@@ -139,3 +139,21 @@ class IVFScanStage:
             "vec_id": pa.array(out_v, pa.int64()),
             "score": pa.array(out_s, pa.float64()),
         })
+
+
+_WORKER_CACHE: dict = {}
+
+
+def cosine_topk_fn(queries_ref, query_ids, k: int = 5):
+    """Task-pool form of CosineTopKStage (prestarted workers, cached
+    normalized query matrix per worker process)."""
+    qid_key = tuple(query_ids)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = ("cos", queries_ref, qid_key, k)
+        st = _WORKER_CACHE.get(key)
+        if st is None:
+            st = CosineTopKStage(queries_ref, list(qid_key), k)
+            _WORKER_CACHE[key] = st
+        return st(batch)
+    return fn

@@ -256,3 +256,20 @@ class RingKnnStage:
             "center_id": pa.array(out_c, pa.int64()),
             "rank": pa.array(out_r, pa.int64()),
         })
+
+
+_WORKER_CACHE: dict = {}
+
+
+def pip_count_fn(polys_ref, x_col: str = "px", y_col: str = "py"):
+    """Task-pool form of PIPCountStage: runs on Ray's prestarted
+    workers (no actor-pool spin-up per query); the stage (and its rect
+    detection) is cached per worker process keyed by the ObjectRef."""
+    def fn(batch: pa.Table) -> pa.Table:
+        key = ("pip", polys_ref, x_col, y_col)
+        st = _WORKER_CACHE.get(key)
+        if st is None:
+            st = PIPCountStage(polys_ref, x_col, y_col)
+            _WORKER_CACHE[key] = st
+        return st(batch)
+    return fn
