@@ -153,3 +153,14 @@ def test_pure_cycle_plan_matches_sequential_walk():
                 assert with_plan == sequential, rule
     finally:
         E._PURE_CYCLE_CAP = cap
+
+
+def test_multi_rule_stats_matches_multi_rule(ray_session):
+    from ioverlay_ray.pipelines import flagship
+    cols = ["pair_id", "rule", "n_shapes", "area2"]
+    ds = flagship.images_dataset(96)
+    full = flagship.overlay_join_all_rules(ds).to_pandas()[cols] \
+        .sort_values(["pair_id", "rule"]).reset_index(drop=True)
+    stats = flagship.overlay_join_all_rules_stats(ds).to_pandas()[cols] \
+        .sort_values(["pair_id", "rule"]).reset_index(drop=True)
+    assert full.equals(stats)
