@@ -231,12 +231,27 @@ def scaling(sf_dir: str, n_images: int) -> dict:
     }
 
 
+def stats_report(num_cpus: int, n_images: int) -> None:
+    """Print ds.stats() for the flagship join — the per-stage wall/CPU
+    breakdown used to verify time goes to useful compute, not overhead."""
+    _init_ray(num_cpus)
+    from ioverlay_ray.pipelines import flagship
+    ds = flagship.images_dataset(n_images)
+    res = flagship.overlay_join_stats(ds, "intersect", batch_size=128)
+    res = res.materialize()
+    print(res.stats())
+    import ray
+    ray.shutdown()
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     n_images = int(os.environ.get("GRAFT_N_IMAGES", "8192"))
     if "--scaling" in sys.argv:
         print(json.dumps(scaling(sf_dir, n_images)))
+    elif "--stats" in sys.argv:
+        stats_report(num_cpus, n_images)
     else:
         print(json.dumps(bench_once(sf_dir, num_cpus, n_images)))
 
