@@ -235,3 +235,44 @@ def test_part_value_range(ray_session):
     out = q_part_value_range("/root/testdata/sf0.001")
     assert list(out.columns) == ["p_partkey", "n_events"]
     assert (out["n_events"] > 0).all()
+
+
+def test_asof_join_fuzz_vs_pandas(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ioverlay_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(41)
+    n_left, n_right = 800, 300
+    left = pd.DataFrame({
+        "lid": np.arange(n_left),
+        "k": rng.integers(0, 12, n_left),
+        "t": rng.integers(0, 1000, n_left),
+    })
+    right = pd.DataFrame({
+        "rid": np.arange(n_right),
+        "k": rng.integers(0, 12, n_right),
+        "t": rng.integers(0, 1000, n_right),
+        "v": rng.integers(0, 10**6, n_right),
+    })
+    lds = ray.data.from_arrow(pa.Table.from_pandas(
+        left.assign(ts=pd.to_datetime(left["t"], unit="s")),
+        preserve_index=False))
+    rds = ray.data.from_arrow(pa.Table.from_pandas(
+        right.assign(ts=pd.to_datetime(right["t"], unit="s")),
+        preserve_index=False))
+    got = asof_join(
+        lds, rds, left_key="k", left_t="ts", right_key="k",
+        right_t="ts", right_id="rid",
+        left_cols={"lid": "lid"}, right_cols={"rid": "rid", "v": "v"},
+        num_partitions=4).to_pandas().sort_values("lid") \
+        .reset_index(drop=True)
+
+    # reference: per-left-row window max (t DESC, rid DESC)
+    m = left.merge(right, on="k", suffixes=("_l", "_r"))
+    m = m[m["t_r"] <= m["t_l"]]
+    m = m.sort_values(["lid", "t_r", "rid"]).groupby("lid").tail(1)
+    ref = m[["lid", "rid", "v"]].sort_values("lid").reset_index(drop=True)
+    assert got[["lid", "rid", "v"]].astype("int64").equals(
+        ref.astype("int64"))
