@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "q_event_asof_order": rq.q_event_asof_order,
         "q_part_value_range": rq.q_part_value_range,
+        "q_top_orders_per_priority": rq.q_top_orders_per_priority,
+        "q_price_quantiles": rq.q_price_quantiles,
+        "q_events_sliding": rq.q_events_sliding,
         "q_doc_dedup_exact": rq.q_doc_dedup_exact,
         "q_doc_token_stats": rq.q_doc_token_stats,
         "q_doc_quality": rq.q_doc_quality,
@@ -184,6 +187,42 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "q_top_orders_per_priority": """
+            SELECT o_orderpriority, rnk, o_orderkey, total_cents
+            FROM (SELECT o_orderpriority, o_orderkey,
+                         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             AS total_cents,
+                         row_number() OVER (
+                             PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey)
+                             AS rnk
+                  FROM orders)
+            WHERE rnk <= 3 ORDER BY o_orderpriority, rnk
+        """,
+        "q_price_quantiles": """
+            SELECT l_returnflag,
+                   CAST(ROUND(quantile_disc(l_extendedprice, 0.5) * 100)
+                        AS BIGINT) AS p50_cents,
+                   CAST(ROUND(quantile_disc(l_extendedprice, 0.9) * 100)
+                        AS BIGINT) AS p90_cents
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q_events_sliding": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS d, event_type,
+                       COUNT(*) AS n, SUM(value) AS v
+                FROM events GROUP BY 1, 2
+            )
+            SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+                   CAST(SUM(n) OVER w AS BIGINT) AS n7,
+                   CAST(ROUND(SUM(v) OVER w * 100) AS BIGINT)
+                       AS value7_cents
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY event_type, day
         """,
         "q_event_sessions": """
             WITH e AS (

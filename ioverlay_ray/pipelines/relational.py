@@ -425,6 +425,85 @@ def q_event_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q_top_orders_per_priority(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k (stages/topk.py): top 3 orders by price within
+    each order priority. Map-side combiner keeps k rows per group per
+    batch, so the exchange is k x |groups| rows however big the input;
+    the final per-group merge emits a dense rank matching the
+    row_number() SQL oracle."""
+    from ..stages.topk import grouped_topk
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    top = grouped_topk(ds, ["o_orderpriority"], "o_totalprice", k,
+                       descending=True, tie_cols=["o_orderkey"])
+    out = top.to_pandas()
+    out["total_cents"] = (out["o_totalprice"] * 100).round() \
+        .astype(np.int64)
+    out["rnk"] = out["rnk"].astype(np.int64)
+    return out[["o_orderpriority", "rnk", "o_orderkey", "total_cents"]] \
+        .sort_values(["o_orderpriority", "rnk"]).reset_index(drop=True)
+
+
+def q_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped percentiles (stages/quantile.py): p50/p90 of
+    extended price per return flag via streaming histogram refinement
+    — no shuffle, no sort, the value column never leaves the workers;
+    matches DuckDB quantile_disc exactly (same k = ceil(q*n)
+    selection)."""
+    from ..stages.quantile import exact_grouped_quantiles
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    ds = ds.materialize()  # 3 passes stream from object store, not disk
+    out = exact_grouped_quantiles(ds, "l_returnflag", "l_extendedprice",
+                                  [0.5, 0.9])
+    wide = out.pivot(index="l_returnflag", columns="q",
+                     values="value").reset_index()
+    wide["p50_cents"] = (wide[0.5] * 100).round().astype(np.int64)
+    wide["p90_cents"] = (wide[0.9] * 100).round().astype(np.int64)
+    return wide[["l_returnflag", "p50_cents", "p90_cents"]] \
+        .sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding calendar-window aggregate: 7-day trailing event count
+    and value sum per event type. Heavy lifting is the distributed
+    daily pre-aggregate (map-side partial combine); the window then
+    runs vectorized over the tiny (day x type) frame via prefix sums
+    with a searchsorted lower bound — day gaps handled exactly like
+    the SQL RANGE frame."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = (df["ts"].astype("int64") // 86_400_000_000) \
+            .astype(np.int64)
+        g = df.groupby(["day", "event_type"], as_index=False).agg(
+            n=("value", "size"), v=("value", "sum"))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    daily = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    daily = daily.groupby(["day", "event_type"], as_index=False).agg(
+        n=("n", "sum"), v=("v", "sum"))
+
+    rows = []
+    for etype, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day")
+        days = grp["day"].to_numpy()
+        cn = np.concatenate(([0], np.cumsum(grp["n"].to_numpy())))
+        cv = np.concatenate(([0.0], np.cumsum(grp["v"].to_numpy())))
+        lo = np.searchsorted(days, days - 6, side="left")
+        idx = np.arange(1, len(days) + 1)
+        rows.append(pd.DataFrame({
+            "day": pd.to_datetime(days * 86400, unit="s")
+            .strftime("%Y-%m-%d"),
+            "event_type": etype,
+            "n7": (cn[idx] - cn[lo]).astype(np.int64),
+            "value7_cents": np.round(
+                (cv[idx] - cv[lo]) * 100).astype(np.int64),
+        }))
+    out = pd.concat(rows, ignore_index=True)
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
 def q_part_value_range(sf_dir: str) -> pd.DataFrame:
     """Range (interval) join: count events whose value falls in each
     part's derived [p_size*2, p_size*2 + 30) bracket. Scale shape:

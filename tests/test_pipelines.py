@@ -276,3 +276,50 @@ def test_asof_join_fuzz_vs_pandas(ray_session):
     ref = m[["lid", "rid", "v"]].sort_values("lid").reset_index(drop=True)
     assert got[["lid", "rid", "v"]].astype("int64").equals(
         ref.astype("int64"))
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+    from ioverlay_ray.stages.topk import grouped_topk
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, 400),
+        "v": rng.random(400).round(2),  # duplicates force tie-breaks
+        "id": np.arange(400),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = grouped_topk(ds, ["g"], "v", 3, descending=True,
+                       tie_cols=["id"]).to_pandas()
+    got = got.sort_values(["g", "rnk"]).reset_index(drop=True)
+
+    want = df.sort_values(["v", "id"], ascending=[False, True],
+                          kind="mergesort")
+    want = want.groupby("g", as_index=False).head(3)
+    want["rnk"] = want.groupby("g").cumcount() + 1
+    want = want.sort_values(["g", "rnk"]).reset_index(drop=True)
+    assert got[["g", "v", "id", "rnk"]].equals(
+        want[["g", "v", "id", "rnk"]])
+
+
+def test_exact_grouped_quantiles(ray_session):
+    import pandas as pd
+    import ray.data
+    from ioverlay_ray.stages.quantile import exact_grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 3, 5000),
+        "v": np.concatenate([rng.random(4000) * 100,
+                             np.full(1000, 42.0)]),  # heavy duplicates
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    # tiny gather_limit + coarse bins force several refinement rounds
+    got = exact_grouped_quantiles(ds, "g", "v", [0.1, 0.5, 0.9],
+                                  bins=16, gather_limit=8,
+                                  max_rounds=12)
+    for _, r in got.iterrows():
+        vals = np.sort(df.loc[df["g"] == r["g"], "v"].to_numpy())
+        k = max(1, int(np.ceil(r["q"] * len(vals))))
+        assert r["value"] == vals[k - 1], (r["g"], r["q"])
