@@ -1000,22 +1000,27 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     # the full-size buffers)
     node_parts = []
     seg_parts = []
+    shift_parts = []            # tree level of each part (shifts applied)
     l = lo
     h = hi
     sid = seg_ids
+    k_lvl = 0
     while len(l):
         oddl = (l & 1) == 1
         if oddl.any():
             node_parts.append(l[oddl].copy())
             seg_parts.append(sid[oddl].copy())
+            shift_parts.append(k_lvl)
             l = l + oddl
         oddh = (h & 1) == 1
         if oddh.any():
             h = h - oddh
             node_parts.append(h[oddh].copy())
             seg_parts.append(sid[oddh].copy())
+            shift_parts.append(k_lvl)
         l >>= 1
         h >>= 1
+        k_lvl += 1
         keep = l < h
         l = l[keep]
         h = h[keep]
@@ -1024,65 +1029,80 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
         return bot_subj, bot_clip
     nodes = np.concatenate(node_parts)
     segids = np.concatenate(seg_parts)
+    shifts = np.repeat(np.asarray(shift_parts, np.int64),
+                       [len(p) for p in node_parts])
 
-    # within-node order: exact y at the node's first covered column,
-    # tie-broken by slope (shared left endpoints), then an exact
-    # Fraction pass on truncation collisions
-    # first covered column of node v = v << (leaf_level - level(v));
-    # level via the float exponent (exact for v < 2^53)
-    leaf_bits = int(N).bit_length()
-    vbits = np.frexp(nodes.astype(np.float64))[1].astype(np.int64)
-    first_col = (nodes << (leaf_bits - vbits)) - N
+    # within-node order: y at the node's first covered column, slope
+    # tie-break (shared left endpoints). Sort on FLOAT keys; any
+    # adjacency closer than the float error bound is re-sorted with the
+    # exact two-part rational keys (and an exact Fraction pass on
+    # truncation collisions) — the exact arithmetic runs only on the
+    # few ambiguous runs, not all replicated entries.
+    # first covered column of node v emitted after k shifts = (v<<k) - N
+    first_col = (nodes << shifts) - N
     xstar = X[np.minimum(first_col, ncols - 1)]
     g = segids
     den = ux[g]
     num = 2 * segs.ay[g] * den + uy[g] * (xstar - tax2[g])
-    k1 = num // den
-    k2 = ((num - k1 * den) << 31) // den
-    # slope key: uy/ux two-part, packed into one int64
-    s1 = uy[g] // den
-    s2 = (((uy[g] - s1 * den)) << 31) // den
-    sk = (s1 << 31) | s2
-    if len(k1) and int(np.abs(k1).max()) < (1 << 31):
-        # (k1, k2) packs into one 63-bit key: 3-key sort
-        kp = ((k1 + (1 << 31)) << 31) | k2
-        order = np.lexsort((sk, kp, nodes))
-        kp_s = kp[order]
-        nodes_s = nodes[order]
-        seg_s = segids[order]
-        eqk = (nodes_s[1:] == nodes_s[:-1]) \
-            & (kp_s[1:] == kp_s[:-1]) \
-            & (sk[order][1:] == sk[order][:-1])
-    else:
-        order = np.lexsort((sk, k2, k1, nodes))
-        nodes_s = nodes[order]
-        seg_s = segids[order]
-        # exact re-sort of runs with colliding truncated keys
-        eqk = (nodes_s[1:] == nodes_s[:-1]) \
-            & (k1[order][1:] == k1[order][:-1]) \
-            & (k2[order][1:] == k2[order][:-1]) \
-            & (sk[order][1:] == sk[order][:-1])
-    if eqk.any():
-        # only runs containing a TRUNCATED key (nonzero remainder in the
-        # y or slope fraction) can be misordered; exact ties are equal
-        frac = ((num - k1 * den) != 0) | ((uy[g] - s1 * den) != 0)
-        frac_s = frac[order].astype(np.int8)
-        bounds_r = np.flatnonzero(np.concatenate(([True], ~eqk)))
+    fkey = num / den                    # |err| <= ~|fkey| * 2^-51
+    fslope = uy[g] / den
+    order = np.lexsort((fslope, fkey, nodes))
+    fkey_s = fkey[order]
+    nodes_s = nodes[order]
+    seg_s = segids[order]
+    # ambiguous adjacency: same node, float keys within combined error
+    tol = (np.abs(fkey_s[1:]) + np.abs(fkey_s[:-1]) + 2.0) * 2.0 ** -48
+    amb = (nodes_s[1:] == nodes_s[:-1]) \
+        & (np.abs(fkey_s[1:] - fkey_s[:-1]) <= tol)
+    if amb.any():
+        bounds_r = np.flatnonzero(np.concatenate(([True], ~amb)))
         L = len(order)
-        multi = np.diff(np.concatenate((bounds_r, [L]))) > 1
-        frac_any = np.maximum.reduceat(frac_s, bounds_r) > 0
-        flagged = np.flatnonzero(multi & frac_any)
+        run_len = np.diff(np.concatenate((bounds_r, [L])))
+        flagged = np.flatnonzero(run_len > 1)
         if len(flagged):
-            from fractions import Fraction
-            ends = np.concatenate((bounds_r, [L]))
-            for rrun in flagged.tolist():
-                a0 = int(ends[rrun])
-                b0 = int(ends[rrun + 1])
-                rows = order[a0:b0].tolist()
-                rows.sort(key=lambda r: (
-                    Fraction(int(num[r]), int(den[r])),
-                    Fraction(int(uy[segids[r]]), int(den[r]))))
-                order[a0:b0] = rows
+            starts = bounds_r[flagged]
+            lens = run_len[flagged]
+            tot = int(lens.sum())
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            pos = np.arange(tot, dtype=np.int64) \
+                - np.repeat(offs, lens) + np.repeat(starts, lens)
+            rid = np.repeat(np.arange(len(flagged), dtype=np.int64),
+                            lens)
+            rows = order[pos]
+            num_r = num[rows]
+            den_r = den[rows]
+            uy_r = uy[segids[rows]]
+            k1 = num_r // den_r
+            rem = num_r - k1 * den_r
+            k2 = (rem << 31) // den_r
+            s1 = uy_r // den_r
+            srem = uy_r - s1 * den_r
+            s2 = (srem << 31) // den_r
+            sub = np.lexsort((s2, s1, k2, k1, rid))
+            order[pos] = rows[sub]
+            # truncated-key collisions inside a run still need the
+            # exact Fraction comparator (rare: distinct rationals whose
+            # floor+31-bit-fraction keys coincide)
+            k1s, k2s = k1[sub], k2[sub]
+            s1s, s2s = s1[sub], s2[sub]
+            trunc = (rem[sub] != 0) | (srem[sub] != 0)
+            eq2 = (rid[1:] == rid[:-1]) & (k1s[1:] == k1s[:-1]) \
+                & (k2s[1:] == k2s[:-1]) & (s1s[1:] == s1s[:-1]) \
+                & (s2s[1:] == s2s[:-1]) & (trunc[1:] | trunc[:-1])
+            if eq2.any():
+                from fractions import Fraction
+                b2 = np.flatnonzero(np.concatenate(([True], ~eq2)))
+                ends2 = np.concatenate((b2, [tot]))
+                long2 = np.flatnonzero(np.diff(ends2) > 1)
+                for rr in long2.tolist():
+                    a0 = int(ends2[rr])
+                    b0 = int(ends2[rr + 1])
+                    p2 = pos[a0:b0]
+                    rows2 = order[p2].tolist()
+                    rows2.sort(key=lambda r: (
+                        Fraction(int(num[r]), int(den[r])),
+                        Fraction(int(uy[segids[r]]), int(den[r]))))
+                    order[p2] = rows2
         nodes_s = nodes[order]
         seg_s = segids[order]
     # per-node bounds + prefix sums (exclusive); nodes_s is sorted, so
