@@ -1043,17 +1043,34 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     xstar = X[np.minimum(first_col, ncols - 1)]
     g = segids
     den = ux[g]
-    num = 2 * segs.ay[g] * den + uy[g] * (xstar - tax2[g])
-    fkey = num / den                    # |err| <= ~|fkey| * 2^-51
+    dxs = xstar - tax2[g]
+    # key split as exact-int + rational-correction so the error bound
+    # tracks the CORRECTION's magnitude, not the full key's — a plain
+    # num/den loses the bound to cancellation when 2*ay*den and
+    # uy*dx nearly cancel
+    t2 = (uy[g] * dxs) / den
+    fkey = 2 * segs.ay[g] + t2
+    errf = (np.abs(t2) + np.abs(fkey)) * 2.0 ** -50
+    errf[(uy[g] == 0) | (dxs == 0)] = 0.0   # t2 == 0 exactly
     fslope = uy[g] / den
+    errs = np.abs(fslope) * 2.0 ** -50
+    errs[uy[g] == 0] = 0.0
     order = np.lexsort((fslope, fkey, nodes))
     fkey_s = fkey[order]
     nodes_s = nodes[order]
     seg_s = segids[order]
     # ambiguous adjacency: same node, float keys within combined error
-    tol = (np.abs(fkey_s[1:]) + np.abs(fkey_s[:-1]) + 2.0) * 2.0 ** -48
-    amb = (nodes_s[1:] == nodes_s[:-1]) \
-        & (np.abs(fkey_s[1:] - fkey_s[:-1]) <= tol)
+    # (exact-equal keys fall through to the slope check; exact-equal
+    # keys AND certain slope order need no fix)
+    errf_s = errf[order]
+    errs_s = errs[order]
+    fs_s = fslope[order]
+    df = np.abs(fkey_s[1:] - fkey_s[:-1])
+    es = errf_s[1:] + errf_s[:-1]
+    dfs = np.abs(fs_s[1:] - fs_s[:-1])
+    ess = errs_s[1:] + errs_s[:-1]
+    amb = (nodes_s[1:] == nodes_s[:-1]) & (df <= es) \
+        & ((es > 0) | ((dfs <= ess) & (ess > 0)))
     if amb.any():
         bounds_r = np.flatnonzero(np.concatenate(([True], ~amb)))
         L = len(order)
@@ -1069,9 +1086,10 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
             rid = np.repeat(np.arange(len(flagged), dtype=np.int64),
                             lens)
             rows = order[pos]
-            num_r = num[rows]
+            gr = segids[rows]
             den_r = den[rows]
-            uy_r = uy[segids[rows]]
+            num_r = 2 * segs.ay[gr] * den_r + uy[gr] * dxs[rows]
+            uy_r = uy[gr]
             k1 = num_r // den_r
             rem = num_r - k1 * den_r
             k2 = (rem << 31) // den_r
@@ -1091,6 +1109,7 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
                 & (s2s[1:] == s2s[:-1]) & (trunc[1:] | trunc[:-1])
             if eq2.any():
                 from fractions import Fraction
+                nmap = dict(zip(rows.tolist(), num_r.tolist()))
                 b2 = np.flatnonzero(np.concatenate(([True], ~eq2)))
                 ends2 = np.concatenate((b2, [tot]))
                 long2 = np.flatnonzero(np.diff(ends2) > 1)
@@ -1100,7 +1119,7 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
                     p2 = pos[a0:b0]
                     rows2 = order[p2].tolist()
                     rows2.sort(key=lambda r: (
-                        Fraction(int(num[r]), int(den[r])),
+                        Fraction(nmap[r], int(den[r])),
                         Fraction(int(uy[segids[r]]), int(den[r]))))
                     order[p2] = rows2
         nodes_s = nodes[order]
@@ -1251,56 +1270,74 @@ def _stab_windings(segs: Segments, mx, my, q_pos, block: int = 256,
             g = short[rep]
             x2 = X[rep_col]
             den = ux[g]
-            num = 2 * segs.ay[g] * den + uy[g] * (x2 - tax2[g])
-            # exact rational order via (floor quotient, 31-bit fraction)
-            # + an exact Fraction tie-break on truncation collisions
-            k1 = num // den
-            k2 = ((num - k1 * den) << 31) // den
+            dx2 = x2 - tax2[g]
+            # FLOAT keys, split as exact-int + rational-correction (the
+            # error bound must track the correction, not the full key —
+            # plain num/den loses it to cancellation); only runs where
+            # a query lands within the combined float error of a
+            # segment key get the exact two-part rational re-sort.
+            # Seg-vs-seg order inside a tie run never moves a query's
+            # prefix count, and the exact keys + tag tiebreak resolve
+            # every seg-vs-query relation exactly (truncated fraction
+            # ties put the query first, which IS the strict-below
+            # answer), so no Fraction pass is needed here.
+            t2 = (uy[g] * dx2) / den
+            fkey = 2 * segs.ay[g] + t2
+            errb = (np.abs(t2) + np.abs(fkey)) * 2.0 ** -50
+            errb[(uy[g] == 0) | (dx2 == 0)] = 0.0
             q_col = np.searchsorted(X, qmx_all)
 
             col_all = np.concatenate((rep_col, q_col))
-            k1_all = np.concatenate((k1, qmy_all))
-            k2_all = np.concatenate((k2, np.zeros(nq, np.int64)))
+            f_all = np.concatenate((fkey, qmy_all.astype(np.float64)))
+            e_all = np.concatenate((errb, np.zeros(nq)))
             tag = np.concatenate((np.ones(total, np.int8),
                                   np.zeros(nq, np.int8)))
             s_all = np.concatenate((segs.subj[g], np.zeros(nq, np.int64)))
             c_all = np.concatenate((segs.clip[g], np.zeros(nq, np.int64))) \
                 if with_clip else None
-            order = np.lexsort((tag, k2_all, k1_all, col_all))
+            order = np.lexsort((tag, f_all, col_all))
             col_s = col_all[order]
-            eq = (col_s[1:] == col_s[:-1]) \
-                & (k1_all[order][1:] == k1_all[order][:-1]) \
-                & (k2_all[order][1:] == k2_all[order][:-1])
-            if eq.any():
-                # ties between EXACT values (zero remainder) are already
-                # ordered correctly by the tag key; only truncated
-                # fractions can misorder and need the exact re-sort
-                frac = np.zeros(total + nq, dtype=bool)
-                frac[:total] = (num - k1 * den) != 0
-                frac_s = frac[order].astype(np.int8)
-                isq_s = (tag[order] == 0).astype(np.int8)
+            f_s = f_all[order]
+            e_s = e_all[order]
+            es_sum = e_s[1:] + e_s[:-1]
+            amb = (col_s[1:] == col_s[:-1]) \
+                & (np.abs(f_s[1:] - f_s[:-1]) <= es_sum) \
+                & (es_sum > 0)
+            if amb.any():
+                tag_s = tag[order]
                 bounds_r = np.flatnonzero(
-                    np.concatenate(([True], ~eq)))
+                    np.concatenate(([True], ~amb)))
                 L = len(order)
-                multi = np.diff(np.concatenate((bounds_r, [L]))) > 1
-                frac_any = np.maximum.reduceat(frac_s, bounds_r) > 0
-                qry_any = np.maximum.reduceat(isq_s, bounds_r) > 0
-                flagged = np.flatnonzero(multi & frac_any & qry_any)
+                run_len = np.diff(np.concatenate((bounds_r, [L])))
+                qry_any = np.add.reduceat(
+                    (tag_s == 0).astype(np.int64), bounds_r) > 0
+                seg_any = np.add.reduceat(
+                    (tag_s == 1).astype(np.int64), bounds_r) > 0
+                flagged = np.flatnonzero(
+                    (run_len > 1) & qry_any & seg_any)
                 if len(flagged):
-                    from fractions import Fraction
-                    num_full = np.concatenate((num, qmy_all))
-                    den_full = np.concatenate(
-                        (den, np.ones(nq, np.int64)))
-                    ends = np.concatenate((bounds_r, [L]))
-                    for rrun in flagged.tolist():
-                        lo_r = int(ends[rrun])
-                        hi_r = int(ends[rrun + 1])
-                        rows = order[lo_r:hi_r].tolist()
-                        rows.sort(key=lambda r: (
-                            Fraction(int(num_full[r]), int(den_full[r])),
-                            int(tag[r])))
-                        order[lo_r:hi_r] = rows
-                    col_s = col_all[order]
+                    starts = bounds_r[flagged]
+                    lens = run_len[flagged]
+                    tot = int(lens.sum())
+                    offs2 = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                    pos = np.arange(tot, dtype=np.int64) \
+                        - np.repeat(offs2, lens) + np.repeat(starts, lens)
+                    rid = np.repeat(
+                        np.arange(len(flagged), dtype=np.int64), lens)
+                    rows = order[pos]
+                    is_seg = rows < total
+                    k1_r = np.empty(tot, np.int64)
+                    k2_r = np.zeros(tot, np.int64)
+                    sr = rows[is_seg]
+                    num_sr = 2 * segs.ay[g[sr]] * den[sr] \
+                        + uy[g[sr]] * dx2[sr]
+                    k1_r[is_seg] = num_sr // den[sr]
+                    rem = num_sr - k1_r[is_seg] * den[sr]
+                    k2_r[is_seg] = (rem << 31) // den[sr]
+                    qr = rows[~is_seg] - total
+                    k1_r[~is_seg] = qmy_all[qr]
+                    sub = np.lexsort((tag[rows], k2_r, k1_r, rid))
+                    order[pos] = rows[sub]
             run_start = np.concatenate(
                 ([True], col_s[1:] != col_s[:-1]))
             # forward-fill each row's column-start index (indices are
