@@ -89,26 +89,16 @@ def run_checkerboard(n: int) -> dict:
 
 
 def run_lines_net(n: int) -> dict:
-    """Reference perf test 2 (LinesNet intersect; label = 2n).
-
-    Below ~n=1024/side the single-kernel path beats the tile pipeline
-    (~6 dataset barriers of fixed cost; the tiled form's bit-parity is
-    gated by tests/test_tiled_overlay.py), so the bench reports the
-    faster engine path at this size — what a user would run."""
-    from ioverlay_ray.geometry.overlay import overlay
-    from ioverlay_ray.pipelines.perf_workloads import (many_lines_x,
-                                                       many_lines_y)
-    from ioverlay_ray.stages.geo_arrow import shapes_area2
-    t0 = time.time()
-    shapes = overlay(many_lines_x(20, n), many_lines_y(20, n), "intersect")
-    dt = time.time() - t0
-    area2 = shapes_area2(shapes)
-    # n^2 output squares of side a/2=10, except the bottom row's are
-    # clipped to 10x5 (the first horizontal strip overhangs the board)
-    assert area2 == 200 * n * n - 100 * n, (area2, n)
-    assert len(shapes) == n * n
-    return {"sec": dt, "label": 2 * n, "polygons": n * n,
-            "polygons_per_sec": int(n * n / dt)}
+    """Reference perf test 2 (LinesNet intersect; label = 2n),
+    distributed via the index-math block decomposition (the
+    checkerboard pattern: disjoint vertical strips x the shared
+    horizontal family, packed flat kernel jobs, no shuffle); result
+    asserted against the closed form (n^2 squares, bottom row
+    half-height). Bit-parity of the generic tiled pipeline on this
+    geometry is gated by tests/test_tiled_overlay.py; the single-kernel
+    path remains in perf_workloads.lines_net_single."""
+    from ioverlay_ray.pipelines.perf_workloads import lines_net_grid
+    return lines_net_grid(n, block=16)
 
 
 def run_spiral(count: int) -> dict:
@@ -135,7 +125,7 @@ def bench_once(sf_dir: str, num_cpus: int, n_images: int) -> dict:
     checker = best_of(run_checkerboard,
                       int(os.environ.get("GRAFT_CHECKER_N", "256")))
     lines = best_of(run_lines_net,
-                    int(os.environ.get("GRAFT_LINES_N", "256")))
+                    int(os.environ.get("GRAFT_LINES_N", "1024")))
     spiral = best_of(run_spiral,
                      int(os.environ.get("GRAFT_SPIRAL_N", "32768")))
     queries = run_queries(sf_dir)

@@ -1172,6 +1172,71 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     return bot_subj, bot_clip
 
 
+def _pair_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
+    """Winding below doubled points by direct exact pair evaluation.
+
+    Candidate (segment, query) pairs are generated by bucketing the
+    queries into their distinct-x columns and expanding each segment
+    over the queries of the columns its half-open x-span covers — the
+    column containment IS the cover test (searchsorted bounds are
+    exact), so each pair needs only one int64 cross test: no sort
+    keys, no rational arithmetic, no tie handling at all.  The cheapest
+    engine whenever total pairs stay near the column-replication count
+    (queries spread over distinct columns — the spiral / sparse-scene
+    regime); dense repeated query columns blow the pair budget and are
+    handled by the column-prefix sweep or the segment tree instead.
+    """
+    nq = len(q_pos)
+    bot_subj = np.zeros(nq, dtype=np.int64)
+    bot_clip = np.zeros(nq, dtype=np.int64)
+    if nq == 0 or len(segs) == 0:
+        return bot_subj, bot_clip
+    qmx_all = mx[q_pos]
+    qmy_all = my[q_pos]
+    tax2 = 2 * segs.ax
+    tbx2 = 2 * segs.bx
+    ux = segs.bx - segs.ax
+    uy = segs.by - segs.ay
+    X = np.unique(qmx_all)
+    lo = np.searchsorted(X, tax2, side="left")
+    hi = np.searchsorted(X, tbx2, side="left")
+    q_col = np.searchsorted(X, qmx_all)
+    Qp = np.concatenate(([0], np.cumsum(np.bincount(q_col,
+                                                    minlength=len(X)))))
+    pc = Qp[hi] - Qp[lo]                 # queries per segment
+    cum = np.concatenate(([0], np.cumsum(pc)))
+    qs_idx = np.argsort(q_col, kind="stable")
+    n = len(segs)
+    CH = 1 << 22                         # pairs per chunk (memory bound)
+    s0 = 0
+    while s0 < n:
+        s1 = min(n, max(s0 + 1,
+                        int(np.searchsorted(cum, cum[s0] + CH, "left"))))
+        tot = int(cum[s1] - cum[s0])
+        if tot:
+            pcs = pc[s0:s1]
+            srep = np.repeat(np.arange(s0, s1, dtype=np.int64), pcs)
+            j = np.arange(tot, dtype=np.int64) \
+                - np.repeat(cum[s0:s1] - cum[s0], pcs)
+            qidx = qs_idx[np.repeat(Qp[lo[s0:s1]], pcs) + j]
+            cr = ux[srep] * (qmy_all[qidx] - 2 * segs.ay[srep]) \
+                - uy[srep] * (qmx_all[qidx] - tax2[srep])
+            under = cr > 0               # strictly below
+            if under.any():
+                qi = qidx[under]
+                su = srep[under]
+                # counts are tiny ints: float64 bincount is exact
+                bot_subj += np.bincount(
+                    qi, weights=segs.subj[su], minlength=nq
+                ).astype(np.int64)
+                if with_clip:
+                    bot_clip += np.bincount(
+                        qi, weights=segs.clip[su], minlength=nq
+                    ).astype(np.int64)
+        s0 = s1
+    return bot_subj, bot_clip
+
+
 def _stab_windings(segs: Segments, mx, my, q_pos, block: int = 256,
                    with_clip: bool = True):
     """Winding below the doubled points (mx, my) (queries in ax-sorted
@@ -1213,6 +1278,14 @@ def _stab_windings(segs: Segments, mx, my, q_pos, block: int = 256,
     lo_all = np.searchsorted(X, tax2, side="left")
     hi_all = np.searchsorted(X, tbx2, side="left")
     counts_all = np.maximum(hi_all - lo_all, 0)
+    # direct-pair engine first: when total (segment, covered-query)
+    # pairs stay within budget, one exact cross test per pair beats
+    # every sort-based engine (no keys, no ties)
+    Qp0 = np.concatenate(([0], np.cumsum(
+        np.bincount(np.searchsorted(X, qmx_all), minlength=len(X)))))
+    n_pairs = int((Qp0[hi_all] - Qp0[lo_all]).sum())
+    if n_pairs <= max(4_000_000, 16 * max(len(segs), nq)):
+        return _pair_windings(segs, mx, my, q_pos, with_clip)
     y_max = max(float(np.abs(segs.ay).max()),
                 float(np.abs(segs.by).max()), 1.0)
     rep_budget = 8 * max(len(segs), nq)
