@@ -404,6 +404,7 @@ def _middle_cross(t, o, radius):
 # ---------------------------------------------------------------------------
 
 PAIR_BLOCK = 4_000_000  # max candidate pairs materialized at once
+_TREE_LEAF = 16         # query columns per segment-tree leaf (sweep-tuned)
 
 
 def _pair_blocks_1d(segs: Segments, members: np.ndarray, bmin=None,
@@ -987,12 +988,92 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
 
     X = np.unique(qmx_all)
     ncols = len(X)
-    N = 1 << max(1, (ncols - 1).bit_length())
-    lo = np.searchsorted(X, tax2, side="left") + N
-    hi = np.searchsorted(X, tbx2, side="left") + N
-    keep = hi > lo
-    lo = lo[keep].copy()
-    hi = hi[keep].copy()
+    # coarse leaves: L columns per tree leaf cuts replication (and the
+    # level count) by ~log2(L); the sub-leaf ends of each segment are
+    # evaluated as direct exact pairs instead.  Fall back to L=1 when
+    # the remnant pair count would explode (many queries per column —
+    # the dense-grid regime the tree exists for).
+    lo_c = np.searchsorted(X, tax2, side="left")
+    hi_c = np.searchsorted(X, tbx2, side="left")
+    q_col = np.searchsorted(X, qmx_all)
+    Qp = np.concatenate(([0], np.cumsum(
+        np.bincount(q_col, minlength=ncols)))).astype(np.int64)
+    L = _TREE_LEAF
+    lf_lo = (lo_c + L - 1) // L
+    lf_hi = hi_c // L
+    full = lf_hi > lf_lo
+    # full segments: left remnant up to the first full leaf; non-full
+    # segments: the WHOLE span is remnant
+    a_end = np.where(full, lf_lo * L, hi_c)
+    rem1 = Qp[a_end] - Qp[lo_c]
+    rem2 = np.where(full, Qp[hi_c] - Qp[np.maximum(lf_hi * L, lo_c)], 0)
+    if int(rem1.sum() + rem2.sum()) > max(8_000_000,
+                                          8 * (len(segs) + nq)):
+        L = 1
+        lf_lo = lo_c
+        lf_hi = hi_c
+        full = lf_hi > lf_lo
+        rem1 = np.zeros(len(segs), np.int64)
+        rem2 = rem1
+
+    # ---- remnant pairs: exact cross tests, no ordering involved ----
+    rr_start_parts = []
+    rr_end_parts = []
+    rr_seg_parts = []
+    if L > 1:
+        m1 = np.flatnonzero(rem1 > 0)
+        if len(m1):
+            rr_start_parts.append(lo_c[m1])
+            rr_end_parts.append(a_end[m1])
+            rr_seg_parts.append(m1)
+        m2 = np.flatnonzero(rem2 > 0)
+        if len(m2):
+            rr_start_parts.append(np.maximum(lf_hi * L, lo_c)[m2])
+            rr_end_parts.append(hi_c[m2])
+            rr_seg_parts.append(m2)
+    if rr_start_parts:
+        rs = np.concatenate(rr_start_parts)
+        re = np.concatenate(rr_end_parts)
+        rg = np.concatenate(rr_seg_parts)
+        pcr = Qp[re] - Qp[rs]
+        qs_idx = np.argsort(q_col, kind="stable")
+        cumr = np.concatenate(([0], np.cumsum(pcr)))
+        totr = int(cumr[-1])
+        CH = 1 << 22
+        r0 = 0
+        nr = len(rs)
+        while r0 < nr:
+            r1 = min(nr, max(r0 + 1,
+                             int(np.searchsorted(cumr, cumr[r0] + CH,
+                                                 "left"))))
+            tot = int(cumr[r1] - cumr[r0])
+            if tot:
+                pcs = pcr[r0:r1]
+                srep = rg[np.repeat(np.arange(r0, r1, dtype=np.int64)
+                                    - r0, pcs) + r0]
+                j = np.arange(tot, dtype=np.int64) \
+                    - np.repeat(cumr[r0:r1] - cumr[r0], pcs)
+                qidx = qs_idx[np.repeat(Qp[rs[r0:r1]], pcs) + j]
+                cr = ux[srep] * (qmy_all[qidx] - 2 * segs.ay[srep]) \
+                    - uy[srep] * (qmx_all[qidx] - tax2[srep])
+                under = cr > 0
+                if under.any():
+                    qi = qidx[under]
+                    su = srep[under]
+                    bot_subj += np.bincount(
+                        qi, weights=segs.subj[su], minlength=nq
+                    ).astype(np.int64)
+                    if with_clip:
+                        bot_clip += np.bincount(
+                            qi, weights=segs.clip[su], minlength=nq
+                        ).astype(np.int64)
+            r0 = r1
+
+    nleaves = (ncols + L - 1) // L
+    N = 1 << max(1, (nleaves - 1).bit_length())
+    keep = full
+    lo = (lf_lo[keep] + N).copy()
+    hi = (lf_hi[keep] + N).copy()
     seg_ids = np.flatnonzero(keep)
 
     # canonical segment-tree decomposition, all segments at once;
@@ -1038,9 +1119,11 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     # exact two-part rational keys (and an exact Fraction pass on
     # truncation collisions) — the exact arithmetic runs only on the
     # few ambiguous runs, not all replicated entries.
-    # first covered column of node v emitted after k shifts = (v<<k) - N
-    first_col = (nodes << shifts) - N
-    xstar = X[np.minimum(first_col, ncols - 1)]
+    # first covered leaf of node v emitted after k shifts = (v<<k) - N;
+    # its first column is leaf * L (all segments in the node span the
+    # node's full leaf range, so this column is covered by every one)
+    first_leaf = (nodes << shifts) - N
+    xstar = X[np.minimum(first_leaf * L, ncols - 1)]
     g = segids
     den = ux[g]
     dxs = xstar - tax2[g]
@@ -1134,12 +1217,11 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     csum_c = np.concatenate(([0], np.cumsum(segs.clip[seg_s]))) \
         if with_clip else None
 
-    q_col = np.searchsorted(X, qmx_all)
     ax_s = segs.ax[seg_s]
     ay_s = segs.ay[seg_s]
     ux_s = ux[seg_s]
     uy_s = uy[seg_s]
-    leaf = q_col + N
+    leaf = q_col // L + N
     levels = int(N).bit_length()
     for _ in range(levels):
         pos = np.searchsorted(uniq_nodes, leaf)
