@@ -156,6 +156,26 @@ def clean_float_shapes(shapes: List[list], preserve_collinear: bool
     return out
 
 
+def _contours_as_arrays(groups) -> list | None:
+    """Each group as a list of float64 (n,2) arrays, or None when a
+    contour isn't plain coordinate pairs (custom point classes fall
+    back to the per-point path)."""
+    import numpy as np
+    out = []
+    try:
+        for group in groups:
+            arrs = []
+            for contour in group:
+                a = np.asarray(contour, dtype=np.float64)
+                if a.ndim != 2 or a.shape[1] != 2:
+                    return None
+                arrs.append(a)
+            out.append(arrs)
+    except (TypeError, ValueError):
+        return None
+    return out
+
+
 def float_overlay(subj: Sequence, clip: Sequence, rule,
                   fill_rule="evenodd", scale: float | None = None,
                   clean_result: bool = True, **options) -> List[list]:
@@ -164,10 +184,46 @@ def float_overlay(subj: Sequence, clip: Sequence, rule,
     ``clean_result`` mirrors OverlayOptions::clean_result (default true
     for the f64 -> int64 engine, float/overlay.rs:454): the dequantized
     output is de-spiked (or fully simplified when collinear output is
-    not preserved)."""
-    adapter = FloatPointAdapter.from_contours(subj, clip, scale=scale)
-    shapes = int_overlay(adapter.to_int(subj), adapter.to_int(clip),
-                         rule, fill_rule, **options)
+    not preserved).
+
+    Plain coordinate-pair contours take a fully vectorized path:
+    numpy bounds + quantization straight into the flat segment builder
+    (build_segments_flat), no per-point Python."""
+    import numpy as np
+    groups = _contours_as_arrays((subj, clip))
+    if groups is not None:
+        sa, ca = groups
+        allc = sa + ca
+        if not allc or not any(len(a) for a in allc):
+            adapter = FloatPointAdapter(0.0, 0.0, 1.0, 1.0, scale)
+            shapes: List[list] = []
+        else:
+            x_min = min(float(a[:, 0].min()) for a in allc if len(a))
+            x_max = max(float(a[:, 0].max()) for a in allc if len(a))
+            y_min = min(float(a[:, 1].min()) for a in allc if len(a))
+            y_max = max(float(a[:, 1].max()) for a in allc if len(a))
+            adapter = FloatPointAdapter(x_min, y_min, x_max, y_max, scale)
+            lens = np.array([len(a) for a in allc], dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            pts = np.concatenate(allc, axis=0) if allc else \
+                np.zeros((0, 2))
+            xs = np.rint((pts[:, 0] - adapter.offset_x)
+                         * adapter.scale).astype(np.int64)
+            ys = np.rint((pts[:, 1] - adapter.offset_y)
+                         * adapter.scale).astype(np.int64)
+            flags = np.concatenate((np.ones(len(sa), dtype=bool),
+                                    np.zeros(len(ca), dtype=bool)))
+            from .kernel import build_segments_flat
+            from .overlay import build_graph_from_segments
+            opts = dict(options)
+            keep_in = opts.pop("preserve_input_collinear", False)
+            segs = build_segments_flat(xs, ys, offsets, flags, keep_in)
+            graph = build_graph_from_segments(segs, fill_rule, **opts)
+            shapes = [] if graph is None else graph.extract(rule)
+    else:
+        adapter = FloatPointAdapter.from_contours(subj, clip, scale=scale)
+        shapes = int_overlay(adapter.to_int(subj), adapter.to_int(clip),
+                             rule, fill_rule, **options)
     shapes = adapter.to_float_shapes(shapes)
     if clean_result:
         shapes = clean_float_shapes(
