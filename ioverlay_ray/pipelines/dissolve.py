@@ -143,12 +143,10 @@ def _union_rows(rows: List[list]) -> List[list]:
     return out
 
 
-def _union_group(group: pa.Table, next_level: int, next_cell: int,
-                 max_group_rows: int) -> pa.Table:
-    shapes = [rings_to_shape(r) for r in group.column("rings").to_pylist()]
-    # combiner for skewed cells: chunked pre-union keeps peak segment
-    # count bounded (the salting analog); stop if a pass makes no progress
-    # (disjoint shapes never merge)
+def _union_chunked(shapes: List[list], max_group_rows: int) -> List[list]:
+    """Chunked combiner for skewed cells: pre-union in bounded chunks
+    so peak segment count stays bounded (the salting analog); stop if a
+    pass makes no progress (disjoint shapes never merge)."""
     while len(shapes) > max_group_rows:
         before = len(shapes)
         chunks = [shapes[i:i + max_group_rows]
@@ -156,7 +154,13 @@ def _union_group(group: pa.Table, next_level: int, next_cell: int,
         shapes = [s for ch in chunks for s in _union_rows(ch)]
         if len(shapes) >= before:
             break
-    merged = _union_rows(shapes)
+    return _union_rows(shapes)
+
+
+def _union_group(group: pa.Table, next_level: int, next_cell: int,
+                 max_group_rows: int) -> pa.Table:
+    shapes = [rings_to_shape(r) for r in group.column("rings").to_pylist()]
+    merged = _union_chunked(shapes, max_group_rows)
     return pa.table({
         "level": pa.array([next_level] * len(merged), pa.int64()),
         "cell": pa.array([next_cell] * len(merged), pa.int64()),
@@ -164,13 +168,81 @@ def _union_group(group: pa.Table, next_level: int, next_cell: int,
     })
 
 
+def _ancestor_cell(level: np.ndarray, cell: np.ndarray, L: int
+                   ) -> np.ndarray:
+    """Ancestor cell id at level L of (level <= L, cell) rows."""
+    sh = (L - level).astype(np.int64)
+    cx = (cell >> 20) >> sh
+    cy = (cell & 0xFFFFF) >> sh
+    return (cx << 20) | cy
+
+
+def _local_quad_reduce(group: pa.Table, L: int, base: int, levels: int,
+                       max_group_rows: int, may_finalize: bool
+                       ) -> pa.Table:
+    """Combiner round: union levels 0..L of ONE level-L ancestor cell
+    entirely inside a single task (no per-level shuffles), emitting the
+    result exactly where the per-level rounds would have (level L+1 at
+    the parent cell, or a salt cell when L+1 is the coarsest level).
+    Groups whose rows sit above level L pass through unchanged."""
+    lv = group.column("level").to_pylist()
+    if lv[0] > L:
+        return group.select(["level", "cell", "rings"])
+    cl = group.column("cell").to_pylist()
+    buckets: dict = {}
+    for l, c, r in zip(lv, cl, group.column("rings").to_pylist()):
+        buckets.setdefault((l, c), []).append(rings_to_shape(r))
+    for lev in range(L):
+        for key in [k for k in buckets if k[0] == lev]:
+            shapes = _union_chunked(buckets.pop(key), max_group_rows)
+            p = int(parent_cell(np.array([key[1]], np.int64))[0])
+            buckets.setdefault((lev + 1, p), []).extend(shapes)
+    top = [k for k in buckets if k[0] == L]
+    gcell = top[0][1]
+    shapes = []
+    for k in top:
+        shapes.extend(buckets.pop(k))
+    merged = _union_chunked(shapes, max_group_rows)
+    nxt = L + 1
+    if nxt == levels - 1:
+        ncell = gcell % 8            # salt the root entry
+    else:
+        ncell = int(parent_cell(np.array([gcell], np.int64))[0])
+    lvl = np.full(len(merged), nxt, dtype=np.int64)
+    if may_finalize and merged:
+        size = base << L
+        lo_x = (gcell >> 20) * size
+        lo_y = (gcell & 0xFFFFF) * size
+        for i, shape in enumerate(merged):
+            xs = [p[0] for p in shape[0]]
+            ys = [p[1] for p in shape[0]]
+            if min(xs) > lo_x and max(xs) < lo_x + size and \
+                    min(ys) > lo_y and max(ys) < lo_y + size:
+                lvl[i] = -1
+    return pa.table({
+        "level": pa.array(lvl, pa.int64()),
+        "cell": pa.array([ncell] * len(merged), pa.int64()),
+        "rings": pa.array([shape_to_rings(s) for s in merged], RINGS),
+    })
+
+
 def dissolve(ds: "ray.data.Dataset", base: int = 64, levels: int = 5,
-             max_group_rows: int = 512) -> "ray.data.Dataset":
+             max_group_rows: int = 512, local_levels: int = 2
+             ) -> "ray.data.Dataset":
     """Union all polygons in ``ds`` (columns: rings, x0, y0, x1, y1)
     into a multipolygon dataset (one row per output shape).
 
     Coordinates must be non-negative and < base << (levels - 1) * 2^20
     ... practically: the world must fit the coarsest grid.
+
+    ``local_levels``: how many of the finest levels are absorbed by the
+    COMBINER round — one groupby at the level-``local_levels`` ancestor
+    cell whose task runs the whole sub-quad-tree locally. Each dataset
+    round is a full shuffle barrier (~0.5 s fixed cost locally, a real
+    exchange on a cluster), so folding the geometrically-shrinking
+    bottom rounds into one is the classic partial-aggregate move; the
+    group size stays bounded because a level-L cell only holds what fit
+    below it, and the in-task chunked combiner caps peak segment count.
     """
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -195,10 +267,50 @@ def dissolve(ds: "ray.data.Dataset", base: int = 64, levels: int = 5,
     max_input = max(present) if present else 0
     finals = []
 
-    for lev in range(levels):
+    start_lev = 0
+    if levels >= 2:
+        L = min(local_levels, levels - 2)
+        may_fin0 = L >= max_input
+
+        def local_key(batch: pa.Table) -> pa.Table:
+            lv = batch.column("level").to_numpy(zero_copy_only=False)
+            cl = batch.column("cell").to_numpy(zero_copy_only=False) \
+                .copy()
+            low = lv <= L
+            if low.any():
+                cl[low] = _ancestor_cell(lv[low], cl[low], L)
+            gl = np.where(low, L, lv)
+            k = (gl.astype(np.int64) << 42) | cl
+            return batch.append_column("gkey", pa.array(k, pa.int64()))
+
+        def local_reduce(group: pa.Table) -> pa.Table:
+            if len(group) == 0:
+                return pa.table({"level": pa.array([], pa.int64()),
+                                 "cell": pa.array([], pa.int64()),
+                                 "rings": pa.array([], RINGS)})
+            return _local_quad_reduce(
+                group.select(["level", "cell", "rings"]), L, base,
+                levels, max_group_rows, may_fin0)
+
+        current = (current.map_batches(local_key, batch_format="pyarrow")
+                   .groupby("gkey")
+                   .map_groups(local_reduce, batch_format="pyarrow")
+                   ).materialize()
+        if may_fin0:
+            finals.append(current.filter(expr="level == -1"))
+            current = current.filter(expr="level >= 0")
+        present = {l for l in present if l > L}
+        present.add(L + 1)
+        start_lev = L + 1
+
+    for lev in range(start_lev, levels):
         last = lev == levels - 1
         if lev not in present and not last:
             continue
+        if last and current.count() <= max_group_rows:
+            # leftover is one group's worth: the root union handles it
+            # directly, no salted pre-round needed
+            break
         # merged output of level lev lands on lev+1 (or the root)
         present.add(levels - 1 if lev + 1 == levels - 1 else lev + 1)
         # once every ORIGINAL input level has been absorbed, a merged
