@@ -1235,17 +1235,19 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
             b_hi = (node_last[pos[qs]] - start).astype(np.int64)
             qx = qmx_all[qs]
             qy = qmy_all[qs]
-            while True:
-                open_m = b_lo < b_hi
-                if not open_m.any():
-                    break
-                mid = (b_lo + b_hi) >> 1
-                t = start + np.where(open_m, mid, 0)
-                cr = ux_s[t] * (qy - 2 * ay_s[t]) - \
-                    uy_s[t] * (qx - 2 * ax_s[t])
-                below = (cr > 0) & open_m
-                b_lo = np.where(below, mid + 1, b_lo)
-                b_hi = np.where(open_m & ~below, mid, b_hi)
+            # active-set compaction: queries converge at different
+            # depths (node sizes vary); drop finished ones each step
+            act = np.flatnonzero(b_lo < b_hi)
+            while len(act):
+                lo_a = b_lo[act]
+                mid = (lo_a + b_hi[act]) >> 1
+                t = start[act] + mid
+                cr = ux_s[t] * (qy[act] - 2 * ay_s[t]) - \
+                    uy_s[t] * (qx[act] - 2 * ax_s[t])
+                below = cr > 0
+                b_lo[act] = np.where(below, mid + 1, lo_a)
+                b_hi[act] = np.where(below, b_hi[act], mid)
+                act = act[b_lo[act] < b_hi[act]]
             r = start + b_lo
             bot_subj[qs] += csum_s[r] - csum_s[start]
             if with_clip:
