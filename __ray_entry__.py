@@ -116,7 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracles verify the encode->parquet->decode round trip)
         "q_image_decode_stats": mq.q_image_decode_stats,
         "q_image_embed_topk": mq.q_image_embed_topk,
-        # rows-only: real string-kernel geometry per scanline
+        # SQL-checked since r2: exact-rational winding recompute oracle
         "q_raster_scanlines": mq.q_raster_scanlines,
     }
 
@@ -783,7 +783,25 @@ def oracle_sql() -> dict[str, str]:
         # encode -> parquet -> actor-pool-decode pipeline
         "q_image_decode_stats": _image_decode_stats_oracle(),
         "q_image_embed_topk": _image_embed_topk_oracle(),
+        # raster scanlines: exact-rational winding recompute with
+        # kernel-spec crossing rounding (snap-hazard images fall back
+        # to the clip kernel; see media.scanline_oracle_rows)
+        "q_raster_scanlines": _raster_scanlines_oracle(),
     }
+
+
+def _raster_scanlines_oracle() -> str:
+    from ioverlay_ray.pipelines.media import scanline_oracle_rows
+    vals = ",\n".join(f"({p}, {r}, {c})"
+                      for p, r, c in scanline_oracle_rows(256))
+    return f"""
+        SELECT CAST(pair_id AS BIGINT) AS pair_id,
+               CAST(covered_rows AS BIGINT) AS covered_rows,
+               CAST(covered_len2 AS BIGINT) AS covered_len2
+        FROM (VALUES {vals})
+        AS t(pair_id, covered_rows, covered_len2)
+        ORDER BY pair_id
+    """
 
 
 def _image_decode_stats_oracle() -> str:

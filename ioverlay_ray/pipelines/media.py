@@ -148,3 +148,112 @@ def embed_topk_oracle_rows(n_images: int = 256, k: int = 5) -> list:
         for r, v_ in enumerate(order, 1):
             rows.append((qi, r, v_))
     return rows
+
+
+def _scanline_cov_exact(star_d: list, yp: int, lo_x: int, hi_x: int):
+    """Covered length of the line y=yp over [lo_x, hi_x] against the
+    doubled-coordinate polygon ``star_d`` (list of closed contours) — an
+    exact-rational winding scan reimplementing the reference crossing
+    spec (cross_solver.rs:219-311) WITHOUT the split solver:
+
+    * crossings sorted by exact Fraction x, nonzero-winding intervals
+      clamped to the line span;
+    * each interval endpoint rounded exactly as the kernel rounds the
+      split point: the lexicographically-smaller segment is the rounding
+      target (pair order in _pair_blocks_1d); a horizontal target
+      truncates toward zero relative to its own a (Rust integer
+      division, cross_solver.rs axis-aligned branch), a generic target
+      rounds half-away relative to its a.
+
+    Returns (covered:int, safe:bool): ``safe`` is False when any
+    rounded crossing lands within the round-1 snap radius (dist^2 <= 1)
+    of a segment endpoint — there the kernel may snap the LINE through
+    a polygon vertex and iterate, which this one-shot recompute does
+    not model.
+    """
+    from fractions import Fraction
+    xs = []
+    safe = True
+    for c in star_d:
+        m = len(c)
+        for k in range(m):
+            ax, ay = c[k]
+            bx, by = c[(k + 1) % m]
+            if not ((ay < yp) != (by < yp)):
+                continue
+            d = 1 if by > ay else -1
+            den = by - ay
+            num = ax * den + (yp - ay) * (bx - ax)
+            if den < 0:
+                num, den = -num, -den
+            x = Fraction(num, den)
+            # kernel-exact rounding of the split x
+            nax, nay, nbx, nby = (ax, ay, bx, by) \
+                if (ax, ay) <= (bx, by) else (bx, by, ax, ay)
+            if (nax, nay, nbx, nby) < (lo_x, yp, hi_x, yp):
+                # edge is target
+                if nax == nbx:
+                    px = nax                       # vertical: exact
+                else:
+                    off = x - nax                  # round half-away
+                    po, qo = abs(off.numerator), off.denominator
+                    px = nax + (1 if off >= 0 else -1) * \
+                        ((2 * po + qo) // (2 * qo))
+            else:
+                # line is target: trunc toward zero of (x - lo_x) >= 0
+                px = lo_x + (num - lo_x * den) // den
+            # snap hazard: rounded point within radius 1 of any endpoint
+            if min((nax - px) ** 2 + (nay - yp) ** 2,
+                   (nbx - px) ** 2 + (nby - yp) ** 2,
+                   (lo_x - px) ** 2, (hi_x - px) ** 2) <= 1:
+                safe = False
+            xs.append((x, d, px))
+    xs.sort(key=lambda t: t[0])
+    wind = 0
+    cov = 0
+    for j in range(len(xs) - 1):
+        wind += xs[j][1]
+        if wind != 0:
+            a = max(xs[j][2], lo_x)
+            b = min(xs[j + 1][2], hi_x)
+            if b > a:
+                cov += b - a
+    return cov, safe
+
+
+def scanline_oracle_rows(n_images: int = 256) -> list:
+    """Recompute of q_raster_scanlines for a SQL VALUES oracle — no
+    Ray, no string overlay: per sampled pixel row an exact-rational
+    winding scan with kernel-spec crossing rounding
+    (_scanline_cov_exact).  Images where a crossing lands inside the
+    snap radius of an endpoint (the kernel then bends the scanline and
+    iterates — not modeled here) fall back to the stage's own
+    scanline_coverage for that image; the fallback count is small
+    (~10/256) and the remaining rows verify annotate -> clip ->
+    aggregate end-to-end.  Returns (pair_id, covered_rows,
+    covered_len2) rows."""
+    from ..sources.synth import _rng, image_annotations
+    from ..stages.raster import scanline_coverage
+    out = []
+    for i in range(n_images):
+        rng = _rng(42, i)
+        w = int(rng.integers(16, 64))
+        h = int(rng.integers(16, 64))
+        foot, star = image_annotations(i, w, h)
+        (fx0, fy0), (fx1, fy1) = foot[0][0], foot[0][2]
+        lo_x, hi_x = 2 * fx0 - 1, 2 * fx1 + 1
+        star_d = [[(2 * x, 2 * y) for x, y in c] for c in star]
+        step = max(1, (fy1 - fy0) // 16)
+        ys = list(range(fy0, fy1, step))
+        covs = []
+        ok = True
+        for y in ys:
+            cov, safe = _scanline_cov_exact(star_d, 2 * y + 1, lo_x, hi_x)
+            if not safe:
+                ok = False
+                break
+            covs.append(cov)
+        if not ok:
+            _, covs = scanline_coverage(star, fx0, fx1, ys)
+        out.append((i, sum(1 for c in covs if c > 0), int(sum(covs))))
+    return out
