@@ -260,10 +260,16 @@ def dissolve(ds: "ray.data.Dataset", base: int = 64, levels: int = 5,
 
     # one cheap histogram pass: shuffle rounds only run for levels that
     # actually hold geometry (deep hierarchies over shallow data would
-    # otherwise pay a pass-through shuffle per empty level)
+    # otherwise pay a pass-through shuffle per empty level); per-batch
+    # unique + driver merge — a block scan, not a groupby exchange
+    import pyarrow.compute as pc
+
+    def _levels_of(batch: pa.Table) -> pa.Table:
+        return pa.table({"level": pc.unique(batch.column("level"))})
+
     present = set(
         r["level"] for r in
-        current.groupby("level").count().take_all())
+        current.map_batches(_levels_of, batch_format="pyarrow").take_all())
     max_input = max(present) if present else 0
     finals = []
 
