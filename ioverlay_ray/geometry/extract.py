@@ -276,6 +276,7 @@ def _build_succ2(links: Links) -> np.ndarray:
     return succ
 
 
+_PURE_PLAN_MIN_LINKS = 1024  # below this the walk beats the array setup
 _PURE_CYCLE_CAP = 96  # vectorization pays for many short cycles; a few
 # long contours are cheaper on the sequential walk
 
@@ -304,7 +305,7 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
     if links._np_ids is None or links._np_fill is None:
         return None
     n = len(links)
-    if n < 1024:
+    if n < _PURE_PLAN_MIN_LINKS:
         return None  # sequential walk is cheaper than the array setup
     succ = _build_succ2(links)
     orig = np.flatnonzero(succ >= 0)
@@ -1027,17 +1028,48 @@ def _collect_shape_ogc(links: Links, visited, left_top: int,
 def extract_shapes_ogc(links: Links, rule: int, clockwise: bool = False,
                        preserve_output_collinear: bool = False,
                        min_output_area: int = 0) -> List[list]:
-    """OGC-valid variant of extract_shapes (options.ogc)."""
+    """OGC-valid variant of extract_shapes (options.ogc).
+
+    Pure (degree-2-only) cycles take the vectorized plan fast path: at
+    degree-2 nodes the rotation flag never matters, so a pure cycle's
+    OGC contour is bit-identical to the plain-extract contour (hull
+    start data uses direction = not clockwise in both; hole start data
+    uses direction = clockwise in both) and a pure hull can never
+    pinch off interior loops. Only the two-pass assembly order and the
+    hole_count bookkeeping differ, which the flush pointers replicate.
+    """
     n = len(links)
     ensure_pair_tables(links)
-    visited = bytearray(n)
+    plan = _pure_cycle_plan(links, rule, clockwise,
+                            preserve_output_collinear, min_output_area)
+    if plan is not None:
+        vis_init, p_starts, p_holes, p_points = plan
+        visited = bytearray(vis_init.tobytes())
+        pure_mask = vis_init != 0
+        hull_q = [(s, p) for s, h, p in zip(p_starts, p_holes, p_points)
+                  if not h]
+        hole_q = [(s, p) for s, h, p in zip(p_starts, p_holes, p_points)
+                  if h]
+    else:
+        visited = bytearray(n)
+        pure_mask = None
+        hull_q = []
+        hole_q = []
     shapes: List[list] = []
     traversal = not clockwise
-    hole_count = 0
+    hole_count = len(hole_q)
+    hp = 0          # pass-1 flush pointer over pure hulls
+
+    def _flush_hulls(limit: int) -> None:
+        nonlocal hp
+        while hp < len(hull_q) and hull_q[hp][0] <= limit:
+            shapes.append([hull_q[hp][1]])
+            hp += 1
 
     link_index = 0
     while link_index < n:
         if visited[link_index] != UNVISITED:
+            _flush_hulls(link_index)
             link_index += 1
             continue
         left_top = _find_left_top_link(links, link_index, visited)
@@ -1057,17 +1089,35 @@ def extract_shapes_ogc(links: Links, rule: int, clockwise: bool = False,
             shapes.append(shape)
         else:
             link_index += 1
+    _flush_hulls(n)
 
     if hole_count:
-        # second pass: only hole edges stay walkable
+        # second pass: only hole edges stay walkable (pure holes are
+        # already extracted by the plan — keep them skipped)
         for i in range(n):
             visited[i] = UNVISITED if visited[i] == HOLE_VISITED else SKIPPED
+        if pure_mask is not None:
+            for i in np.flatnonzero(pure_mask).tolist():
+                visited[i] = SKIPPED
         holes: List[List[Point]] = []
         anchors: List[tuple] = []
         anchors_sorted = True
+        qp = 0      # pass-2 flush pointer over pure holes
+
+        def _flush_holes(limit: int) -> None:
+            nonlocal qp
+            while qp < len(hole_q) and hole_q[qp][0] <= limit:
+                points = hole_q[qp][1]
+                left_bottom = points[1] if clockwise else points[0]
+                v_seg = _left_bottom_segment_from(points, left_bottom)
+                anchors.append((v_seg, ("hole", len(holes))))
+                holes.append(points)
+                qp += 1
+
         link_index = 0
         while link_index < n:
             if visited[link_index] != UNVISITED:
+                _flush_holes(link_index)
                 link_index += 1
                 continue
             left_top = _find_left_top_link(links, link_index, visited)
@@ -1090,5 +1140,6 @@ def extract_shapes_ogc(links: Links, rule: int, clockwise: bool = False,
                     anchors_sorted = False
             anchors.append((v_seg, ("hole", len(holes))))
             holes.append(points)
+        _flush_holes(n)
         join_holes(shapes, holes, anchors, clockwise, anchors_sorted)
     return shapes

@@ -143,7 +143,9 @@ def test_pure_cycle_plan_matches_sequential_walk():
         scenes.append((polys[:20], polys[20:]))
 
     cap = E._PURE_CYCLE_CAP
+    gate = E._PURE_PLAN_MIN_LINKS
     try:
+        E._PURE_PLAN_MIN_LINKS = 8   # force the plan on small scenes
         for subj, clip in scenes:
             for rule in ("union", "xor", "difference", "intersect"):
                 E._PURE_CYCLE_CAP = cap
@@ -153,6 +155,7 @@ def test_pure_cycle_plan_matches_sequential_walk():
                 assert with_plan == sequential, rule
     finally:
         E._PURE_CYCLE_CAP = cap
+        E._PURE_PLAN_MIN_LINKS = gate
 
 
 def test_multi_rule_stats_matches_multi_rule(ray_session):
@@ -164,3 +167,40 @@ def test_multi_rule_stats_matches_multi_rule(ray_session):
     stats = flagship.overlay_join_all_rules_stats(ds).to_pandas()[cols] \
         .sort_values(["pair_id", "rule"]).reset_index(drop=True)
     assert full.equals(stats)
+
+
+def test_ogc_pure_cycle_plan_matches_sequential_walk():
+    # OGC extraction with the plan fast path must be BIT-IDENTICAL
+    # (two-pass order, anchors, hole binding) to the sequential walk
+    import ioverlay_ray.geometry.extract as E
+    from ioverlay_ray.geometry.overlay import overlay
+
+    rng = np.random.default_rng(177)
+    scenes = []
+    for s in range(6):
+        polys = []
+        for _ in range(40):
+            cx, cy = rng.integers(0, 2000, 2)
+            r = int(rng.integers(4, 300))
+            k = int(rng.integers(3, 9))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            pts = [(int(cx + r * np.cos(a)), int(cy + r * np.sin(a)))
+                   for a in ang]
+            if len(set(pts)) >= 3:
+                polys.append(pts)
+        scenes.append((polys[:20], polys[20:]))
+
+    cap = E._PURE_CYCLE_CAP
+    gate = E._PURE_PLAN_MIN_LINKS
+    try:
+        E._PURE_PLAN_MIN_LINKS = 8   # force the plan on small scenes
+        for subj, clip in scenes:
+            for rule in ("union", "xor", "difference", "intersect"):
+                E._PURE_CYCLE_CAP = cap
+                with_plan = overlay(subj, clip, rule, ogc=True)
+                E._PURE_CYCLE_CAP = 0  # plan disabled -> pure walk
+                sequential = overlay(subj, clip, rule, ogc=True)
+                assert with_plan == sequential, rule
+    finally:
+        E._PURE_CYCLE_CAP = cap
+        E._PURE_PLAN_MIN_LINKS = gate
