@@ -1223,6 +1223,13 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     uy_s = uy[seg_s]
     leaf = q_col // L + N
     levels = int(N).bit_length()
+    # collect ALL (query, ancestor-node) hits first (one cheap
+    # searchsorted per level), then rank every hit in ONE simultaneous
+    # binary-search loop — ~log(max node size) numpy passes total
+    # instead of levels x log small-array passes
+    hit_qs = []
+    hit_start = []
+    hit_len = []
     for _ in range(levels):
         pos = np.searchsorted(uniq_nodes, leaf)
         hit = (pos < len(uniq_nodes))
@@ -1230,29 +1237,40 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
         hit &= uniq_nodes[pos] == leaf
         if hit.any():
             qs = np.flatnonzero(hit)
-            start = node_first[pos[qs]]
-            b_lo = np.zeros(len(qs), dtype=np.int64)
-            b_hi = (node_last[pos[qs]] - start).astype(np.int64)
-            qx = qmx_all[qs]
-            qy = qmy_all[qs]
-            # active-set compaction: queries converge at different
-            # depths (node sizes vary); drop finished ones each step
-            act = np.flatnonzero(b_lo < b_hi)
-            while len(act):
-                lo_a = b_lo[act]
-                mid = (lo_a + b_hi[act]) >> 1
-                t = start[act] + mid
-                cr = ux_s[t] * (qy[act] - 2 * ay_s[t]) - \
-                    uy_s[t] * (qx[act] - 2 * ax_s[t])
-                below = cr > 0
-                b_lo[act] = np.where(below, mid + 1, lo_a)
-                b_hi[act] = np.where(below, b_hi[act], mid)
-                act = act[b_lo[act] < b_hi[act]]
-            r = start + b_lo
-            bot_subj[qs] += csum_s[r] - csum_s[start]
-            if with_clip:
-                bot_clip[qs] += csum_c[r] - csum_c[start]
+            hit_qs.append(qs)
+            hit_start.append(node_first[pos[qs]])
+            hit_len.append(node_last[pos[qs]] - node_first[pos[qs]])
         leaf >>= 1
+    if hit_qs:
+        qs = np.concatenate(hit_qs)
+        start = np.concatenate(hit_start)
+        b_lo = np.zeros(len(qs), dtype=np.int64)
+        b_hi = np.concatenate(hit_len).astype(np.int64)
+        qx = qmx_all[qs]
+        qy = qmy_all[qs]
+        # active-set compaction: hits converge at different depths
+        # (node sizes vary); drop finished ones each step
+        act = np.flatnonzero(b_lo < b_hi)
+        while len(act):
+            lo_a = b_lo[act]
+            mid = (lo_a + b_hi[act]) >> 1
+            t = start[act] + mid
+            cr = ux_s[t] * (qy[act] - 2 * ay_s[t]) - \
+                uy_s[t] * (qx[act] - 2 * ax_s[t])
+            below = cr > 0
+            b_lo[act] = np.where(below, mid + 1, lo_a)
+            b_hi[act] = np.where(below, b_hi[act], mid)
+            act = act[b_lo[act] < b_hi[act]]
+        r = start + b_lo
+        # winding prefix sums are integer-valued and << 2^53, so the
+        # float64 bincount accumulation is exact
+        bot_subj += np.bincount(
+            qs, weights=(csum_s[r] - csum_s[start]).astype(np.float64),
+            minlength=nq).astype(np.int64)
+        if with_clip:
+            bot_clip += np.bincount(
+                qs, weights=(csum_c[r] - csum_c[start]).astype(np.float64),
+                minlength=nq).astype(np.int64)
     return bot_subj, bot_clip
 
 
