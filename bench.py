@@ -30,10 +30,18 @@ def _init_ray(num_cpus: int):
     import logging
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     # spin up the worker pool before timing anything: cluster provisioning
-    # is not pipeline throughput
+    # is not pipeline throughput — and pre-import the library + pandas on
+    # every worker so the first timed query doesn't pay 32 cold imports
     import ray.data
+
+    def _warm(b):
+        import pandas  # noqa: F401
+        import ioverlay_ray.pipelines.relational  # noqa: F401
+        import ioverlay_ray.geometry.kernel  # noqa: F401
+        return b
+
     ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2) \
-        .map_batches(lambda b: b).materialize()
+        .map_batches(_warm).materialize()
 
 
 def run_flagship(n_images: int, concurrency=None) -> dict:

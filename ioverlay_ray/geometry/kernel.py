@@ -404,7 +404,7 @@ def _middle_cross(t, o, radius):
 # ---------------------------------------------------------------------------
 
 PAIR_BLOCK = 4_000_000  # max candidate pairs materialized at once
-_TREE_LEAF = 16         # query columns per segment-tree leaf (sweep-tuned)
+_TREE_LEAF = 32         # query columns per segment-tree leaf (sweep-tuned)
 
 
 def _pair_blocks_1d(segs: Segments, members: np.ndarray, bmin=None,
