@@ -1039,7 +1039,7 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
         qs_idx = np.argsort(q_col, kind="stable")
         cumr = np.concatenate(([0], np.cumsum(pcr)))
         totr = int(cumr[-1])
-        CH = 1 << 22
+        CH = 1 << 21
         r0 = 0
         nr = len(rs)
         while r0 < nr:
@@ -1309,7 +1309,7 @@ def _pair_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     cum = np.concatenate(([0], np.cumsum(pc)))
     qs_idx = np.argsort(q_col, kind="stable")
     n = len(segs)
-    CH = 1 << 22                         # pairs per chunk (memory bound)
+    CH = 1 << 21                         # pairs per chunk; 16MB int64 temps
     s0 = 0
     while s0 < n:
         s1 = min(n, max(s0 + 1,
