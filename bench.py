@@ -187,7 +187,9 @@ def scaling_worker(num_cpus: int, n_images: int) -> dict:
 def scaling(sf_dir: str, n_images: int) -> dict:
     """Same job at two parallelism levels in fresh processes (the
     in-sandbox stand-in for N- vs 4N-node clusters, BASELINE.md)."""
-    n_images = int(os.environ.get("GRAFT_SCALING_IMAGES", "131072"))
+    # sized so the 32-cpu leg runs ~8-10 s: short legs hide the linear
+    # region under Ray's fixed per-stage overheads (~0.5-1 s)
+    n_images = int(os.environ.get("GRAFT_SCALING_IMAGES", "262144"))
     lo = int(os.environ.get("GRAFT_SCALING_CPUS", "8"))
     hi = lo * 4
     total = os.cpu_count() or hi
