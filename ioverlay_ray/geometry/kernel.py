@@ -998,21 +998,25 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     q_col = np.searchsorted(X, qmx_all)
     Qp = np.concatenate(([0], np.cumsum(
         np.bincount(q_col, minlength=ncols)))).astype(np.int64)
+    rem_budget = max(8_000_000, 8 * (len(segs) + nq))
     L = _TREE_LEAF
-    lf_lo = (lo_c + L - 1) // L
-    lf_hi = hi_c // L
-    full = lf_hi > lf_lo
-    # full segments: left remnant up to the first full leaf; non-full
-    # segments: the WHOLE span is remnant
-    a_end = np.where(full, lf_lo * L, hi_c)
-    rem1 = Qp[a_end] - Qp[lo_c]
-    rem2 = np.where(full, Qp[hi_c] - Qp[np.maximum(lf_hi * L, lo_c)], 0)
-    if int(rem1.sum() + rem2.sum()) > max(8_000_000,
-                                          8 * (len(segs) + nq)):
-        L = 1
-        lf_lo = lo_c
-        lf_hi = hi_c
+    while True:
+        lf_lo = (lo_c + L - 1) // L
+        lf_hi = hi_c // L
         full = lf_hi > lf_lo
+        # full segments: left remnant up to the first full leaf;
+        # non-full segments: the WHOLE span is remnant
+        a_end = np.where(full, lf_lo * L, hi_c)
+        rem1 = Qp[a_end] - Qp[lo_c]
+        rem2 = np.where(full, Qp[hi_c] - Qp[np.maximum(lf_hi * L, lo_c)],
+                        0)
+        if L == 1 or int(rem1.sum() + rem2.sum()) <= rem_budget:
+            break
+        # halve rather than jump to 1: dense scenes (spiral 131k) fit
+        # the budget at L=8 and the coarse tree is ~25% faster than
+        # the full-depth tree
+        L >>= 1
+    if L == 1:
         rem1 = np.zeros(len(segs), np.int64)
         rem2 = rem1
 
@@ -1217,10 +1221,12 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     csum_c = np.concatenate(([0], np.cumsum(segs.clip[seg_s]))) \
         if with_clip else None
 
-    ax_s = segs.ax[seg_s]
-    ay_s = segs.ay[seg_s]
     ux_s = ux[seg_s]
     uy_s = uy[seg_s]
+    # per-entry cross constant: below-test is ux*(qy-2ay) - uy*(qx-2ax)
+    # = ux*qy - uy*qx - C with C = 2*(ay*ux - ax*uy); |c| <= 2^29
+    # keeps every term under 2^61, so no overflow
+    c_s = 2 * (segs.ay[seg_s] * ux_s - segs.ax[seg_s] * uy_s)
     leaf = q_col // L + N
     levels = int(N).bit_length()
     # collect ALL (query, ancestor-node) hits first (one cheap
@@ -1255,9 +1261,7 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
             lo_a = b_lo[act]
             mid = (lo_a + b_hi[act]) >> 1
             t = start[act] + mid
-            cr = ux_s[t] * (qy[act] - 2 * ay_s[t]) - \
-                uy_s[t] * (qx[act] - 2 * ax_s[t])
-            below = cr > 0
+            below = ux_s[t] * qy[act] - uy_s[t] * qx[act] > c_s[t]
             b_lo[act] = np.where(below, mid + 1, lo_a)
             b_hi[act] = np.where(below, b_hi[act], mid)
             act = act[b_lo[act] < b_hi[act]]
