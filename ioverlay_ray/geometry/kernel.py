@@ -468,16 +468,20 @@ def _candidate_pair_blocks(segs: Segments):
     ymin = np.minimum(segs.ay, segs.by)
     ymax = np.maximum(segs.ay, segs.by)
     use_bands = False
-    if n > 4096:
+    flat_pairs = 0
+    if n > 512:
         # estimate flat x-window pair count; band when it explodes
         j_end = np.searchsorted(segs.ax, segs.bx, side="right")
         flat_pairs = int(np.maximum(
             j_end - np.arange(1, n + 1), 0).sum())
-        use_bands = flat_pairs > max(4 * n, 1 << 22)
+        # dense-crossing scenes (grids) blow the flat window even at
+        # modest n: band when the window is >>n, not only at huge n
+        use_bands = flat_pairs > max(32 * n, 1 << 16)
     if use_bands:
         y0 = int(ymin.min())
         y1 = int(ymax.max())
-        B = min(512, max(2, n // 2048))
+        # aim for ~8n pairs per band-pass; replication still capped 4n
+        B = min(512, max(2, flat_pairs // (8 * n)))
         while B > 1:
             h = max(1, (y1 - y0 + B) // B)
             bmin = (ymin - y0) // h
