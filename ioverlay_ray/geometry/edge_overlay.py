@@ -176,7 +176,7 @@ def split_segments_with_data(segs: Segments, data, ops: EdgeDataOps,
     for _ in range(max_rounds):
         radius = 1 << exp
         m_idx, m_px, m_py, any_round = _find_marks(segs, radius)
-        if not m_idx:
+        if len(m_idx) == 0:
             return segs, data
         segs, data = _apply_marks_with_data(segs, data, m_idx, m_px, m_py,
                                             ops)

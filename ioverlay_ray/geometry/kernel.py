@@ -549,11 +549,20 @@ def _candidate_pairs(segs: Segments):
             np.concatenate([b[1] for b in blocks]))
 
 
+def _cat_marks(parts) -> np.ndarray:
+    """Concatenate mark-array parts appended by _classify_pairs."""
+    if not parts:
+        return np.zeros(0, np.int64)
+    if len(parts) == 1:
+        return np.asarray(parts[0], np.int64)
+    return np.concatenate(parts)
+
+
 def _find_marks(segs: Segments, radius: int):
     """Classify all candidate pairs; return split marks and whether any
     rounding occurred (split/solver.rs:82-156).
 
-    Marks are (seg_index, px, py) triples. Pairs are consumed in
+    Marks are (seg_index, px, py) int64 arrays. Pairs are consumed in
     bounded-memory blocks (_candidate_pair_blocks).
     """
     m_idx: list = []
@@ -563,7 +572,7 @@ def _find_marks(segs: Segments, radius: int):
     for ii, jj in _candidate_pair_blocks(segs):
         r = _classify_pairs(segs, ii, jj, radius, m_idx, m_px, m_py)
         any_round |= r
-    return m_idx, m_px, m_py, any_round
+    return _cat_marks(m_idx), _cat_marks(m_px), _cat_marks(m_py), any_round
 
 
 def _classify_pairs(segs: Segments, ii, jj, radius: int,
@@ -598,9 +607,9 @@ def _classify_pairs(segs: Segments, ii, jj, radius: int,
         ):
             sel = w[zero_d[w] == 0]
             if len(sel):
-                m_idx.extend(idx_arr[sel].tolist())
-                m_px.extend(pxa[sel].tolist())
-                m_py.extend(pya[sel].tolist())
+                m_idx.append(idx_arr[sel])
+                m_px.append(pxa[sel])
+                m_py.append(pya[sel])
 
     # --- collinear overlay (split/cross_solver.rs:137-162) ---
     if overlay.any():
@@ -627,9 +636,9 @@ def _classify_pairs(segs: Segments, ii, jj, radius: int,
         ):
             sel = np.flatnonzero(mask)
             if len(sel):
-                m_idx.extend(idx_arr[sel].tolist())
-                m_px.extend(pxa[sel].tolist())
-                m_py.extend(pya[sel].tolist())
+                m_idx.append(idx_arr[sel])
+                m_px.append(pxa[sel])
+                m_py.append(pya[sel])
 
     # --- z == 0 strict middle cross: exact rational point + snapping ---
     mid = (~skip) & (z == 0)
@@ -643,24 +652,24 @@ def _classify_pairs(segs: Segments, ii, jj, radius: int,
         pure = code == 0
         if pure.any():
             s = np.flatnonzero(pure)
-            m_idx.extend(ii[w[s]].tolist())
-            m_px.extend(px[s].tolist())
-            m_py.extend(py[s].tolist())
-            m_idx.extend(jj[w[s]].tolist())
-            m_px.extend(px[s].tolist())
-            m_py.extend(py[s].tolist())
+            m_idx.append(ii[w[s]])
+            m_px.append(px[s])
+            m_py.append(py[s])
+            m_idx.append(jj[w[s]])
+            m_px.append(px[s])
+            m_py.append(py[s])
         te = code == 1
         if te.any():
             s = np.flatnonzero(te)
-            m_idx.extend(jj[w[s]].tolist())
-            m_px.extend(px[s].tolist())
-            m_py.extend(py[s].tolist())
+            m_idx.append(jj[w[s]])
+            m_px.append(px[s])
+            m_py.append(py[s])
         oe = code == 2
         if oe.any():
             s = np.flatnonzero(oe)
-            m_idx.extend(ii[w[s]].tolist())
-            m_px.extend(px[s].tolist())
-            m_py.extend(py[s].tolist())
+            m_idx.append(ii[w[s]])
+            m_px.append(px[s])
+            m_py.append(py[s])
 
     return any_round
 
@@ -929,7 +938,7 @@ def split_segments(segs: Segments, precision_start: int = 0,
     for _ in range(max_rounds):
         radius = 1 << exp
         m_idx, m_px, m_py, any_round = _find_marks(segs, radius)
-        if not m_idx:
+        if len(m_idx) == 0:
             return segs
         segs = _apply_marks(segs, m_idx, m_px, m_py, string_clip)
         exp = min(60, exp + precision_progression)

@@ -44,7 +44,8 @@ import numpy as np
 
 from .extract import join_holes, _left_bottom_segment
 from .kernel import (FILL_RULE_NAMES, RULE_NAMES, Segments,
-                     _apply_marks, _candidate_pair_blocks, _classify_pairs,
+                     _apply_marks, _candidate_pair_blocks, _cat_marks,
+                     _classify_pairs,
                      bottom_windings, build_segments, is_fill_top,
                      rule_include_mask, sort_merge)
 
@@ -112,10 +113,11 @@ def _find_marks_binned(segs: Segments, radius: int, strip_w: int):
             r = _classify_pairs(loc, ii, jj, radius, lm_idx, lm_px, lm_py)
             any_round |= r
         if lm_idx:
-            m_idx.extend(idx[np.asarray(lm_idx, np.int64)].tolist())
-            m_px.extend(lm_px)
-            m_py.extend(lm_py)
-    return m_idx, m_px, m_py, any_round
+            m_idx.append(idx[_cat_marks(lm_idx)])
+            m_px.append(_cat_marks(lm_px))
+            m_py.append(_cat_marks(lm_py))
+    return (_cat_marks(m_idx), _cat_marks(m_px), _cat_marks(m_py),
+            any_round)
 
 
 def binned_split(segs: Segments, strip_w: int = DEFAULT_STRIP_W,
@@ -131,7 +133,7 @@ def binned_split(segs: Segments, strip_w: int = DEFAULT_STRIP_W,
         radius = 1 << exp
         m_idx, m_px, m_py, any_round = _find_marks_binned(
             segs, radius, strip_w)
-        if not m_idx:
+        if len(m_idx) == 0:
             return segs
         segs = _apply_marks(segs, m_idx, m_px, m_py)
         exp = min(60, exp + 1)

@@ -39,7 +39,7 @@ import ray.data
 
 from ..geometry.kernel import (FILL_RULE_NAMES, RULE_NAMES, Segments,
                                _apply_marks, _candidate_pair_blocks,
-                               _classify_pairs, build_segments,
+                               _cat_marks, _classify_pairs, build_segments,
                                fills_from_windings, is_fill_top,
                                rule_include_mask)
 from ..geometry.tiled import (bind_tags, bottom_windings_subset,
@@ -100,14 +100,14 @@ def _bin_marks(radius: int):
             return pa.table({c: pa.array([], pa.int64()) for c in
                              ("ax", "ay", "bx", "by", "px", "py",
                               "is_round")})
-        mi = np.asarray(m_idx, np.int64)
+        mi = _cat_marks(m_idx)
         return pa.table({
             "ax": pa.array(segs.ax[mi], pa.int64()),
             "ay": pa.array(segs.ay[mi], pa.int64()),
             "bx": pa.array(segs.bx[mi], pa.int64()),
             "by": pa.array(segs.by[mi], pa.int64()),
-            "px": pa.array(m_px, pa.int64()),
-            "py": pa.array(m_py, pa.int64()),
+            "px": pa.array(_cat_marks(m_px), pa.int64()),
+            "py": pa.array(_cat_marks(m_py), pa.int64()),
             "is_round": pa.array([int(any_round)] * len(mi), pa.int64()),
         })
     return fn
