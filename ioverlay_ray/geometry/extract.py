@@ -36,18 +36,25 @@ def _is_clockwise(p0: Point, p1: Point, p2: Point) -> bool:
 
 
 class Links:
-    """Filtered link table: point pairs + node ids + fill (core/link.rs)."""
+    """Filtered link table: point pairs + node ids + fill (core/link.rs).
 
-    __slots__ = ("a", "b", "a_id", "b_id", "fill", "_nodes",
+    Backed by numpy arrays when built by build_links; the Python
+    tuple-list views (a, b, fill, a_id, b_id) used by the sequential
+    walks are materialized LAZILY — fully-vectorized extractions
+    (pure-cycle plans, stats) never pay for them."""
+
+    __slots__ = ("_a", "_b", "_a_id", "_b_id", "_fill", "_n", "_nodes",
                  "_node_arrays", "_np", "_np_ids", "_np_fill",
                  "pair_cw", "pair_ccw")
 
-    def __init__(self, a: List[Point], b: List[Point], fill: List[int]):
-        self.a = a
-        self.b = b
-        self.fill = fill
-        self.a_id = [0] * len(a)
-        self.b_id = [0] * len(a)
+    def __init__(self, a: List[Point] | None, b: List[Point] | None,
+                 fill: List[int] | None, n: int | None = None):
+        self._a = a
+        self._b = b
+        self._fill = fill
+        self._n = len(a) if n is None else n
+        self._a_id = [0] * self._n if a is not None else None
+        self._b_id = [0] * self._n if a is not None else None
         self._nodes: List[List[int]] | None = []
         self._node_arrays = None  # (n_nodes, bounds, link_sorted)
         self._np = None  # (ax, ay, bx, by) int64 arrays when available
@@ -57,7 +64,49 @@ class Links:
         self.pair_ccw = None
 
     def __len__(self):
-        return len(self.a)
+        return self._n
+
+    @property
+    def a(self) -> List[Point]:
+        if self._a is None:
+            ax, ay, _, _ = self._np
+            self._a = list(zip(ax.tolist(), ay.tolist()))
+        return self._a
+
+    @property
+    def b(self) -> List[Point]:
+        if self._b is None:
+            _, _, bx, by = self._np
+            self._b = list(zip(bx.tolist(), by.tolist()))
+        return self._b
+
+    @property
+    def fill(self) -> List[int]:
+        if self._fill is None:
+            self._fill = self._np_fill.tolist()
+        return self._fill
+
+    @property
+    def a_id(self) -> List[int]:
+        if self._a_id is None:
+            self._a_id = self._np_ids[0].tolist() if self._np_ids \
+                else [0] * self._n
+        return self._a_id
+
+    @a_id.setter
+    def a_id(self, value) -> None:
+        self._a_id = value
+
+    @property
+    def b_id(self) -> List[int]:
+        if self._b_id is None:
+            self._b_id = self._np_ids[1].tolist() if self._np_ids \
+                else [0] * self._n
+        return self._b_id
+
+    @b_id.setter
+    def b_id(self, value) -> None:
+        self._b_id = value
 
     @property
     def nodes(self) -> List[List[int]]:
@@ -78,9 +127,7 @@ class Links:
 
 def build_links(segs: Segments, fills: np.ndarray, mask: np.ndarray) -> Links:
     idx = np.flatnonzero(mask)
-    a = list(zip(segs.ax[idx].tolist(), segs.ay[idx].tolist()))
-    b = list(zip(segs.bx[idx].tolist(), segs.by[idx].tolist()))
-    links = Links(a, b, fills[idx].tolist())
+    links = Links(None, None, None, n=len(idx))
     links._np = (segs.ax[idx], segs.ay[idx], segs.bx[idx], segs.by[idx])
     links._np_fill = fills[idx]
     return links
@@ -113,8 +160,8 @@ def connect_nodes(links: Links) -> None:
     uniq, inv = np.unique(keys, return_inverse=True)
     a_id = inv[:n]
     b_id = inv[n:]
-    links.a_id = a_id.tolist()
-    links.b_id = b_id.tolist()
+    links._a_id = None   # lazy: materialized from _np_ids on demand
+    links._b_id = None
     # group (node, side, link) with a-side first, stable by link index
     side = np.concatenate((np.zeros(n, np.int8), np.ones(n, np.int8)))
     link = np.concatenate((np.arange(n), np.arange(n)))
