@@ -138,3 +138,44 @@ def test_cancellation_steep_segments(seed):
     segs = _split_of(subj)
     if len(segs):
         _check_both(segs, seed)
+
+
+def test_packed_integral_key_fast_path():
+    """LinesNet-scale rectilinear scene large enough that _stab_windings
+    takes the column-prefix fast path, whose keys are all exactly
+    integral: the packed single-int64-key sort branch must run (no
+    lexsort) and agree with the exact brute force on sampled queries."""
+    import ioverlay_ray.geometry.kernel as K
+    n = 112
+    half = 2
+    subj = [[(0, i * 10 - half), (n * 10, i * 10 - half),
+             (n * 10, i * 10 + half), (0, i * 10 + half)]
+            for i in range(n)]
+    clip = [[(j * 10 - half, 0), (j * 10 + half, 0),
+             (j * 10 + half, n * 10), (j * 10 - half, n * 10)]
+            for j in range(n)]
+    segs = _split_of(subj, clip)
+    assert len(segs) > 20_000
+    mx = segs.ax + segs.bx
+    my = segs.ay + segs.by
+    q_pos = np.arange(len(segs))
+
+    lex_calls = []
+    orig_lexsort = np.lexsort
+
+    def spy(*a, **k):
+        lex_calls.append(1)
+        return orig_lexsort(*a, **k)
+
+    np.lexsort = spy
+    try:
+        bs, bc = _stab_windings(segs, mx, my, q_pos)
+    finally:
+        np.lexsort = orig_lexsort
+    assert not lex_calls, "expected the packed integral-key sort branch"
+
+    rng = np.random.default_rng(0)
+    sample = np.sort(rng.choice(len(segs), size=48, replace=False))
+    want_s, want_c = _brute(segs, mx, my, sample)
+    np.testing.assert_array_equal(bs[sample], want_s)
+    np.testing.assert_array_equal(bc[sample], want_c)
