@@ -381,13 +381,100 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
             nxt = nxt[alive]
         cur = nxt
         k += 1
-    if not groups:
+
+    # edges still alive after the cap lie on pure cycles LONGER than
+    # the cap (long pure chains died through the alive filter or die
+    # in the doubling below): rank them by pointer doubling —
+    # O(E log E) total instead of the stepping loop's O(sum L^2).
+    long_cycles = []   # (L, starts[1], hole[1], P, M)
+    if len(orig) and _PURE_CYCLE_CAP > 0:
+        n2 = 2 * n
+        rounds = max(1, int(n2).bit_length())
+        jump = succ.copy()
+        mn_l = np.where(succ >= 0, np.arange(n2, dtype=np.int64) >> 1,
+                        np.int64(1) << 62)
+        for _ in range(rounds):
+            v = np.flatnonzero(jump >= 0)
+            if not len(v):
+                break
+            t = jump[v]
+            mn_l[v] = np.minimum(mn_l[v], mn_l[t])
+            jump[v] = jump[t]
+        on_cycle = jump >= 0     # tails hit a -1 within 2^rounds steps
+        if on_cycle.any():
+            keys, cnts = np.unique(mn_l[on_cycle], return_counts=True)
+            lens = cnts >> 1     # each physical cycle = 2 orientations
+            sel = lens > _PURE_CYCLE_CAP
+            keys = keys[sel]
+            lens = lens[sel]
+        else:
+            keys = np.zeros(0, np.int64)
+            lens = keys
+        if len(keys):
+            starts_l = keys
+            va = a_id[starts_l]
+            i0 = link_sorted[bounds[va]]
+            i1 = link_sorted[bounds[va] + 1]
+            crs = (bx[i0] - ax[i0]) * (by[i1] - ay[i0]) - \
+                (by[i0] - ay[i0]) * (bx[i1] - ax[i0])
+            left = np.where(crs < 0, i0, i1)
+            hole_l = _is_fill_top_arr(fills[left], rule)
+            direction = hole_l == clockwise
+            d0 = 2 * left + np.where(direction, 0, 1)
+            # break each CHOSEN orientation's cycle just before d0 and
+            # measure distance-to-break by doubling; the reverse
+            # orientation stays unbroken and never reaches a -1
+            pred = np.full(n2, -1, dtype=np.int64)
+            sv = np.flatnonzero(succ >= 0)
+            pred[succ[sv]] = sv
+            jump2 = succ.copy()
+            jump2[pred[d0]] = -1
+            dist = np.ones(n2, dtype=np.int64)
+            for _ in range(rounds):
+                v = np.flatnonzero(jump2 >= 0)
+                if not len(v):
+                    break
+                t = jump2[v]
+                dist[v] += dist[t]
+                jump2[v] = jump2[t]
+            reached = on_cycle & (jump2 == -1)
+            red = np.flatnonzero(reached)
+            rk = mn_l[red]
+            o2 = np.argsort(rk, kind="stable")
+            red = red[o2]
+            rk = rk[o2]
+            bnd = np.flatnonzero(np.concatenate(([True],
+                                                 rk[1:] != rk[:-1])))
+            ends = np.concatenate((bnd, [len(red)]))
+            run_key = rk[bnd]
+            pos_of = np.searchsorted(run_key, starts_l)
+            for t_i in range(len(starts_l)):
+                p = pos_of[t_i]
+                if p >= len(run_key) or run_key[p] != starts_l[t_i]:
+                    continue    # leave to the sequential walk
+                eds = red[bnd[p]:ends[p + 1]]
+                L = int(lens[t_i])
+                if len(eds) != L:
+                    continue    # inconsistent: sequential walk handles
+                rank = L - dist[eds]
+                ll = eds >> 1
+                oo = eds & 1
+                P = np.empty((1, L, 2), dtype=np.int64)
+                M = np.empty((1, L), dtype=np.int64)
+                P[0, rank, 0] = np.where(oo == 1, ax[ll], bx[ll])
+                P[0, rank, 1] = np.where(oo == 1, ay[ll], by[ll])
+                M[0, rank] = ll
+                long_cycles.append((L, starts_l[t_i:t_i + 1],
+                                    hole_l[t_i:t_i + 1], P, M))
+
+    if not groups and not long_cycles:
         return None
 
     all_starts = []
     all_holes = []
     all_points = []
     visited_init = np.zeros(n, dtype=np.uint8)
+    pending = []
     for L, edges in groups:
         # min link id per cycle = discovery key
         cur = edges
@@ -420,6 +507,45 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
             P[:, step, 0] = np.where(o == 1, ax[l], bx[l])
             P[:, step, 1] = np.where(o == 1, ay[l], by[l])
             M[:, step] = l
+        pending.append((L, starts, hole, P, M))
+
+    # long cycles: simplify in-plan (the walk would run validate_contour
+    # on the same cyclic sequence; simultaneous zero-cross removal per
+    # sweep is exactly simplify_contour, vectorized), mark visited
+    # either way — the walk marks traversed links even for contours it
+    # then rejects
+    for L, starts, hole, P, M in long_cycles:
+        visited_init[M.reshape(-1)] = np.uint8(
+            HOLE_VISITED if hole[0] else HULL_VISITED)
+        ring = P[0]
+        if not preserve_collinear:
+            while len(ring) >= 3:
+                Pm = np.roll(ring, 1, axis=0)
+                Pp = np.roll(ring, -1, axis=0)
+                cr = (ring[:, 0] - Pm[:, 0]) * (Pp[:, 1] - Pm[:, 1]) \
+                    - (ring[:, 1] - Pm[:, 1]) * (Pp[:, 0] - Pm[:, 0])
+                z = cr == 0
+                if not z.any():
+                    break
+                ring = ring[~z]
+        if len(ring) < 3:
+            continue
+        if min_area:
+            x0 = ring[:, 0]
+            y0 = ring[:, 1]
+            a2 = int((x0 * np.roll(ring[:, 1], -1)
+                      - np.roll(ring[:, 0], -1) * y0).sum())
+            if (abs(a2) >> 1) < min_area:
+                continue
+        all_starts.append(starts)
+        all_holes.append(hole)
+        if materialize:
+            all_points.append([tuple(p) for p in ring.tolist()])
+        else:
+            all_points.append(ring[None, :, :])
+
+    for L, starts, hole, P, M in pending:
+        m = len(starts)
         # validity: no degenerate vertices (unless preserved), area bar
         ok = np.ones(m, dtype=bool)
         if not preserve_collinear:

@@ -204,3 +204,58 @@ def test_ogc_pure_cycle_plan_matches_sequential_walk():
     finally:
         E._PURE_CYCLE_CAP = cap
         E._PURE_PLAN_MIN_LINKS = gate
+
+
+def test_long_cycle_plan_matches_sequential_walk():
+    # cycles LONGER than _PURE_CYCLE_CAP take the pointer-doubling
+    # path; output must be BIT-IDENTICAL to the sequential walk,
+    # including in-plan simplification of collinear runs and holes
+    import ioverlay_ray.geometry.extract as E
+    from ioverlay_ray.geometry.overlay import overlay
+
+    rng = np.random.default_rng(4242)
+
+    def big_ring(cx, cy, r, k, ccw=True, collinear_runs=False):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        pts = []
+        for a in ang:
+            pts.append((int(cx + r * np.cos(a)), int(cy + r * np.sin(a))))
+        pts = list(dict.fromkeys(pts))
+        if collinear_runs:
+            # inject midpoints of some edges: exact collinear vertices
+            out = []
+            for i, p in enumerate(pts):
+                out.append(p)
+                q = pts[(i + 1) % len(pts)]
+                if i % 3 == 0 and (p[0] + q[0]) % 2 == 0 \
+                        and (p[1] + q[1]) % 2 == 0:
+                    out.append(((p[0] + q[0]) // 2, (p[1] + q[1]) // 2))
+            pts = out
+        if not ccw:
+            pts = pts[::-1]
+        return pts
+
+    scenes = [
+        # single huge contour, no simplification needed
+        ([big_ring(0, 0, 500_000, 800)], []),
+        # huge contour with collinear midpoints (plan must simplify)
+        ([big_ring(0, 0, 400_000, 500, collinear_runs=True)], []),
+        # hull + long-cycle hole
+        ([big_ring(0, 0, 600_000, 700),
+          big_ring(0, 0, 200_000, 400, ccw=False)], []),
+    ]
+    cap = E._PURE_CYCLE_CAP
+    gate = E._PURE_PLAN_MIN_LINKS
+    try:
+        E._PURE_PLAN_MIN_LINKS = 8
+        for subj, clip in scenes:
+            for rule in ("subject", "union"):
+                E._PURE_CYCLE_CAP = 96
+                with_plan = overlay(subj, clip, rule)
+                E._PURE_CYCLE_CAP = 0   # force the sequential walk
+                sequential = overlay(subj, clip, rule)
+                assert with_plan == sequential, rule
+                assert len(with_plan) >= 1
+    finally:
+        E._PURE_CYCLE_CAP = cap
+        E._PURE_PLAN_MIN_LINKS = gate
