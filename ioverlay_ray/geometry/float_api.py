@@ -85,9 +85,18 @@ class FloatPointAdapter:
         return (p[0] * self.inv_scale + self.offset_x,
                 p[1] * self.inv_scale + self.offset_y)
 
+    def to_float_contour(self, contour) -> list:
+        import numpy as np
+        if len(contour) < 16:
+            return [self.to_float_point(p) for p in contour]
+        a = np.asarray(contour, dtype=np.float64)
+        xs = a[:, 0] * self.inv_scale + self.offset_x
+        ys = a[:, 1] * self.inv_scale + self.offset_y
+        return list(zip(xs.tolist(), ys.tolist()))
+
     def to_float_shapes(self, shapes) -> list:
-        return [[[self.to_float_point(p) for p in contour]
-                 for contour in shape] for shape in shapes]
+        return [[self.to_float_contour(contour) for contour in shape]
+                for shape in shapes]
 
 
 def _clean_float_contour(pts: list, despike_only: bool) -> list:
@@ -137,6 +146,30 @@ def _clean_float_contour(pts: list, despike_only: bool) -> list:
     return pts
 
 
+def _contour_is_clean(contour: list, despike_only: bool) -> bool:
+    """Vectorized precheck: True when _clean_float_contour would be a
+    no-op (no adjacent duplicates, no degenerate cyclic triples) — the
+    common case, so the stack loop is skipped entirely."""
+    import numpy as np
+    a = np.asarray(contour, dtype=np.float64)
+    x = a[:, 0]
+    y = a[:, 1]
+    xn = np.roll(x, -1)
+    yn = np.roll(y, -1)
+    if ((x == xn) & (y == yn)).any():
+        return False
+    xp = np.roll(x, 1)
+    yp = np.roll(y, 1)
+    cr = (x - xp) * (yn - yp) - (y - yp) * (xn - xp)
+    z = cr == 0.0
+    if not z.any():
+        return True
+    if not despike_only:
+        return False
+    dot = (x - xp) * (xn - x) + (y - yp) * (yn - y)
+    return not (z & (dot < 0.0)).any()
+
+
 def clean_float_shapes(shapes: List[list], preserve_collinear: bool
                        ) -> List[list]:
     """Apply clean_result to dequantized shapes; drops contours that
@@ -145,6 +178,10 @@ def clean_float_shapes(shapes: List[list], preserve_collinear: bool
     for shape in shapes:
         cleaned = []
         for k, contour in enumerate(shape):
+            if len(contour) >= 16 and _contour_is_clean(
+                    contour, preserve_collinear):
+                cleaned.append(list(contour))
+                continue
             c = _clean_float_contour(list(contour), preserve_collinear)
             if len(c) >= 3:
                 cleaned.append(c)
