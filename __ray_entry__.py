@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_price_quantiles": rq.q_price_quantiles,
         "q_events_sliding": rq.q_events_sliding,
         "q_doc_dedup_exact": rq.q_doc_dedup_exact,
+        "q_doc_sample_hash": rq.q_doc_sample_hash,
+        "q_doc_sample_stratified": rq.q_doc_sample_stratified,
         "q_doc_token_stats": rq.q_doc_token_stats,
         "q_doc_quality": rq.q_doc_quality,
         "q_doc_lang": rq.q_doc_lang,
@@ -288,6 +290,57 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr_s = GREATEST(en_s, de_s, fr_s, es_s) THEN 'fr'
                         ELSE 'es' END AS pred_lang
             FROM sc
+        """,
+        "q_doc_sample_hash": """
+            SELECT doc_id,
+                   (doc_id * 2654435761) % 4294967296 % 100
+                       AS sample_bucket
+            FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 % 100 < 10
+        """,
+        "q_doc_sample_stratified": """
+            WITH lang AS (
+            WITH p AS (
+                SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
+            ), sc AS (
+                SELECT doc_id,
+                  (length(s)-length(replace(s,' the ','')))/5
+                + (length(s)-length(replace(s,' and ','')))/5
+                + (length(s)-length(replace(s,' of ','')))/4
+                + (length(s)-length(replace(s,' ing ','')))/5 AS en_s,
+                  (length(s)-length(replace(s,' der ','')))/5
+                + (length(s)-length(replace(s,' und ','')))/5
+                + (length(s)-length(replace(s,' die ','')))/5
+                + (length(s)-length(replace(s,' sch','')))/4 AS de_s,
+                  (length(s)-length(replace(s,' le ','')))/4
+                + (length(s)-length(replace(s,' les ','')))/5
+                + (length(s)-length(replace(s,' de ','')))/4
+                + (length(s)-length(replace(s,' une ','')))/5 AS fr_s,
+                  (length(s)-length(replace(s,' el ','')))/4
+                + (length(s)-length(replace(s,' los ','')))/5
+                + (length(s)-length(replace(s,' que ','')))/5
+                + (length(s)-length(replace(s,' una ','')))/5 AS es_s
+                FROM p
+            )
+            SELECT doc_id,
+                   CASE WHEN GREATEST(en_s, de_s, fr_s, es_s) = 0 THEN 'und'
+                        WHEN en_s = GREATEST(en_s, de_s, fr_s, es_s) THEN 'en'
+                        WHEN de_s = GREATEST(en_s, de_s, fr_s, es_s) THEN 'de'
+                        WHEN fr_s = GREATEST(en_s, de_s, fr_s, es_s) THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM sc
+        ),
+            ranked AS (
+                SELECT doc_id, pred_lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY pred_lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY pred_lang) AS cnt
+                FROM lang
+            )
+            SELECT doc_id, pred_lang FROM ranked
+            WHERE rn <= (cnt + 4) // 5
         """,
         "q_doc_quality": """
             SELECT doc_id,

@@ -643,3 +643,62 @@ def q_doc_minhash(sf_dir: str) -> pd.DataFrame:
     sigs["sig"] = sigs["minhash"].map(
         lambda v: ",".join(str(int(x)) for x in v))
     return sigs[["doc_id", "sig"]].sort_values("doc_id")         .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (training-data pipelines): sample membership is
+# a pure function of doc_id, so resumed / re-sharded runs keep exactly
+# the same sample and any engine (here: DuckDB oracle) reproduces it.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_MULT = 2654435761          # Knuth multiplicative hash constant
+_SAMPLE_MOD = 4294967296           # 2^32
+
+
+def _sample_hash(ids: np.ndarray) -> np.ndarray:
+    return (ids * np.int64(_SAMPLE_MULT)) % np.int64(_SAMPLE_MOD)
+
+
+def q_doc_sample_hash(sf_dir: str) -> pd.DataFrame:
+    """~10% deterministic sample of documents: keep doc when
+    hash(doc_id) % 100 < 10. Pure per-batch map — no shuffle, no
+    state; scales as a single streaming pass."""
+    ds = _read(sf_dir, "documents", ["doc_id"], num_blocks=8)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bucket = _sample_hash(ids) % 100
+        keep = bucket < 10
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "sample_bucket": pa.array(bucket[keep], pa.int64()),
+        })
+
+    out = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_sample_stratified(sf_dir: str) -> pd.DataFrame:
+    """Per-language stratified 20% sample: rank documents within their
+    predicted language by the deterministic hash (doc_id tiebreak) and
+    keep the first ceil(n/5) of each stratum. Distributed shape:
+    per-batch language ID, then ONE groupby(lang) exchange with a
+    vectorized per-group rank."""
+    from ..stages.text import lang_id
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    langs = ds.map_batches(lang_id, batch_format="pyarrow")
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["doc_id"].to_numpy(np.int64)
+        hv = _sample_hash(ids)
+        order = np.lexsort((ids, hv))
+        k = (len(ids) + 4) // 5
+        sel = np.sort(order[:k])
+        return pd.DataFrame({
+            "doc_id": ids[sel],
+            "pred_lang": group["pred_lang"].to_numpy()[sel],
+        })
+
+    out = langs.groupby("pred_lang").map_groups(pick).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
