@@ -286,12 +286,19 @@ def sort_merge(segs: Segments, string_clip: bool = False) -> Segments:
     n = len(segs)
     if n == 0:
         return segs
-    order = np.lexsort((segs.by, segs.bx, segs.ay, segs.ax))
+    # |c| <= MAX_COORD (< 2^30, enforced at the API boundary), so each
+    # biased point packs into 62 bits: one int64 key per endpoint
+    # halves the lexsort passes
+    B = np.int64(1 << 30)
+    akey = ((segs.ax + B) << np.int64(31)) | (segs.ay + B)
+    bkey = ((segs.bx + B) << np.int64(31)) | (segs.by + B)
+    order = np.lexsort((bkey, akey))
     s = segs.take(order)
     if n == 1:
         return s
-    same = ((s.ax[1:] == s.ax[:-1]) & (s.ay[1:] == s.ay[:-1]) &
-            (s.bx[1:] == s.bx[:-1]) & (s.by[1:] == s.by[:-1]))
+    ak = akey[order]
+    bk = bkey[order]
+    same = (ak[1:] == ak[:-1]) & (bk[1:] == bk[:-1])
     if not same.any():
         return s
     starts = np.flatnonzero(np.concatenate(([True], ~same)))
@@ -815,11 +822,15 @@ def _apply_marks(segs: Segments, m_idx, m_px, m_py,
     idx = np.asarray(m_idx, dtype=np.int64)
     px = np.asarray(m_px, dtype=np.int64)
     py = np.asarray(m_py, dtype=np.int64)
-    order = np.lexsort((py, px, idx))
+    # pack the (px, py) mark point into one 62-bit key (|c| < 2^30)
+    B = np.int64(1 << 30)
+    pkey = ((px + B) << np.int64(31)) | (py + B)
+    order = np.lexsort((pkey, idx))
     idx, px, py = idx[order], px[order], py[order]
+    pkey = pkey[order]
     # dedup adjacent identical (index, point)
     if len(idx) > 1:
-        dup = (idx[1:] == idx[:-1]) & (px[1:] == px[:-1]) & (py[1:] == py[:-1])
+        dup = (idx[1:] == idx[:-1]) & (pkey[1:] == pkey[:-1])
         keep = np.concatenate(([True], ~dup))
         idx, px, py = idx[keep], px[keep], py[keep]
 
