@@ -487,8 +487,9 @@ def _candidate_pair_blocks(segs: Segments):
     if use_bands:
         y0 = int(ymin.min())
         y1 = int(ymax.max())
-        # aim for ~8n pairs per band-pass; replication still capped 4n
-        B = min(512, max(2, flat_pairs // (8 * n)))
+        # start from ~2n pairs per band-pass (sweep-tuned; smaller
+        # bands win until the replication loop below caps them at 4n)
+        B = min(512, max(2, flat_pairs // (2 * n)))
         while B > 1:
             h = max(1, (y1 - y0 + B) // B)
             bmin = (ymin - y0) // h
