@@ -119,7 +119,7 @@ def q_knn_centers(sf_dir: str, k: int = 5) -> pd.DataFrame:
     through the RingKnnStage actor pool. Exact integer distances,
     deterministic tie-break by center id (same oracle as brute force)."""
     import pyarrow.parquet as pq
-    from ..stages.spatial import RingKnnStage
+    from ..stages.spatial import ring_knn_fn
 
     part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                          columns=["p_partkey", "p_size"]).to_pandas()
@@ -139,11 +139,10 @@ def q_knn_centers(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["event_id"])
     qs = ds.map_batches(to_queries, batch_format="pyarrow")
-    # 51 query points: two actors amortize the per-actor cell-index
-    # build; a wide pool would pay 8 index builds for 51 rows
-    out = qs.map_batches(RingKnnStage, batch_format="pyarrow",
-                         fn_constructor_args=(centers_ref, k, 14),
-                         concurrency=2).to_pandas()
+    # 51 query points: task-pool + per-worker cached index — no actor
+    # spin-up; repeated queries reuse each worker's index
+    out = qs.map_batches(ring_knn_fn(centers_ref, k, 14),
+                         batch_format="pyarrow").to_pandas()
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True) \
         .astype(np.int64)
 

@@ -273,3 +273,17 @@ def pip_count_fn(polys_ref, x_col: str = "px", y_col: str = "py"):
             _WORKER_CACHE[key] = st
         return st(batch)
     return fn
+
+
+def ring_knn_fn(centers_ref, k: int = 5, resolution: int = 8):
+    """Task-pool form of RingKnnStage: runs on Ray's prestarted workers
+    (no actor-pool spin-up per query); the cell index is built once per
+    worker process and cached keyed by the centers ObjectRef."""
+    def fn(batch: pa.Table) -> pa.Table:
+        key = ("ring_knn", centers_ref, k, resolution)
+        st = _WORKER_CACHE.get(key)
+        if st is None:
+            st = RingKnnStage(centers_ref, k, resolution)
+            _WORKER_CACHE[key] = st
+        return st(batch)
+    return fn
