@@ -1068,6 +1068,9 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
         qs_idx = np.argsort(q_col, kind="stable")
         cumr = np.concatenate(([0], np.cumsum(pcr)))
         totr = int(cumr[-1])
+        # below-test as ux*qy - uy*qx > C, C precomputed per segment
+        # (|c| <= 2^29 for this path keeps every term under 2^61)
+        c_seg = 2 * (segs.ay * ux - segs.ax * uy)
         CH = 1 << 21
         r0 = 0
         nr = len(rs)
@@ -1083,9 +1086,8 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
                 j = np.arange(tot, dtype=np.int64) \
                     - np.repeat(cumr[r0:r1] - cumr[r0], pcs)
                 qidx = qs_idx[np.repeat(Qp[rs[r0:r1]], pcs) + j]
-                cr = ux[srep] * (qmy_all[qidx] - 2 * segs.ay[srep]) \
-                    - uy[srep] * (qmx_all[qidx] - tax2[srep])
-                under = cr > 0
+                under = ux[srep] * qmy_all[qidx] \
+                    - uy[srep] * qmx_all[qidx] > c_seg[srep]
                 if under.any():
                     qi = qidx[under]
                     su = srep[under]
@@ -1249,8 +1251,9 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     ux_s = ux[seg_s]
     uy_s = uy[seg_s]
     # per-entry cross constant: below-test is ux*(qy-2ay) - uy*(qx-2ax)
-    # = ux*qy - uy*qx - C with C = 2*(ay*ux - ax*uy); |c| <= 2^29
-    # keeps every term under 2^61, so no overflow
+    # = ux*qy - uy*qx - C with C = 2*(ay*ux - ax*uy); |c| < 2^30 keeps
+    # both products under 2^62, their difference under 2^63 - 2 and
+    # |C| under 2^62: no overflow
     c_s = 2 * (segs.ay[seg_s] * ux_s - segs.ax[seg_s] * uy_s)
     leaf = q_col // L + N
     levels = int(N).bit_length()
@@ -1338,6 +1341,10 @@ def _pair_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     cum = np.concatenate(([0], np.cumsum(pc)))
     qs_idx = np.argsort(q_col, kind="stable")
     n = len(segs)
+    # below-test as ux*qy - uy*qx > C with C precomputed per segment;
+    # |c| < 2^30 keeps both products under 2^62, the difference under
+    # 2^63 - 2, and |C| under 2^62: no overflow
+    c_seg = 2 * (segs.ay * ux - segs.ax * uy)
     CH = 1 << 21                         # pairs per chunk; 16MB int64 temps
     s0 = 0
     while s0 < n:
@@ -1350,9 +1357,8 @@ def _pair_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
             j = np.arange(tot, dtype=np.int64) \
                 - np.repeat(cum[s0:s1] - cum[s0], pcs)
             qidx = qs_idx[np.repeat(Qp[lo[s0:s1]], pcs) + j]
-            cr = ux[srep] * (qmy_all[qidx] - 2 * segs.ay[srep]) \
-                - uy[srep] * (qmx_all[qidx] - tax2[srep])
-            under = cr > 0               # strictly below
+            under = ux[srep] * qmy_all[qidx] \
+                - uy[srep] * qmx_all[qidx] > c_seg[srep]   # strictly below
             if under.any():
                 qi = qidx[under]
                 su = srep[under]
