@@ -509,25 +509,23 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
             M[:, step] = l
         pending.append((L, starts, hole, P, M))
 
-    # long cycles: simplify in-plan (the walk would run validate_contour
-    # on the same cyclic sequence; simultaneous zero-cross removal per
-    # sweep is exactly simplify_contour, vectorized), mark visited
-    # either way — the walk marks traversed links even for contours it
-    # then rejects
+    # long cycles: only accept rings the simplification leaves UNCHANGED
+    # (mirror the short-cycle `ok` filter). A modified ring would need
+    # the walk's is_modified anchor repair (extract.rs:147-163 /
+    # extract_shapes below): _flush_pure anchors holes at points[0]/[1]
+    # of the simplified ring, so if simplification removed the
+    # traversal-start vertex the hole could bind to the wrong hull.
+    # Modified/invalid rings stay UNVISITED and fall to the sequential
+    # walk, which recomputes the anchor correctly.
     for L, starts, hole, P, M in long_cycles:
-        visited_init[M.reshape(-1)] = np.uint8(
-            HOLE_VISITED if hole[0] else HULL_VISITED)
         ring = P[0]
         if not preserve_collinear:
-            while len(ring) >= 3:
-                Pm = np.roll(ring, 1, axis=0)
-                Pp = np.roll(ring, -1, axis=0)
-                cr = (ring[:, 0] - Pm[:, 0]) * (Pp[:, 1] - Pm[:, 1]) \
-                    - (ring[:, 1] - Pm[:, 1]) * (Pp[:, 0] - Pm[:, 0])
-                z = cr == 0
-                if not z.any():
-                    break
-                ring = ring[~z]
+            Pm = np.roll(ring, 1, axis=0)
+            Pp = np.roll(ring, -1, axis=0)
+            cr = (ring[:, 0] - Pm[:, 0]) * (Pp[:, 1] - Pm[:, 1]) \
+                - (ring[:, 1] - Pm[:, 1]) * (Pp[:, 0] - Pm[:, 0])
+            if (cr == 0).any():
+                continue    # modified → sequential walk handles it
         if len(ring) < 3:
             continue
         if min_area:
@@ -537,6 +535,8 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
                       - np.roll(ring[:, 0], -1) * y0).sum())
             if (abs(a2) >> 1) < min_area:
                 continue
+        visited_init[M.reshape(-1)] = np.uint8(
+            HOLE_VISITED if hole[0] else HULL_VISITED)
         all_starts.append(starts)
         all_holes.append(hole)
         if materialize:

@@ -1504,7 +1504,8 @@ def _stab_windings(segs: Segments, mx, my, q_pos, block: int = 256,
             c_all = np.concatenate((segs.clip[g], np.zeros(nq, np.int64))) \
                 if with_clip else None
             if not errb.any() and y_max < 2.0 ** 30 \
-                    and len(X) < (1 << 29):
+                    and len(X) < (1 << 29) \
+                    and (nq == 0 or np.abs(qmy_all).max() < (1 << 31)):
                 # every key exactly integral (rectilinear scenes:
                 # uy == 0 or the query column is the segment start):
                 # pack (col, doubled-y, tag) into one int64 and replace

@@ -656,7 +656,11 @@ _SAMPLE_MOD = 4294967296           # 2^32
 
 
 def _sample_hash(ids: np.ndarray) -> np.ndarray:
-    return (ids * np.int64(_SAMPLE_MULT)) % np.int64(_SAMPLE_MOD)
+    # uint64 arithmetic: int64 would silently wrap for id >= ~3.47e9
+    # while the DuckDB oracle computes exactly, diverging membership.
+    h = (ids.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) \
+        % np.uint64(_SAMPLE_MOD)
+    return h.astype(np.int64)
 
 
 def q_doc_sample_hash(sf_dir: str) -> pd.DataFrame:

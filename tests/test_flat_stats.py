@@ -243,6 +243,13 @@ def test_long_cycle_plan_matches_sequential_walk():
         # hull + long-cycle hole
         ([big_ring(0, 0, 600_000, 700),
           big_ring(0, 0, 200_000, 400, ccw=False)], []),
+        # ADVICE r2: long-cycle HOLE whose ring simplification removes
+        # vertices — the plan must leave it to the sequential walk
+        # (which repairs the anchor) rather than anchor at points[0]
+        # of the simplified ring
+        ([big_ring(0, 0, 600_000, 700),
+          big_ring(0, 0, 200_000, 400, ccw=False, collinear_runs=True)],
+         []),
     ]
     cap = E._PURE_CYCLE_CAP
     gate = E._PURE_PLAN_MIN_LINKS
