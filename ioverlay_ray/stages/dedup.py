@@ -20,6 +20,20 @@ def _text_key(texts):
     return [hashlib.md5(t.encode()).hexdigest() for t in texts]
 
 
+def _mod_mersenne31(x: np.ndarray) -> np.ndarray:
+    """x mod (2^31 - 1) for 0 <= x < 2^63, via shifts (int64 idiv is
+    ~10x slower than this on the permute matrix). Mutates x."""
+    M = np.int64((1 << 31) - 1)
+    y = x & M
+    x >>= np.int64(31)
+    y += x            # < 2^32
+    x = y >> np.int64(31)
+    y &= M
+    y += x            # <= M + 1
+    y -= (y >= M) * M
+    return y
+
+
 def exact_key_stage(batch: pa.Table) -> pa.Table:
     """doc -> (content_key, doc_id) for hash-partitioned exact dedup."""
     texts = batch.column("text").to_pylist()
@@ -44,60 +58,104 @@ class MinHashStage:
 
     _P31 = (1 << 31) - 1  # Mersenne prime; 31-bit hashes keep a*h in int64
 
+    # permute+reduce runs in doc-aligned chunks of <= _PERM_CHUNK
+    # shingle occurrences: the int64 scratch stays ~16 MB (under the
+    # 32 MB malloc-reuse cap — fresh memory on this host costs ~50x a
+    # warm pass, see BASELINE.md "Host allocator finding")
+    _PERM_CHUNK = 1 << 15
+    # the shingle->hash cache saves the per-occurrence Python md5; it
+    # is capped so a 100-TB vocabulary can't grow an actor without
+    # bound (missed shingles are simply hashed again)
+    _CACHE_CAP = 4_000_000
+
     def __init__(self, num_perm: int = 64, k: int = 5, seed: int = 7):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, self._P31, size=num_perm, dtype=np.int64)
         self.b = rng.integers(0, self._P31, size=num_perm, dtype=np.int64)
         self.k = k
         self.num_perm = num_perm
-        # per-actor cache: shingle -> column in the permuted-value
-        # matrix. Real corpora repeat shingles heavily, so the md5 +
-        # permutation work per DISTINCT shingle is paid once per actor.
+        # per-actor cache: shingle -> 31-bit md5 hash (8 bytes/entry;
+        # the 64 permuted values are recomputed vectorized per batch —
+        # cheaper than gathering from a big table on this host, and no
+        # unbounded 256 B/shingle table growth)
         self._cache: dict = {}
-        self._vals = np.empty((num_perm, 0), dtype=np.int64)
+        self._mul_scratch = None
 
-    def _perm_columns(self, shingles) -> None:
-        """Hash + permute shingles not yet cached (vectorized)."""
-        new = [s for s in dict.fromkeys(shingles) if s not in self._cache]
-        if not new:
-            return
-        # 31-bit md5-based shingle hash, little-endian first 8 bytes ==
-        # DuckDB md5_number_upper & 0x7FFFFFFF (SQL-reproducible)
-        hv = np.fromiter(
-            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
-                            "little") & 0x7FFFFFFF for s in new),
-            dtype=np.int64, count=len(new))
-        # products stay < 2^62 because both factors are < 2^31
-        vals = (self.a[:, None] * hv[None, :] + self.b[:, None]) % self._P31
-        base = self._vals.shape[1]
-        self._vals = np.concatenate((self._vals, vals), axis=1)
-        for j, s in enumerate(new):
-            self._cache[s] = base + j
+    def _hash_flat(self, flat) -> np.ndarray:
+        """31-bit md5-based shingle hashes, little-endian first 8
+        bytes == DuckDB md5_number_upper & 0x7FFFFFFF
+        (SQL-reproducible); cache hits skip the md5."""
+        cache = self._cache
+        hv = np.fromiter((cache.get(s, -1) for s in flat),
+                         dtype=np.int64, count=len(flat))
+        miss = np.flatnonzero(hv < 0)
+        if len(miss):
+            md5 = hashlib.md5
+            vals = {
+                s: int.from_bytes(md5(s.encode()).digest()[:8],
+                                  "little") & 0x7FFFFFFF
+                for s in dict.fromkeys(flat[i] for i in miss)}
+            if len(cache) < self._CACHE_CAP:
+                cache.update(vals)
+            hv[miss] = np.fromiter((vals[flat[i]] for i in miss),
+                                   dtype=np.int64, count=len(miss))
+        return hv
+
+    def _sig_rows(self, hv: np.ndarray, offs: np.ndarray) -> np.ndarray:
+        """Min over each [offs[i], offs[i+1]) run of the num_perm
+        permutations of hv — doc-aligned chunks, reused scratch."""
+        ndoc = len(offs) - 1
+        out = np.empty((ndoc, self.num_perm), dtype=np.int64)
+        CH = max(self._PERM_CHUNK, int((np.diff(offs)).max()))
+        if self._mul_scratch is None \
+                or self._mul_scratch.shape[0] < min(CH, offs[-1]):
+            self._mul_scratch = np.empty(
+                (min(CH, max(offs[-1], 1)), self.num_perm), np.int64)
+        d0 = 0
+        while d0 < ndoc:
+            # greedy doc range with <= CH occurrences (>=1 doc)
+            d1 = int(np.searchsorted(offs, offs[d0] + CH, "right")) - 1
+            d1 = max(d1, d0 + 1)
+            seg = hv[offs[d0]:offs[d1]]
+            if self._mul_scratch.shape[0] < len(seg):   # one giant doc
+                self._mul_scratch = np.empty(
+                    (len(seg), self.num_perm), np.int64)
+            m = self._mul_scratch[:len(seg)]
+            # products stay < 2^62 because both factors are < 2^31
+            np.multiply(seg[:, None], self.a[None, :], out=m)
+            m += self.b[None, :]
+            y = _mod_mersenne31(m)
+            out[d0:d1] = np.minimum.reduceat(
+                y, (offs[d0:d1] - offs[d0]), axis=0)
+            d0 = d1
+        return out
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingles(text, self.k)
         if not sh:
             return np.zeros(self.num_perm, dtype=np.int64)
-        self._perm_columns(sh)
-        cols = [self._cache[s] for s in sh]
-        return self._vals[:, cols].min(axis=1)
+        hv = self._hash_flat(sh)
+        return self._sig_rows(hv, np.array([0, len(sh)]))[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         doc_sh = [_shingles(t, self.k) for t in texts]
-        self._perm_columns([s for sh in doc_sh for s in sh])
-        flat = [self._cache[s] for sh in doc_sh for s in sh]
+        flat = [s for sh in doc_sh for s in sh]
+        hv = self._hash_flat(flat)
         lens = np.array([len(sh) for sh in doc_sh], dtype=np.int64)
         sigs = np.zeros((len(texts), self.num_perm), dtype=np.int64)
         nz = np.flatnonzero(lens)
         if len(nz):
-            g = self._vals[:, flat]          # (num_perm, total)
-            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
-            mins = np.minimum.reduceat(g, offs[nz], axis=1)
-            sigs[nz] = mins.T
+            offs_nz = np.concatenate(([0], np.cumsum(lens[nz])))
+            sigs[nz] = self._sig_rows(hv, offs_nz)
+        # flat values + arange offsets: no 320k-Python-int tolist round
+        flat_vals = pa.array(sigs.reshape(-1), pa.int64())
+        offsets = pa.array(
+            np.arange(0, (len(texts) + 1) * self.num_perm, self.num_perm,
+                      dtype=np.int32))
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "minhash": pa.array(sigs.tolist(), pa.list_(pa.int64())),
+            "minhash": pa.ListArray.from_arrays(offsets, flat_vals),
         })
 
 
@@ -141,14 +199,42 @@ class LSHBandStage:
         self.rows = rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = batch.column("minhash").to_pylist()
+        import pyarrow.compute as pc
+        mh = batch.column("minhash")
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.combine_chunks()
+        n = len(mh)
+        num_perm = self.bands * self.rows
+        offs = np.asarray(mh.offsets)
+        # canonical "<band>:v,v,v,v" strings built columnwise with Arrow
+        # kernels, md5'd in one tight pass per band — keys byte-identical
+        # to the original per-row loop (DuckDB's md5 oracle reproduces)
+        if n and len(offs) == n + 1 and offs[0] == 0 \
+                and np.all(np.diff(offs) == num_perm):
+            sigs = np.asarray(mh.values).reshape(n, num_perm)
+            cols = [pc.cast(pa.array(sigs[:, j]), pa.string())
+                    for j in range(num_perm)]
+            md5 = hashlib.md5
+            keys = np.empty((n, self.bands), dtype=object)
+            for b in range(self.bands):
+                parts = cols[b * self.rows:(b + 1) * self.rows]
+                canon = pc.binary_join_element_wise(
+                    f"{b}:", pc.binary_join_element_wise(*parts, ","), "")
+                keys[:, b] = [md5(s).hexdigest()[:16]
+                              for s in canon.cast(pa.binary()).to_pylist()]
+            ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+            return pa.table({
+                "band_key": pa.array(keys.reshape(-1).tolist(),
+                                     pa.string()),
+                "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
+            })
+        # ragged/empty fallback: original per-row path
+        sigs = mh.to_pylist()
         ids = batch.column("doc_id").to_pylist()
         out_key, out_id = [], []
         for doc_id, sig in zip(ids, sigs):
             for b in range(self.bands):
                 chunk = sig[b * self.rows:(b + 1) * self.rows]
-                # canonical "<band>:v,v,v,v" form so DuckDB's md5 oracle
-                # reproduces the key exactly
                 canon = f"{b}:" + ",".join(str(int(v)) for v in chunk)
                 key = hashlib.md5(canon.encode()).hexdigest()[:16]
                 out_key.append(key)
@@ -160,28 +246,74 @@ class LSHBandStage:
 
 
 class SimHashStage:
-    """64-bit SimHash over token hashes."""
+    """64-bit SimHash over token hashes.
+
+    Stateful: token md5s are cached per actor/worker (tokens repeat
+    heavily in real corpora), and the per-doc accumulate is one
+    vectorized reduceat over the whole batch."""
+
+    def __init__(self):
+        self._cache: dict = {}
+        # per-distinct-token +-1 contribution rows. int16 so the hot
+        # path is a PLAIN reduceat — the dtype=-casting form pays a
+        # ~3 s one-time ufunc-setup cost per process.
+        self._contrib = np.empty((0, 64), dtype=np.int16)
+        self._n = 0
+        self._gather_scratch = None
+
+    def _token_rows(self, tokens) -> None:
+        new = [t for t in dict.fromkeys(tokens) if t not in self._cache]
+        if not new:
+            return
+        # little-endian first-8 bytes == DuckDB md5_number_upper
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                            "little") for t in new),
+            dtype=np.uint64, count=len(new))
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((hv[:, None] >> shifts[None, :])
+                & np.uint64(1)).astype(np.int16)
+        rows = 2 * bits - 1
+        need = self._n + len(new)
+        if need > self._contrib.shape[0]:       # capacity doubling
+            cap = max(need, 2 * self._contrib.shape[0], 1 << 15)
+            nc = np.empty((cap, 64), np.int16)
+            nc[:self._n] = self._contrib[:self._n]
+            self._contrib = nc
+        self._contrib[self._n:need] = rows
+        base = self._n
+        self._n = need
+        for j, t in enumerate(new):
+            self._cache[t] = base + j
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        shifts = np.arange(64, dtype=np.uint64)
-        out = []
-        for t in texts:
-            toks = t.split()
-            if not toks:
-                out.append(0)
-                continue
-            # little-endian first-8 bytes == DuckDB md5_number_upper
-            hv = np.array(
-                [int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
-                                "little")
-                 for tok in toks], dtype=np.uint64)
-            bits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)
-            acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            v = 0
-            for bit in (acc > 0)[::-1]:
-                v = (v << 1) | int(bit)
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        doc_toks = [t.split() for t in texts]
+        flat = [tok for toks in doc_toks for tok in toks]
+        self._token_rows(flat)
+        cache = self._cache
+        idx = np.fromiter((cache[t] for t in flat), dtype=np.int64,
+                          count=len(flat))
+        lens = np.array([len(tk) for tk in doc_toks], dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            if self._gather_scratch is None \
+                    or self._gather_scratch.shape[0] < len(idx):
+                cap = 1 << max(12, int(len(idx) - 1).bit_length())
+                self._gather_scratch = np.empty((cap, 64), np.int16)
+            contrib = self._gather_scratch[:len(idx)]
+            np.take(self._contrib, idx, axis=0, out=contrib)
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            if lens.max() < 30000:
+                acc = np.add.reduceat(contrib, offs[nz], axis=0)
+            else:   # int16 sum could overflow on a >30k-token doc
+                acc = np.add.reduceat(contrib.astype(np.int64),
+                                      offs[nz], axis=0)
+            shifts = np.arange(64, dtype=np.uint64)
+            v = ((acc > 0).astype(np.uint64)
+                 << shifts[None, :]).sum(axis=1).astype(np.uint64)
+            out[nz] = v.view(np.int64)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "simhash": pa.array(out, pa.int64()),
