@@ -301,7 +301,8 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.4,
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "sim_e3": pa.array([], pa.int64())})
-        mat = np.array(group.column("embedding").to_pylist(), np.float64)
+        from ..stages.ann import embedding_matrix
+        mat = embedding_matrix(group)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         sims = mat @ mat.T
         rows, cols = np.nonzero(np.triu(sims > threshold, k=1))

@@ -14,6 +14,31 @@ import numpy as np
 import pyarrow as pa
 
 
+def embedding_matrix(batch, col: str = "embedding") -> np.ndarray:
+    """Arrow list<float>/fixed_size_list<float> column -> (n, dim)
+    float64 matrix via a zero-copy flat-values reshape (no Python-list
+    round trip). Falls back to to_pylist only for ragged lists."""
+    arr = batch.column(col) if hasattr(batch, "column") else batch
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        flat = np.asarray(arr.values)
+        return flat.reshape(n, dim).astype(np.float64, copy=False)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        offs = np.asarray(arr.offsets)
+        strides = np.diff(offs)
+        if len(strides) and np.all(strides == strides[0]) \
+                and strides[0] > 0:
+            flat = np.asarray(arr.values)[offs[0]:offs[-1]]
+            return flat.reshape(n, int(strides[0])) \
+                .astype(np.float64, copy=False)
+    return np.array(arr.to_pylist(), dtype=np.float64)
+
+
 class CosineTopKStage:
     """batch -> partial top-k rows (query_id, vec_id, score) per query.
 
@@ -31,9 +56,8 @@ class CosineTopKStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = np.array(batch.column("embedding").to_pylist(),
-                       dtype=np.float64)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        emb = embedding_matrix(batch)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (emb / norms) @ self.qn.T          # (n, nq)
@@ -74,8 +98,7 @@ class HyperplaneLSHStage:
         self.planes = rng.standard_normal((dim, n_planes))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.array(batch.column("embedding").to_pylist(),
-                       dtype=np.float64)
+        emb = embedding_matrix(batch)
         bits = (emb @ self.planes) > 0
         bucket = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
         return pa.table({
@@ -112,9 +135,8 @@ class IVFScanStage:
             self.probes.append(set(order[:nprobe]))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = np.array(batch.column("embedding").to_pylist(),
-                       dtype=np.float64)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        emb = embedding_matrix(batch)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         en = emb / norms
