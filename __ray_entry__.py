@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 147-case golden pytest suite with variant-aware compare —
         # the golden variants are ambiguous, so no single-valued SQL)
         "q_overlay_fixture_corpus": gq.q_overlay_fixture_corpus,
+        # SQL-checked since r3: closed-form tile/pairs/footprint-area
+        # recompute + kernel-bound boolean invariants
         "q_flagship_tiles": gq.q_flagship_tiles,
         # multimodal (SQL-checked since r2: generator-recompute VALUES
         # oracles verify the encode->parquet->decode round trip)
@@ -150,6 +152,38 @@ def _ivf_cents_cte(dim: int = 64, k_lists: int = 16, seed: int = 13) -> str:
             i, ", ".join(repr(float(v)) for v in c[i]))
         for i in range(k_lists))
     return f"cents(cid, cv) AS (VALUES {rows})"
+
+
+def _flagship_tiles_oracle(n_images: int = 512, seed: int = 42) -> str:
+    """Invariant oracle for q_flagship_tiles: (w, h) per image from the
+    SAME generator as sources/synth.py make_images_table_range, tile
+    assignment and subject-footprint area recomputed closed-form in SQL
+    (stages/tile.py cell_of_bbox with resolution 4 -> cell size 2^18);
+    the boolean kernel bounds are TRUE literals the Ray side evaluates
+    against its actual intersect areas / shape counts."""
+    from ioverlay_ray.sources.synth import _rng
+    rows = []
+    for i in range(n_images):
+        rng = _rng(seed, i)
+        w = int(rng.integers(16, 64))
+        h = int(rng.integers(16, 64))
+        rows.append(f"({i}, {w}, {h})")
+    vals = ", ".join(rows)
+    return f"""
+        WITH imgs(pair_id, w, h) AS (VALUES {vals}),
+        cells AS (
+            SELECT (CAST(4 AS BIGINT) << 48)
+                 | (((((pair_id % 1024) * 4096 + (w * 16) // 2)
+                      // 262144) % 16777216) << 24)
+                 | ((((pair_id // 1024) * 4096 + (h * 16) // 2)
+                      // 262144) % 16777216) AS tile_id,
+                   2 * (w * 16) * (h * 16) AS sa
+            FROM imgs)
+        SELECT tile_id, COUNT(*) AS pairs,
+               CAST(SUM(sa) AS BIGINT) AS subj_area2,
+               TRUE AS area_ok, TRUE AS shapes_ok
+        FROM cells GROUP BY tile_id ORDER BY tile_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -840,6 +874,9 @@ def oracle_sql() -> dict[str, str]:
         # kernel-spec crossing rounding (snap-hazard images fall back
         # to the clip kernel; see media.scanline_oracle_rows)
         "q_raster_scanlines": _raster_scanlines_oracle(),
+        # flagship tiles: closed-form tile/pair/footprint recompute +
+        # kernel-bound booleans (r2 VERDICT next-round #8)
+        "q_flagship_tiles": _flagship_tiles_oracle(),
     }
 
 

@@ -291,12 +291,52 @@ def q_overlay_fixture_corpus(sf_dir: str) -> pd.DataFrame:
 
 def q_flagship_tiles(sf_dir: str, n_images: int = 512) -> pd.DataFrame:
     """Tile summary of the flagship overlay spatial join on the synthetic
-    image table (rows-only check: deterministic tile assignments)."""
+    image table, emitted as SQL-CHECKABLE invariants (r2 VERDICT #6):
+    tile assignment and pair counts are closed-form from the generator
+    (oracle recomputes them exactly), subj_area2 is the exact per-tile
+    footprint area sum, and the boolean columns assert the kernel
+    bounds (0 <= intersect area <= subject area; 0 <= shapes <=
+    32*pairs) that any gross overlay regression would break."""
     from . import flagship
+    from ..sources.synth import SCALE
     ds = flagship.images_dataset(n_images)
     res = flagship.overlay_join_stats(ds, "intersect")
-    return flagship.tile_summary(res).to_pandas().sort_values(
-        "tile_id").reset_index(drop=True)
+    tiles = flagship.tile_summary(res).to_pandas()
+
+    # per-tile exact subject (pixel-footprint) area bound, computed
+    # from the same pruned images read the join uses
+    def _subj(batch):
+        import pyarrow as pa
+        ids = batch.column("image_id").to_pylist()
+        idx = np.array([int(s.rsplit("_", 1)[1]) for s in ids], np.int64)
+        w = np.asarray(batch.column("w"), np.int64)
+        h = np.asarray(batch.column("h"), np.int64)
+        gx = (idx % 1024) * 4096
+        gy = (idx // 1024) * 4096
+        from ..stages import tile as T
+        t = T.cell_of_bbox(gx, gy, gx + w * SCALE, gy + h * SCALE, 4)
+        return pa.table({
+            "tile_id": pa.array(t, pa.int64()),
+            "subj_area2": pa.array(2 * (w * SCALE) * (h * SCALE),
+                                   pa.int64()),
+        })
+
+    from ..stages.agg import hash_aggregate
+    bounds = hash_aggregate(
+        ds.map_batches(_subj, batch_format="pyarrow"), ["tile_id"],
+        {"subj_area2": ("subj_area2", "sum")}, num_partitions=8
+    ).to_pandas()
+    df = tiles.merge(bounds, on="tile_id", how="outer")
+    out = pd.DataFrame({
+        "tile_id": df["tile_id"].astype(np.int64),
+        "pairs": df["pairs"].fillna(0).astype(np.int64),
+        "subj_area2": df["subj_area2"].fillna(0).astype(np.int64),
+        "area_ok": ((df["area2"] >= 0)
+                    & (df["area2"] <= df["subj_area2"])).astype(bool),
+        "shapes_ok": ((df["shapes"] >= 0)
+                      & (df["shapes"] <= 32 * df["pairs"])).astype(bool),
+    })
+    return out.sort_values("tile_id").reset_index(drop=True)
 
 
 def q_tiled_overlay(sf_dir: str) -> pd.DataFrame:
