@@ -330,7 +330,7 @@ _PURE_CYCLE_CAP = 96  # vectorization pays for many short cycles; a few
 
 def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
                      preserve_collinear: bool, min_area: int,
-                     materialize: bool = True):
+                     materialize: bool = True, as_arrays: bool = False):
     """Vectorized extraction of every contour whose cycle passes only
     through degree-2 nodes ("pure" cycles).
 
@@ -363,14 +363,20 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
     _, bounds, link_sorted = links._node_arrays
     fills = links._np_fill
 
-    groups = []  # (length, member directed edges)
+    # short stepping only up to K0: tiny cycles (the bulk of dense
+    # grids) close within a few steps; everything longer is ranked by
+    # ONE pointer-doubling pass over the COMPACTED survivor set (the
+    # old design stepped _PURE_CYCLE_CAP times over every long-cycle
+    # edge before reaching the doubling — ~0.1 s wasted on Spiral)
+    groups = []  # (length, member directed edges | None, starts | None)
+    K0 = min(12, _PURE_CYCLE_CAP)
     cur = succ[orig]
     k = 1
-    while len(orig) and k <= _PURE_CYCLE_CAP:
+    while len(orig) and k <= K0:
         closed = cur == orig
         if closed.any():
             if k >= 3:
-                groups.append((k, orig[closed]))
+                groups.append((k, orig[closed], None))
             keep = ~closed
             orig = orig[keep]
             cur = cur[keep]
@@ -382,17 +388,19 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
         cur = nxt
         k += 1
 
-    # edges still alive after the cap lie on pure cycles LONGER than
-    # the cap (long pure chains died through the alive filter or die
-    # in the doubling below): rank them by pointer doubling —
-    # O(E log E) total instead of the stepping loop's O(sum L^2).
     long_cycles = []   # (L, starts[1], hole[1], P, M)
     if len(orig) and _PURE_CYCLE_CAP > 0:
-        n2 = 2 * n
-        rounds = max(1, int(n2).bit_length())
-        jump = succ.copy()
-        mn_l = np.where(succ >= 0, np.arange(n2, dtype=np.int64) >> 1,
-                        np.int64(1) << 62)
+        sv = orig                      # sorted survivor edge ids
+        m = len(sv)
+        nxt = succ[sv]
+        pos = np.searchsorted(sv, nxt)
+        okp = pos < m
+        pos_c = np.minimum(pos, m - 1)
+        okp &= sv[pos_c] == nxt
+        jump0 = np.where(okp, pos_c, np.int64(-1))
+        jump = jump0.copy()
+        mn_l = sv >> 1
+        rounds = max(1, int(m).bit_length())
         for _ in range(rounds):
             v = np.flatnonzero(jump >= 0)
             if not len(v):
@@ -404,6 +412,21 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
         if on_cycle.any():
             keys, cnts = np.unique(mn_l[on_cycle], return_counts=True)
             lens = cnts >> 1     # each physical cycle = 2 orientations
+            # mid-length cycles (K0 < L <= CAP): start keys come
+            # straight from the min-label doubling, grouped by length
+            midsel = (lens >= 3) & (lens <= _PURE_CYCLE_CAP)
+            if midsel.any():
+                mk = keys[midsel]
+                ml = lens[midsel]
+                o = np.argsort(ml, kind="stable")
+                mk = mk[o]
+                ml = ml[o]
+                bnd_m = np.flatnonzero(
+                    np.concatenate(([True], ml[1:] != ml[:-1])))
+                ends_m = np.concatenate((bnd_m[1:], [len(ml)]))
+                for i in range(len(bnd_m)):
+                    groups.append((int(ml[bnd_m[i]]), None,
+                                   mk[bnd_m[i]:ends_m[i]]))
             sel = lens > _PURE_CYCLE_CAP
             keys = keys[sel]
             lens = lens[sel]
@@ -422,14 +445,15 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
             direction = hole_l == clockwise
             d0 = 2 * left + np.where(direction, 0, 1)
             # break each CHOSEN orientation's cycle just before d0 and
-            # measure distance-to-break by doubling; the reverse
-            # orientation stays unbroken and never reaches a -1
-            pred = np.full(n2, -1, dtype=np.int64)
-            sv = np.flatnonzero(succ >= 0)
-            pred[succ[sv]] = sv
-            jump2 = succ.copy()
-            jump2[pred[d0]] = -1
-            dist = np.ones(n2, dtype=np.int64)
+            # measure distance-to-break by doubling (compact space); the
+            # reverse orientation stays unbroken and never reaches a -1
+            d0p = np.searchsorted(sv, d0)
+            pred = np.full(m, -1, dtype=np.int64)
+            svn = np.flatnonzero(jump0 >= 0)
+            pred[jump0[svn]] = svn
+            jump2 = jump0
+            jump2[pred[d0p]] = -1
+            dist = np.ones(m, dtype=np.int64)
             for _ in range(rounds):
                 v = np.flatnonzero(jump2 >= 0)
                 if not len(v):
@@ -457,8 +481,9 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
                 if len(eds) != L:
                     continue    # inconsistent: sequential walk handles
                 rank = L - dist[eds]
-                ll = eds >> 1
-                oo = eds & 1
+                full_eds = sv[eds]
+                ll = full_eds >> 1
+                oo = full_eds & 1
                 P = np.empty((1, L, 2), dtype=np.int64)
                 M = np.empty((1, L), dtype=np.int64)
                 P[0, rank, 0] = np.where(oo == 1, ax[ll], bx[ll])
@@ -475,14 +500,17 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
     all_points = []
     visited_init = np.zeros(n, dtype=np.uint8)
     pending = []
-    for L, edges in groups:
-        # min link id per cycle = discovery key
-        cur = edges
-        mn = cur >> 1
-        for _ in range(L - 1):
-            cur = succ[cur]
-            mn = np.minimum(mn, cur >> 1)
-        starts = np.unique(mn)
+    for L, edges, starts0 in groups:
+        if starts0 is None:
+            # min link id per cycle = discovery key
+            cur = edges
+            mn = cur >> 1
+            for _ in range(L - 1):
+                cur = succ[cur]
+                mn = np.minimum(mn, cur >> 1)
+            starts = np.unique(mn)
+        else:
+            starts = starts0    # already min-label keys from doubling
         # left-top selection at the start link's a-node (degree 2)
         va = a_id[starts]
         i0 = link_sorted[bounds[va]]
@@ -539,10 +567,12 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
             HOLE_VISITED if hole[0] else HULL_VISITED)
         all_starts.append(starts)
         all_holes.append(hole)
-        if materialize:
-            all_points.append([tuple(p) for p in ring.tolist()])
-        else:
+        if not materialize:
             all_points.append(ring[None, :, :])
+        elif as_arrays:
+            all_points.append(ring)
+        else:
+            all_points.append([tuple(p) for p in ring.tolist()])
 
     for L, starts, hole, P, M in pending:
         m = len(starts)
@@ -573,13 +603,15 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
                 np.uint8).repeat(L)
         all_starts.append(starts)
         all_holes.append(hole)
-        if materialize:
+        if not materialize:
+            all_points.append(P)
+        elif as_arrays:
+            all_points.extend(P[j] for j in range(len(P)))
+        else:
             # materialize tuples once, batched
             pl = P.tolist()
             all_points.extend(
                 ([tuple(p) for p in row] for row in pl))
-        else:
-            all_points.append(P)
     if not all_starts:
         return None
     if not materialize:
@@ -948,7 +980,8 @@ def _sort_runs_by_angle(anchors: List[tuple]) -> List[tuple]:
 def extract_shapes(links: Links, rule: int, clockwise: bool = False,
                    preserve_output_collinear: bool = False,
                    min_output_area: int = 0,
-                   nest_holes: bool = True) -> List[list]:
+                   nest_holes: bool = True,
+                   as_arrays: bool = False) -> List[list]:
     """Walk the filtered link graph into shapes-with-holes.
 
     Returns [[contour, hole, hole, ...], ...]; hull direction CCW unless
@@ -959,7 +992,8 @@ def extract_shapes(links: Links, rule: int, clockwise: bool = False,
     n = len(links)
     ensure_pair_tables(links)
     plan = _pure_cycle_plan(links, rule, clockwise,
-                            preserve_output_collinear, min_output_area)
+                            preserve_output_collinear, min_output_area,
+                            as_arrays=as_arrays)
     all_pure = False
     if plan is not None:
         vis_init, p_starts, p_holes, p_points = plan
@@ -980,6 +1014,9 @@ def extract_shapes(links: Links, rule: int, clockwise: bool = False,
         while pp < np_starts and p_starts[pp] <= limit:
             points = p_points[pp]
             if p_holes[pp]:
+                # anchors/join_holes compare tuple points
+                if isinstance(points, np.ndarray):
+                    points = [tuple(p) for p in points.tolist()]
                 left_bottom = points[1] if clockwise else points[0]
                 v_seg = _left_bottom_segment_from(points, left_bottom)
                 anchors.append((v_seg, ("hole", len(holes))))
@@ -1034,6 +1071,11 @@ def extract_shapes(links: Links, rule: int, clockwise: bool = False,
     if not nest_holes:
         return [[c] for shape in shapes for c in shape] + \
                [[h] for h in holes]
+    if holes:
+        # hole binding scans hull contours as tuple points
+        for s in shapes:
+            if isinstance(s[0], np.ndarray):
+                s[0] = [tuple(p) for p in s[0].tolist()]
     join_holes(shapes, holes, anchors, clockwise, anchors_sorted)
     return shapes
 

@@ -256,16 +256,57 @@ def float_overlay(subj: Sequence, clip: Sequence, rule,
             keep_in = opts.pop("preserve_input_collinear", False)
             segs = build_segments_flat(xs, ys, offsets, flags, keep_in)
             graph = build_graph_from_segments(segs, fill_rule, **opts)
-            shapes = [] if graph is None else graph.extract(rule)
-    else:
-        adapter = FloatPointAdapter.from_contours(subj, clip, scale=scale)
-        shapes = int_overlay(adapter.to_int(subj), adapter.to_int(clip),
-                             rule, fill_rule, **options)
+            # pure-cycle contours come back as int64 arrays: dequantize
+            # + clean-precheck run vectorized, float tuples materialize
+            # exactly once (no int-tuple round trip)
+            shapes = [] if graph is None else \
+                graph.extract(rule, as_arrays=True)
+        return _dequantize_clean(
+            adapter, shapes, clean_result,
+            options.get("preserve_output_collinear", False))
+    adapter = FloatPointAdapter.from_contours(subj, clip, scale=scale)
+    shapes = int_overlay(adapter.to_int(subj), adapter.to_int(clip),
+                         rule, fill_rule, **options)
     shapes = adapter.to_float_shapes(shapes)
     if clean_result:
         shapes = clean_float_shapes(
             shapes, options.get("preserve_output_collinear", False))
     return shapes
+
+
+def _dequantize_clean(adapter: FloatPointAdapter, shapes: List[list],
+                      clean: bool, preserve_collinear: bool) -> List[list]:
+    """to_float_shapes + clean_float_shapes fused for mixed array/tuple
+    contours: identical float math and drop semantics, but array
+    contours dequantize vectorized and materialize tuples once."""
+    import numpy as np
+    out = []
+    for shape in shapes:
+        cleaned: list | None = []
+        for k, contour in enumerate(shape):
+            a = np.asarray(contour, dtype=np.float64)
+            if a.ndim != 2:             # empty contour edge case
+                a = a.reshape(0, 2)
+            xs = a[:, 0] * adapter.inv_scale + adapter.offset_x
+            ys = a[:, 1] * adapter.inv_scale + adapter.offset_y
+            if clean and len(xs) >= 16:
+                fa = np.column_stack((xs, ys))
+                if _contour_is_clean(fa, preserve_collinear):
+                    cleaned.append(list(zip(xs.tolist(), ys.tolist())))
+                    continue
+            pts = list(zip(xs.tolist(), ys.tolist()))
+            if not clean:
+                cleaned.append(pts)
+                continue
+            c = _clean_float_contour(pts, preserve_collinear)
+            if len(c) >= 3:
+                cleaned.append(c)
+            elif k == 0:
+                cleaned = None
+                break
+        if cleaned is not None and (cleaned or not clean):
+            out.append(cleaned)
+    return out
 
 
 def float_simplify(contours: Sequence, fill_rule="nonzero",

@@ -411,7 +411,7 @@ def _middle_cross(t, o, radius):
 # ---------------------------------------------------------------------------
 
 PAIR_BLOCK = 4_000_000  # max candidate pairs materialized at once
-_TREE_LEAF = 32         # query columns per segment-tree leaf (sweep-tuned)
+_TREE_LEAF_MAX = 256    # widest leaf the tree cost model considers
 
 
 def _pair_blocks_1d(segs: Segments, members: np.ndarray, bmin=None,
@@ -1015,17 +1015,22 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     ncols = len(X)
     # coarse leaves: L columns per tree leaf cuts replication (and the
     # level count) by ~log2(L); the sub-leaf ends of each segment are
-    # evaluated as direct exact pairs instead.  Fall back to L=1 when
-    # the remnant pair count would explode (many queries per column —
-    # the dense-grid regime the tree exists for).
+    # evaluated as direct exact pairs instead.  L is picked by a cost
+    # model — remnant pairs are streaming-cheap (~1 unit) while tree
+    # entries (keys+sort+prefix, ~6 units) and per-level query hits
+    # (binary-search gathers, ~2 units/level) dominate — evaluated from
+    # the widest leaf down, stopping when cost turns back up (the cost
+    # curve is unimodal in L).  Sweep-validated on Spiral 32k/131k:
+    # the old fixed remnant budget picked L=16 at 131k (13 s); the
+    # model picks L=64 (4.5 s).
     lo_c = np.searchsorted(X, tax2, side="left")
     hi_c = np.searchsorted(X, tbx2, side="left")
     q_col = np.searchsorted(X, qmx_all)
     Qp = np.concatenate(([0], np.cumsum(
         np.bincount(q_col, minlength=ncols)))).astype(np.int64)
-    rem_budget = max(8_000_000, 8 * (len(segs) + nq))
-    L = _TREE_LEAF
-    while True:
+    best = None
+    L = _TREE_LEAF_MAX
+    while L >= 1:
         lf_lo = (lo_c + L - 1) // L
         lf_hi = hi_c // L
         full = lf_hi > lf_lo
@@ -1035,12 +1040,19 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
         rem1 = Qp[a_end] - Qp[lo_c]
         rem2 = np.where(full, Qp[hi_c] - Qp[np.maximum(lf_hi * L, lo_c)],
                         0)
-        if L == 1 or int(rem1.sum() + rem2.sum()) <= rem_budget:
-            break
-        # halve rather than jump to 1: dense scenes (spiral 131k) fit
-        # the budget at L=8 and the coarse tree is ~25% faster than
-        # the full-depth tree
+        rem = int(rem1.sum() + rem2.sum())
+        nleaves = (ncols + L - 1) // L
+        levels = max(1, (nleaves - 1).bit_length()) + 1
+        spans = (lf_hi - lf_lo)[full]
+        entries = 2 * len(spans) + 2 * int(
+            np.log2(np.maximum(spans, 1)).sum())
+        cost = rem + 6 * entries + 2 * nq * levels
+        if best is None or cost < best[0]:
+            best = (cost, L, lf_lo, lf_hi, full, a_end, rem1, rem2)
+        elif cost > best[0] * 1.25:
+            break           # well past the minimum
         L >>= 1
+    _, L, lf_lo, lf_hi, full, a_end, rem1, rem2 = best
     if L == 1:
         rem1 = np.zeros(len(segs), np.int64)
         rem2 = rem1
@@ -1633,7 +1645,10 @@ def compute_fills(segs: Segments, fill_rule: int,
     """4-bit SUBJ/CLIP top/bottom fill mask per split segment."""
     if len(segs) == 0:
         return np.zeros(0, dtype=np.uint8)
-    bot_subj, bot_clip = bottom_windings(segs, block)
+    # subject-only scenes (e.g. Spiral): skip all clip-side winding
+    # accumulation — bot_clip is identically zero
+    with_clip = bool(segs.clip.any())
+    bot_subj, bot_clip = bottom_windings(segs, block, with_clip=with_clip)
     return fills_from_windings(segs.subj, segs.clip, bot_subj, bot_clip,
                                fill_rule)
 

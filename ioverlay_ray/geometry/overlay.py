@@ -49,7 +49,10 @@ class OverlayGraph:
         self.min_output_area = min_output_area
         self.ogc = ogc
 
-    def extract(self, rule) -> Shapes:
+    def extract(self, rule, as_arrays: bool = False) -> Shapes:
+        """as_arrays: pure-cycle contours come back as int64 (n, 2)
+        arrays (tuple lists otherwise) — the float API dequantizes them
+        vectorized without the int-tuple round trip."""
         rule = _as_rule(rule)
         mask = rule_include_mask(self.fills, rule)
         links = build_links(self.segs, self.fills, mask)
@@ -63,7 +66,7 @@ class OverlayGraph:
         return extract_shapes(
             links, rule, clockwise=self.clockwise,
             preserve_output_collinear=self.preserve_output_collinear,
-            min_output_area=self.min_output_area)
+            min_output_area=self.min_output_area, as_arrays=as_arrays)
 
     def extract_stats(self, rule):
         """(anchor_x, signed area2, is_hole) arrays — no Python-point
