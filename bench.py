@@ -105,7 +105,7 @@ def run_checkerboard(n: int) -> dict:
     """The reference's headline workload (checkerboard XOR) distributed;
     comparable to BASELINE.md's 0.80 M polygons/s single-node number."""
     from ioverlay_ray.pipelines.checkerboard import checkerboard_xor
-    return checkerboard_xor(n, batch_size=512)
+    return checkerboard_xor(n, batch_size=1024)
 
 
 def run_lines_net(n: int) -> dict:

@@ -412,6 +412,7 @@ def _middle_cross(t, o, radius):
 
 PAIR_BLOCK = 4_000_000  # max candidate pairs materialized at once
 _TREE_LEAF_MAX = 256    # widest leaf the tree cost model considers
+_RECT_FAST = True       # rectilinear perpendicular classify fast path
 
 
 def _pair_blocks_1d(segs: Segments, members: np.ndarray, bmin=None,
@@ -590,6 +591,48 @@ def _classify_pairs(segs: Segments, ii, jj, radius: int,
     tbx, tby = segs.bx[ii], segs.by[ii]
     oax, oay = segs.ax[jj], segs.ay[jj]
     obx, oby = segs.bx[jj], segs.by[jj]
+
+    # rectilinear perpendicular fast path (checkerboard / LinesNet /
+    # clip-board scenes): every pair is one horizontal x one vertical
+    # segment, so the four orientation signs are plain coordinate
+    # differences (identical values to the cross products below — the
+    # factored-out u/v component is strictly positive because segments
+    # are a<b normalized) and the middle-cross point is the exact
+    # lattice point (vx, hy): no rational arithmetic, never rounds.
+    perp_a = (tay == tby) & (oax == obx) & (tax != tbx) & (oay != oby)
+    perp_b = (tax == tbx) & (oay == oby) & (tay != tby) & (oax != obx)
+    if _RECT_FAST and len(ii) and (perp_a | perp_b).all():
+        d1 = np.sign(np.where(perp_a, oay - tay, tax - oax))
+        d2 = np.sign(np.where(perp_a, oby - tay, tax - obx))
+        d3 = np.sign(np.where(perp_a, oax - tax, tay - oay))
+        d4 = np.sign(np.where(perp_a, oax - tbx, tby - oay))
+        z = (d1 == 0).astype(np.int8) + (d2 == 0) + (d3 == 0) + (d4 == 0)
+        not_cross = (d1 == d2) | (d3 == d4)
+        skip = (z > 1) | not_cross      # overlay (z==4) impossible
+        touch = (~skip) & (z == 1)
+        if touch.any():
+            w = np.flatnonzero(touch)
+            for zero_d, idx_arr, pxa, pya in (
+                (d1, ii, oax, oay), (d2, ii, obx, oby),
+                (d3, jj, tax, tay), (d4, jj, tbx, tby),
+            ):
+                sel = w[zero_d[w] == 0]
+                if len(sel):
+                    m_idx.append(idx_arr[sel])
+                    m_px.append(pxa[sel])
+                    m_py.append(pya[sel])
+        mid = (~skip) & (z == 0)
+        if mid.any():
+            w = np.flatnonzero(mid)
+            px = np.where(perp_a[w], oax[w], tax[w])
+            py = np.where(perp_a[w], tay[w], oay[w])
+            m_idx.append(ii[w])
+            m_px.append(px)
+            m_py.append(py)
+            m_idx.append(jj[w])
+            m_px.append(px)
+            m_py.append(py)
+        return False
 
     # orientation signs (Triangle::clock_direction); int64-safe for |c|<2^30
     ux, uy = tbx - tax, tby - tay

@@ -107,7 +107,7 @@ class XorSquareStage:
         })
 
 
-def checkerboard_xor(n: int, batch_size: int = 512) -> dict:
+def checkerboard_xor(n: int, batch_size: int = 1024) -> dict:
     """Run the distributed checkerboard XOR; returns polygon count,
     total area2 and throughput."""
     import time

@@ -200,3 +200,46 @@ def test_simplify_suite():
     ], "nonzero", preserve_output_collinear=True)
     assert len(r4) == 1 and len(r4[0]) == 1
     assert len(r4[0][0]) == 7
+
+
+def test_rectilinear_classify_fast_path_matches_general():
+    # the H x V sign/cross fast path in _classify_pairs must be
+    # BIT-IDENTICAL to the generic orientation-test path on random
+    # rectilinear scenes (incl. endpoint touches and lattice crossings)
+    import numpy as np
+
+    import ioverlay_ray.geometry.kernel as K
+    from ioverlay_ray.geometry.overlay import overlay
+
+    rng = np.random.default_rng(99)
+    scenes = []
+    for _ in range(8):
+        subj, clip = [], []
+        for out, n_r in ((subj, 12), (clip, 12)):
+            for _ in range(n_r):
+                x0, y0 = (int(v) for v in rng.integers(0, 200, 2))
+                w = int(rng.integers(1, 60))
+                h = int(rng.integers(1, 60))
+                out.append([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                            (x0, y0 + h)])
+        scenes.append((subj, clip))
+    # grid-aligned scene: forces endpoint-on-edge and corner touches
+    subj = [[(i * 10, j * 10), (i * 10 + 10, j * 10),
+             (i * 10 + 10, j * 10 + 10), (i * 10, j * 10 + 10)]
+            for i in range(4) for j in range(4)]
+    clip = [[(i * 10 + 5, j * 10 + 5), (i * 10 + 15, j * 10 + 5),
+             (i * 10 + 15, j * 10 + 15), (i * 10 + 5, j * 10 + 15)]
+            for i in range(4) for j in range(4)]
+    scenes.append((subj, clip))
+
+    assert K._RECT_FAST
+    try:
+        for subj, clip in scenes:
+            for rule in ("union", "xor", "difference", "intersect"):
+                K._RECT_FAST = True
+                fast = overlay(subj, clip, rule)
+                K._RECT_FAST = False
+                general = overlay(subj, clip, rule)
+                assert fast == general, rule
+    finally:
+        K._RECT_FAST = True
