@@ -148,11 +148,29 @@ def bench_once(sf_dir: str, num_cpus: int, n_images: int) -> dict:
                     int(os.environ.get("GRAFT_LINES_N", "1024")))
     spiral = best_of(run_spiral,
                      int(os.environ.get("GRAFT_SPIRAL_N", "32768")))
+    # the reference's remaining six perf workloads at the LARGEST size
+    # in its published i64 multithreaded logs (BASELINE.md comparison
+    # rows); each is index-math distributed, closed-form/parity checked
+    from ioverlay_ray.pipelines import ref_workloads as RW
+    ref6 = {}
+    for key, fn, env, dflt in (
+        ("not_overlap_union", RW.not_overlap, "GRAFT_NOTOVERLAP_N", 1024),
+        ("windows_difference", RW.windows, "GRAFT_WINDOWS_N", 1024),
+        ("nested_squares_union", RW.nested_squares, "GRAFT_NESTED_N",
+         65536),
+        ("corrosion_difference", RW.corrosion, "GRAFT_CORROSION_N", 512),
+        ("concentric_difference", RW.concentric, "GRAFT_CONCENTRIC_N",
+         512),
+        ("wind_mill_difference", RW.wind_mill, "GRAFT_WINDMILL_N", 512),
+    ):
+        ref6[key] = best_of(fn, int(os.environ.get(env, str(dflt))))
     queries = run_queries(sf_dir)
     queries["checkerboard_xor"] = round(checker["sec"], 3)
     queries["flagship_overlay_join"] = round(flag["sec"], 3)
     queries["lines_net_intersect"] = round(lines["sec"], 3)
     queries["spiral_subject"] = round(spiral["sec"], 3)
+    for key, r in ref6.items():
+        queries[key] = round(r["sec"], 3)
     total = sum(queries.values())
     import ray
     ray.shutdown()
@@ -173,6 +191,8 @@ def bench_once(sf_dir: str, num_cpus: int, n_images: int) -> dict:
         "lines_net_polygons_per_sec": lines["polygons_per_sec"],
         "spiral_label": int(os.environ.get("GRAFT_SPIRAL_N", "32768")),
         "spiral_sec": round(spiral["sec"], 3),
+        "ref6_labels": {k: r["label"] for k, r in ref6.items()},
+        "ref6_polygons": {k: r["polygons"] for k, r in ref6.items()},
     }
 
 
