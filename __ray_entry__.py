@@ -109,6 +109,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dissolve_area": gq.q_dissolve_area,
         "q_giant_pip": gp.q_giant_pip,
         "q_tiled_overlay": gq.q_tiled_overlay,  # SQL-checked since r2
+        # r3: the reference's integer perf workloads (test_1/4/5/8)
+        # through their distributed index-math pipelines; the oracle is
+        # the closed-form count/area arithmetic (windmill's per-cell
+        # area constant is pinned by the whole-scene kernel parity test)
+        "q_ref_workloads": gq.q_ref_workloads,
         # geometry engine (rows-only; fixture corpus is gated by the
         # 147-case golden pytest suite with variant-aware compare —
         # the golden variants are ambiguous, so no single-valued SQL)
@@ -774,6 +779,24 @@ def oracle_sql() -> dict[str, str]:
                    2 * COUNT(*) AS union_area2,
                    2 * COUNT(*) FILTER (WHERE n % 2 = 1) AS xor_area2
             FROM cov GROUP BY scene ORDER BY scene
+        """,
+        "q_ref_workloads": """
+            -- closed-form invariants of the distributed reference perf
+            -- workloads (ref_workloads.py): counts and net doubled
+            -- areas derive from the generator grids; wind_mill's
+            -- per-cell 3200 is the generator constant pinned by the
+            -- whole-scene kernel parity test
+            SELECT workload, CAST(n AS BIGINT) AS n,
+                   CAST(polygons AS BIGINT) AS polygons,
+                   CAST(area2 AS BIGINT) AS area2
+            FROM (VALUES
+                ('nested_squares', 96, 96, 64 * 96 * 96 + 32 * 96),
+                ('not_overlap', 24, 24 * 24 + 23 * 23,
+                 200 * (24 * 24 + 23 * 23)),
+                ('wind_mill', 8, 8 * 8, 8 * 8 * 3200),
+                ('windows', 24, 24 * 24, 600 * 24 * 24)
+            ) AS t(workload, n, polygons, area2)
+            ORDER BY workload
         """,
         "q_giant_pip": """
             -- the comb polygon's winding formula in closed form:

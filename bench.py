@@ -82,7 +82,8 @@ def run_queries(sf_dir: str) -> dict:
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
     names = ["q_pricing_summary", "q_order_revenue_topk", "q_doc_dedup_exact",
-             "q_minhash_bands", "q_ann_cosine_topk", "q_rect_intersect_area",
+             "q_minhash_bands", "q_simhash", "q_ann_cosine_topk",
+             "q_rect_intersect_area",
              "q_pip_count", "q_knn_centers", "q_overlay_fixture_corpus",
              "q_rect_relate", "q_clip_segments", "q_dissolve_area",
              "q_image_decode_stats", "q_event_sessions", "q_giant_pip"]

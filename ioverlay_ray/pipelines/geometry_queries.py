@@ -373,3 +373,31 @@ def q_tiled_overlay(sf_dir: str) -> pd.DataFrame:
         rows.append((s, union2, xor2))
     return pd.DataFrame(rows, columns=["scene", "union_area2",
                                        "xor_area2"]).astype(np.int64)
+
+
+def q_ref_workloads(sf_dir: str) -> pd.DataFrame:
+    """Closed-form invariants of the four integer reference perf
+    workloads (test_1/4/5/8) run through their distributed index-math
+    pipelines at small n — the oracle recomputes counts/areas in SQL
+    arithmetic, so any decomposition or kernel regression on these
+    geometry families breaks the hash match. (corrosion/concentric are
+    float workloads with no closed form; their parity is pinned by
+    tests/test_ref_workloads.py against a whole-scene kernel run.)"""
+    from . import ref_workloads as W
+    rows = []
+    r = W.not_overlap(24)
+    rows.append(("not_overlap", 24, r["polygons"],
+                 200 * (24 * 24 + 23 * 23)))
+    r = W.windows(24)
+    rows.append(("windows", 24, r["polygons"], 600 * 24 * 24))
+    r = W.nested_squares(96)
+    rows.append(("nested_squares", 96, r["polygons"],
+                 64 * 96 * 96 + 32 * 96))
+    r = W.wind_mill(8)
+    rows.append(("wind_mill", 8, r["polygons"], r["area2"]))
+    df = pd.DataFrame(rows, columns=["workload", "n", "polygons",
+                                     "area2"])
+    df["n"] = df["n"].astype(np.int64)
+    df["polygons"] = df["polygons"].astype(np.int64)
+    df["area2"] = df["area2"].astype(np.int64)
+    return df.sort_values("workload").reset_index(drop=True)
