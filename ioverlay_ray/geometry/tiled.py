@@ -332,6 +332,147 @@ def strip_walk(edges: List[Tuple[Point, Point]], strip: int, strip_w: int):
     return rings, chains
 
 
+def strip_walk_arrays(tx, ty, hx, hy, strip: int, strip_w: int):
+    """``strip_walk`` over coordinate arrays with a vectorized
+    pure-cycle pre-pass: cycles whose every node is simple (out==1,
+    in==1, in-strip, non-break) are ranked by pointer doubling — they
+    can't touch chains or multi-out nodes, so the Python walker only
+    sees the residue. Output is BIT-IDENTICAL to strip_walk (same ring
+    start vertices and order: rings sort by their minimal edge index,
+    the walker's discovery key)."""
+    n = len(tx)
+    if n == 0:
+        return [], []
+    lo = strip * strip_w
+    hi = (strip + 1) * strip_w
+    tx = np.asarray(tx, np.int64)
+    ty = np.asarray(ty, np.int64)
+    hx = np.asarray(hx, np.int64)
+    hy = np.asarray(hy, np.int64)
+    OFF = np.int64(1 << 30)
+    pt = ((tx + OFF) << np.int64(31)) | (ty + OFF)
+    ph = ((hx + OFF) << np.int64(31)) | (hy + OFF)
+    nodes, inv = np.unique(np.concatenate((pt, ph)),
+                           return_inverse=True)
+    t_id = inv[:n]
+    h_id = inv[n:]
+    nn = len(nodes)
+    out_deg = np.bincount(t_id, minlength=nn)
+    in_strip = (hx >= lo) & (hx < hi)
+    in_deg = np.bincount(h_id[in_strip], minlength=nn)
+    # break nodes per strip_walk.is_break: no local out edges, or
+    # fewer local in edges than out edges
+    node_break = (out_deg == 0) | (in_deg < out_deg)
+    # unique out edge per out_deg==1 node
+    order_t = np.argsort(t_id, kind="stable")
+    first_of = np.minimum(
+        np.searchsorted(t_id[order_t], np.arange(nn)), n - 1)
+    single_out = np.where(out_deg == 1, order_t[first_of], -1)
+    simple_head = in_strip & (~node_break[h_id]) \
+        & (out_deg[h_id] == 1) & (in_deg[h_id] == 1)
+    succ = np.where(simple_head, single_out[h_id], np.int64(-1))
+    claimed = np.zeros(n, dtype=bool)
+    pure = []   # (start_edge, P) in start order
+    alive = np.flatnonzero(succ >= 0)
+    if len(alive):
+        # min-edge-index label doubling over the compacted survivors
+        sv = alive
+        m = len(sv)
+        nxt = succ[sv]
+        pos = np.searchsorted(sv, nxt)
+        okp = pos < m
+        pos_c = np.minimum(pos, m - 1)
+        okp &= sv[pos_c] == nxt
+        jump0 = np.where(okp, pos_c, np.int64(-1))
+        jump = jump0.copy()
+        mn = sv.copy()
+        rounds = max(1, int(m).bit_length())
+        for _ in range(rounds):
+            v = np.flatnonzero(jump >= 0)
+            if not len(v):
+                break
+            t = jump[v]
+            mn[v] = np.minimum(mn[v], mn[t])
+            jump[v] = jump[t]
+        on_cycle = jump >= 0
+        if on_cycle.any():
+            # rank within each cycle: break before the min edge,
+            # distance doubling (the extract.py pointer-doubling plan)
+            starts = np.unique(mn[on_cycle])
+            d0p = np.searchsorted(sv, starts)
+            pred = np.full(m, -1, dtype=np.int64)
+            svn = np.flatnonzero(jump0 >= 0)
+            pred[jump0[svn]] = svn
+            jump2 = jump0
+            jump2[pred[d0p]] = -1
+            dist = np.ones(m, dtype=np.int64)
+            for _ in range(rounds):
+                v = np.flatnonzero(jump2 >= 0)
+                if not len(v):
+                    break
+                t = jump2[v]
+                dist[v] += dist[t]
+                jump2[v] = jump2[t]
+            reached = on_cycle & (jump2 == -1)
+            red = np.flatnonzero(reached)
+            rk = mn[red]
+            o2 = np.argsort(rk, kind="stable")
+            red = red[o2]
+            rk = rk[o2]
+            bnd = np.flatnonzero(np.concatenate(([True],
+                                                 rk[1:] != rk[:-1])))
+            ends = np.concatenate((bnd[1:], [len(red)]))
+            for bi in range(len(bnd)):
+                eds = red[bnd[bi]:ends[bi]]
+                L = len(eds)
+                start = int(rk[bnd[bi]])
+                if dist[eds].max() != L:
+                    continue    # inconsistent: leave to the walker
+                rank = L - dist[eds]
+                full_eds = sv[eds]
+                P = np.empty((L, 2), dtype=np.int64)
+                P[rank, 0] = tx[full_eds]
+                P[rank, 1] = ty[full_eds]
+                claimed[full_eds] = True
+                pure.append((start, P))
+
+    rest = np.flatnonzero(~claimed)
+    rings_mix: list = list(pure)
+    chains: List[List[Point]] = []
+    if len(rest):
+        edges = [((int(tx[i]), int(ty[i])), (int(hx[i]), int(hy[i])))
+                 for i in rest.tolist()]
+        r_rings, chains = _strip_walk_indexed(edges, rest, strip,
+                                              strip_w)
+        rings_mix.extend(r_rings)
+    rings_mix.sort(key=lambda it: it[0])
+    rings = [
+        [tuple(p) for p in P.tolist()] if isinstance(P, np.ndarray)
+        else P
+        for _, P in rings_mix]
+    return rings, chains
+
+
+def _strip_walk_indexed(edges, orig_idx, strip: int, strip_w: int):
+    """strip_walk that also reports each ring's ORIGINAL start edge
+    index (for order-merging with the vectorized pure cycles)."""
+    rings, chains = strip_walk(edges, strip, strip_w)
+    # recover start indices: strip_walk discovers rings in ascending
+    # local start order; map local scan order back through orig_idx.
+    # strip_walk itself doesn't return indices, so re-derive: ring i's
+    # first point is the tail of its start edge — the walker scans
+    # edges in order, so ring starts are increasing in local index;
+    # find each ring's start edge by matching first two points.
+    pos = {}
+    for li, (t, h) in enumerate(edges):
+        pos.setdefault((t, h), li)
+    out = []
+    for ring in rings:
+        key = (ring[0], ring[1])
+        out.append((int(orig_idx[pos[key]]), ring))
+    return out, chains
+
+
 def stitch_chains(chains: List[List[Point]],
                   totals: Dict[Point, int] | None = None):
     """Join chains into closed rings by matching endpoints; junctions

@@ -363,9 +363,8 @@ def _walk(strip_w: int):
         hx = group.column("hx").to_numpy()
         hy = group.column("hy").to_numpy()
         strip = int(group.column("tstrip")[0].as_py())
-        edges = [((int(tx[i]), int(ty[i])), (int(hx[i]), int(hy[i])))
-                 for i in range(len(tx))]
-        rings, chains = strip_walk(edges, strip, strip_w)
+        from ..geometry.tiled import strip_walk_arrays
+        rings, chains = strip_walk_arrays(tx, ty, hx, hy, strip, strip_w)
         kinds = [0] * len(rings) + [1] * len(chains)
         pts = [[v for p in r for v in p] for r in rings] + \
               [[v for p in c for v in p] for c in chains]

@@ -215,3 +215,35 @@ def test_distributed_mark_join_matches_driver_broadcast(ray_session):
         T.DRIVER_MARKS_CAP = cap
     assert sorted(tuple(p) for p in rings_b["pts"]) \
         == sorted(tuple(p) for p in rings_j["pts"])
+
+
+def test_strip_walk_arrays_matches_strip_walk():
+    # the vectorized pure-cycle walker must be BIT-IDENTICAL to the
+    # Python walker (ring starts, ring order, chain set) on random
+    # oriented-edge soups incl. multi-out pinch nodes
+    import numpy as np
+
+    from ioverlay_ray.geometry.tiled import strip_walk, strip_walk_arrays
+
+    rng = np.random.default_rng(808)
+    for trial in range(30):
+        # random small rectilinear loops + pinch crossings
+        edges = []
+        for _ in range(rng.integers(3, 40)):
+            x0, y0 = (int(v) for v in rng.integers(0, 120, 2))
+            w = int(rng.integers(1, 20))
+            h = int(rng.integers(1, 20))
+            quad = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                    (x0, y0 + h)]
+            for i in range(4):
+                edges.append((quad[i], quad[(i + 1) % 4]))
+        rng.shuffle(edges)
+        tx = np.array([e[0][0] for e in edges], np.int64)
+        ty = np.array([e[0][1] for e in edges], np.int64)
+        hx = np.array([e[1][0] for e in edges], np.int64)
+        hy = np.array([e[1][1] for e in edges], np.int64)
+        strip, strip_w = 0, 1 << 20     # everything in one strip
+        r1, c1 = strip_walk(list(edges), strip, strip_w)
+        r2, c2 = strip_walk_arrays(tx, ty, hx, hy, strip, strip_w)
+        assert r1 == r2, trial
+        assert c1 == c2, trial
