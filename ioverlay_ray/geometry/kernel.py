@@ -1029,7 +1029,8 @@ def bottom_windings(segs: Segments, block: int = 256,
     return _stab_windings(segs, mx, my, np.arange(n), block, with_clip)
 
 
-def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
+def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True,
+                   ctx: dict | None = None):
     """Winding below doubled points (mx, my) via a vectorized segment
     tree over query columns — the distributed analogue of the
     reference's medium-regime sweep (split/solver_tree.rs:34-97).
@@ -1047,14 +1048,20 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     bot_clip = np.zeros(nq, dtype=np.int64)
     if nq == 0 or len(segs) == 0:
         return bot_subj, bot_clip
-    qmx_all = mx[q_pos]
-    qmy_all = my[q_pos]
-    tax2 = 2 * segs.ax
-    tbx2 = 2 * segs.bx
-    ux = segs.bx - segs.ax
-    uy = segs.by - segs.ay
-
-    X = np.unique(qmx_all)
+    if ctx is not None:
+        qmx_all = ctx["qmx"]
+        qmy_all = ctx["qmy"]
+        tax2, tbx2 = ctx["tax2"], ctx["tbx2"]
+        ux, uy = ctx["ux"], ctx["uy"]
+        X = ctx["X"]
+    else:
+        qmx_all = mx[q_pos]
+        qmy_all = my[q_pos]
+        tax2 = 2 * segs.ax
+        tbx2 = 2 * segs.bx
+        ux = segs.bx - segs.ax
+        uy = segs.by - segs.ay
+        X = np.unique(qmx_all)
     ncols = len(X)
     # coarse leaves: L columns per tree leaf cuts replication (and the
     # level count) by ~log2(L); the sub-leaf ends of each segment are
@@ -1066,11 +1073,15 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     # curve is unimodal in L).  Sweep-validated on Spiral 32k/131k:
     # the old fixed remnant budget picked L=16 at 131k (13 s); the
     # model picks L=64 (4.5 s).
-    lo_c = np.searchsorted(X, tax2, side="left")
-    hi_c = np.searchsorted(X, tbx2, side="left")
-    q_col = np.searchsorted(X, qmx_all)
-    Qp = np.concatenate(([0], np.cumsum(
-        np.bincount(q_col, minlength=ncols)))).astype(np.int64)
+    if ctx is not None:
+        lo_c, hi_c, q_col, Qp = (ctx["lo"], ctx["hi"], ctx["q_col"],
+                                 ctx["Qp"])
+    else:
+        lo_c = np.searchsorted(X, tax2, side="left")
+        hi_c = np.searchsorted(X, tbx2, side="left")
+        q_col = np.searchsorted(X, qmx_all)
+        Qp = np.concatenate(([0], np.cumsum(
+            np.bincount(q_col, minlength=ncols)))).astype(np.int64)
     best = None
     L = _TREE_LEAF_MAX
     while L >= 1:
@@ -1361,7 +1372,8 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     return bot_subj, bot_clip
 
 
-def _pair_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
+def _pair_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True,
+                   ctx: dict | None = None):
     """Winding below doubled points by direct exact pair evaluation.
 
     Candidate (segment, query) pairs are generated by bucketing the
@@ -1380,18 +1392,25 @@ def _pair_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True):
     bot_clip = np.zeros(nq, dtype=np.int64)
     if nq == 0 or len(segs) == 0:
         return bot_subj, bot_clip
-    qmx_all = mx[q_pos]
-    qmy_all = my[q_pos]
-    tax2 = 2 * segs.ax
-    tbx2 = 2 * segs.bx
-    ux = segs.bx - segs.ax
-    uy = segs.by - segs.ay
-    X = np.unique(qmx_all)
-    lo = np.searchsorted(X, tax2, side="left")
-    hi = np.searchsorted(X, tbx2, side="left")
-    q_col = np.searchsorted(X, qmx_all)
-    Qp = np.concatenate(([0], np.cumsum(np.bincount(q_col,
-                                                    minlength=len(X)))))
+    if ctx is not None:
+        qmx_all = ctx["qmx"]
+        qmy_all = ctx["qmy"]
+        ux, uy = ctx["ux"], ctx["uy"]
+        X, lo, hi, q_col, Qp = (ctx["X"], ctx["lo"], ctx["hi"],
+                                ctx["q_col"], ctx["Qp"])
+    else:
+        qmx_all = mx[q_pos]
+        qmy_all = my[q_pos]
+        tax2 = 2 * segs.ax
+        tbx2 = 2 * segs.bx
+        ux = segs.bx - segs.ax
+        uy = segs.by - segs.ay
+        X = np.unique(qmx_all)
+        lo = np.searchsorted(X, tax2, side="left")
+        hi = np.searchsorted(X, tbx2, side="left")
+        q_col = np.searchsorted(X, qmx_all)
+        Qp = np.concatenate(([0], np.cumsum(np.bincount(
+            q_col, minlength=len(X)))))
     pc = Qp[hi] - Qp[lo]                 # queries per segment
     cum = np.concatenate(([0], np.cumsum(pc)))
     qs_idx = np.argsort(q_col, kind="stable")
@@ -1473,11 +1492,18 @@ def _stab_windings(segs: Segments, mx, my, q_pos, block: int = 256,
     # direct-pair engine first: when total (segment, covered-query)
     # pairs stay within budget, one exact cross test per pair beats
     # every sort-based engine (no keys, no ties)
+    q_col0 = np.searchsorted(X, qmx_all)
     Qp0 = np.concatenate(([0], np.cumsum(
-        np.bincount(np.searchsorted(X, qmx_all), minlength=len(X)))))
+        np.bincount(q_col0, minlength=len(X))))).astype(np.int64)
+    # shared probe context: the chosen engine reuses the unique/
+    # searchsorted setup instead of recomputing it (~0.1-0.15 s on
+    # Spiral-class scenes)
+    ctx = {"X": X, "lo": lo_all, "hi": hi_all, "q_col": q_col0,
+           "Qp": Qp0, "tax2": tax2, "tbx2": tbx2, "ux": ux, "uy": uy,
+           "qmx": qmx_all, "qmy": qmy_all}
     n_pairs = int((Qp0[hi_all] - Qp0[lo_all]).sum())
     if n_pairs <= max(4_000_000, 16 * max(len(segs), nq)):
-        return _pair_windings(segs, mx, my, q_pos, with_clip)
+        return _pair_windings(segs, mx, my, q_pos, with_clip, ctx)
     y_max = max(float(np.abs(segs.ay).max()),
                 float(np.abs(segs.by).max()), 1.0)
     rep_budget = 8 * max(len(segs), nq)
@@ -1499,7 +1525,7 @@ def _stab_windings(segs: Segments, mx, my, q_pos, block: int = 256,
         if nq > 2048:
             # replication over budget or keys overflow: the segment-tree
             # sweep handles dense-column workloads in O(n log^2 n)
-            return _tree_windings(segs, mx, my, q_pos, with_clip)
+            return _tree_windings(segs, mx, my, q_pos, with_clip, ctx)
         threshold = int(np.quantile(spans, 0.99)) if len(spans) > 64 \
             else int(spans.max())
     long_mask = spans > threshold
