@@ -313,21 +313,42 @@ def strip_walk(edges: List[Tuple[Point, Point]], strip: int, strip_w: int):
                 cur = nxt
             chains.append(path)
 
-    # leftovers: cycles wholly through non-break local nodes
+    # leftovers: cycles wholly through non-break local nodes. On
+    # return to the start point the face rule STILL decides: at a
+    # pinch node (walk started on one of its edges) the DCEL
+    # face-next may continue through the node rather than close —
+    # unconditional closure would split one pinched face into two
+    # rings depending on scan order.
     for start in range(len(edges)):
         if used[start]:
             continue
         used[start] = True
         path = [edges[start][0], edges[start][1]]
         cur = start
-        while edges[cur][1] != path[0]:
-            nxt = successor(cur)
-            if nxt is None:
-                break
+        closed = False
+        while True:
+            h = edges[cur][1]
+            if h == path[0]:
+                cands = [(c, edges[c][1]) for c in outgoing.get(h, ())
+                         if not used[c]]
+                if not cands:
+                    closed = True
+                    break
+                t = edges[cur][0]
+                pick = _face_successor(t[0] - h[0], t[1] - h[1],
+                                       cands + [(-2, path[1])], h)
+                if pick == -2:
+                    closed = True
+                    break
+                nxt = pick
+            else:
+                nxt = successor(cur)
+                if nxt is None:
+                    break
             used[nxt] = True
             path.append(edges[nxt][1])
             cur = nxt
-        if path[-1] == path[0]:
+        if closed:
             rings.append(path[:-1])
     return rings, chains
 
@@ -474,16 +495,20 @@ def _strip_walk_indexed(edges, orig_idx, strip: int, strip_w: int):
 
 
 def stitch_chains(chains: List[List[Point]],
-                  totals: Dict[Point, int] | None = None):
+                  totals: Dict[Point, tuple] | None = None):
     """Join chains into closed rings by matching endpoints; junctions
     (several chains at one node) resolve with the same leftmost-turn
     rule as the strip walk.
 
-    With ``totals`` (global chain-endpoint counts per point), only
-    points whose full local set is present are joined and leftover open
-    chains are returned separately: (rings, leftover_chains). Without
-    it, all chains are assumed present (single final stitch) and only
-    rings are returned.
+    With ``totals`` (global per-point (starts, ends) chain-endpoint
+    counts), ONLY globally-forced joins run: a point with exactly one
+    start and one end has a unique continuation everywhere, so joining
+    it locally can never disagree with the global face walk. Junction
+    points (several starters/arrivals — where a local decision with an
+    absent remote arrival could consume the wrong starter) defer to
+    the final task; leftover open chains are returned separately:
+    (rings, leftover_chains). Without ``totals``, all chains are
+    assumed present (single final stitch) and only rings are returned.
     """
     by_tail: Dict[Point, List[int]] = {}
     for ci, ch in enumerate(chains):
@@ -495,30 +520,47 @@ def stitch_chains(chains: List[List[Point]],
     def can_join(p: Point) -> bool:
         if totals is None:
             return True
-        local = len(by_tail.get(p, ()))
-        return local >= totals.get(p, 0)
+        return totals.get(p) == (1, 1)
 
     for start in range(len(chains)):
         if used[start]:
             continue
         used[start] = True
         ring = list(chains[start])
-        while ring[-1] != ring[0]:
+        closed = False
+        while True:
             p = ring[-1]
+            closing = p == ring[0]
             if not can_join(p):
-                break
+                break       # junction: defer to the final task
             cands = [(c, chains[c][1]) for c in by_tail.get(p, ())
                      if not used[c]]
-            if not cands:
-                break
-            if len(cands) == 1:
-                nxt = cands[0][0]
+            if closing:
+                # the face rule decides between closing (the ring's own
+                # first segment as a virtual candidate) and continuing
+                # through a pinch junction — unconditional closure
+                # would split one pinched face by scan order
+                if not cands:
+                    closed = True
+                    break
+                pick = _face_successor(ring[-2][0] - p[0],
+                                       ring[-2][1] - p[1],
+                                       cands + [(-2, ring[1])], p)
+                if pick == -2:
+                    closed = True
+                    break
+                nxt = pick
             else:
-                nxt = _face_successor(ring[-2][0] - p[0], ring[-2][1] - p[1],
-                                     cands, p)
+                if not cands:
+                    break
+                if len(cands) == 1:
+                    nxt = cands[0][0]
+                else:
+                    nxt = _face_successor(ring[-2][0] - p[0],
+                                          ring[-2][1] - p[1], cands, p)
             used[nxt] = True
             ring.extend(chains[nxt][1:])
-        if ring[-1] == ring[0]:
+        if closed:
             rings.append(ring[:-1])
         else:
             out_chains.append(ring)

@@ -251,6 +251,9 @@ def _merged(ds, num_partitions: int = 32):
 # (one fewer exchange); anything larger joins segments distributed —
 # the driver never holds more than DRIVER_MARKS_CAP rows per round
 DRIVER_MARKS_CAP = 1 << 19
+# chain tails up to this size stitch in ONE final task (skips the
+# totals action and the block groupby round)
+SINGLE_STITCH_CAP = 50_000
 
 
 def split_rounds_ds(segs_ds, strip_w: int, max_rounds: int = 64,
@@ -413,26 +416,50 @@ def _stitched_rings(walkout, strip_w: int, block_strips: int = 8):
 
     rings0 = walkout.filter(expr="kind == 0")
     chains = walkout.filter(expr="kind == 1").materialize()
-    if chains.count() == 0:
+    n_chains = chains.count()
+    if n_chains == 0:
         return rings0
+
+    if n_chains <= SINGLE_STITCH_CAP:
+        # small chain tail (the common case): one final stitch task —
+        # skips the totals exchange AND the block round entirely
+        final = chains.repartition(1).map_batches(
+            lambda b: _stitch_final(b.select(["kind", "pts"])),
+            batch_size=None, batch_format="pyarrow")
+        return rings0.union(final)
 
     def tag_block(batch: pa.Table) -> pa.Table:
         starts_x = pc.list_element(batch.column("pts"), 0)
         block = pc.divide(pc.divide(starts_x, strip_w), block_strips)
         return batch.append_column("block", block)
 
-    # global chain-start totals per point (small: one row per open chain)
-    def start_keys(batch: pa.Table) -> pa.Table:
+    # global per-point (starts, ends) chain-endpoint counts: one row
+    # per open chain — collapse on the driver (an action, not a
+    # groupby exchange)
+    def end_keys(batch: pa.Table) -> pa.Table:
+        col = batch.column("pts")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = np.asarray(col.offsets, np.int64)
+        vals = np.asarray(col.values, np.int64)
         return pa.table({
-            "sx": pc.list_element(batch.column("pts"), 0),
-            "sy": pc.list_element(batch.column("pts"), 1),
+            "sx": pa.array(vals[offs[:-1]], pa.int64()),
+            "sy": pa.array(vals[offs[:-1] + 1], pa.int64()),
+            "ex": pa.array(vals[offs[1:] - 2], pa.int64()),
+            "ey": pa.array(vals[offs[1:] - 1], pa.int64()),
         })
 
-    totals_df = chains.map_batches(start_keys, batch_format="pyarrow") \
-        .groupby(["sx", "sy"]).count().to_pandas()
-    cnt_col = [c for c in totals_df.columns if c not in ("sx", "sy")][0]
-    totals = {(int(sx), int(sy)): int(c) for sx, sy, c in zip(
-        totals_df["sx"], totals_df["sy"], totals_df[cnt_col])}
+    totals_df = chains.map_batches(end_keys, batch_format="pyarrow") \
+        .to_pandas()
+    starts = totals_df.value_counts(["sx", "sy"])
+    ends = totals_df.value_counts(["ex", "ey"])
+    totals: Dict[tuple, list] = {}
+    for (sx, sy), c in starts.items():
+        totals[(int(sx), int(sy))] = [int(c), 0]
+    for (ex, ey), c in ends.items():
+        t = totals.setdefault((int(ex), int(ey)), [0, 0])
+        t[1] = int(c)
+    totals = {k: (v[0], v[1]) for k, v in totals.items()}
     totals_ref = ray.put(totals)
 
     round_a = (chains.map_batches(tag_block, batch_format="pyarrow")

@@ -247,3 +247,39 @@ def test_strip_walk_arrays_matches_strip_walk():
         r2, c2 = strip_walk_arrays(tx, ty, hx, hy, strip, strip_w)
         assert r1 == r2, trial
         assert c1 == c2, trial
+
+
+def test_block_stitch_matches_single_task(ray_session):
+    # force the block-round stitch (cap=0) and require bit-identical
+    # rings vs the single-final-task path
+    import numpy as np
+
+    import ioverlay_ray.pipelines.tiled_overlay as T
+    from ioverlay_ray.pipelines.tiled_overlay import tiled_rings_ds
+
+    rng = np.random.default_rng(31337)
+    subj = []
+    for _ in range(30):   # wide rects crossing many strips -> chains
+        x0, y0 = (int(v) for v in rng.integers(0, 200, 2))
+        subj.append([(x0, y0), (x0 + int(rng.integers(100, 400)), y0),
+                     (x0 + 250, y0 + int(rng.integers(10, 60)))])
+    cap = T.SINGLE_STITCH_CAP
+    try:
+        single = tiled_rings_ds(subj, [], "subject", "nonzero",
+                                strip_w=32).to_pandas()
+        T.SINGLE_STITCH_CAP = 0
+        block = tiled_rings_ds(subj, [], "subject", "nonzero",
+                               strip_w=32).to_pandas()
+    finally:
+        T.SINGLE_STITCH_CAP = cap
+
+    def canon(flat):
+        # stitched rings may start at different chain heads depending
+        # on join grouping; canonicalize rotation (same orientation)
+        pts = list(zip(flat[0::2], flat[1::2]))
+        k = min(range(len(pts)), key=lambda i: pts[i])
+        return tuple(pts[k:] + pts[:k])
+
+    assert sorted(canon(p) for p in single["pts"]) \
+        == sorted(canon(p) for p in block["pts"])
+    assert len(single) > 0
