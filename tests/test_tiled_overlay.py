@@ -35,8 +35,38 @@ def canon(segs):
                       segs.subj.tolist(), segs.clip.tolist()))
 
 
+def _canon_ring(pts):
+    """Rotation-canonical, collinear-simplified ring (strip borders add
+    collinear vertices the single kernel never sees)."""
+    pts = list(pts)
+    changed = True
+    while changed and len(pts) >= 3:
+        changed = False
+        out = []
+        n = len(pts)
+        for i in range(n):
+            p0, p1, p2 = pts[i - 1], pts[i], pts[(i + 1) % n]
+            cr = (p1[0] - p0[0]) * (p2[1] - p0[1]) \
+                - (p1[1] - p0[1]) * (p2[0] - p0[0])
+            if cr == 0:
+                changed = True
+                continue
+            out.append(p1)
+        pts = out
+    if not pts:
+        return ()
+    k = min(range(len(pts)), key=lambda i: pts[i])
+    return tuple(pts[k:] + pts[:k])
+
+
+def _ring_multiset(shapes):
+    return sorted(_canon_ring([tuple(p) for p in c])
+                  for sh in shapes for c in sh)
+
+
 def assert_bit_parity(subj, clip, strip_w=256, fill_rules=(0, 1)):
-    """Split set + fills bit-equal; assembled area/shape/hole parity."""
+    """Split set + fills bit-equal; assembled RING SETS equal to the
+    single kernel (rotation-canonical, collinear-simplified)."""
     ref = split_segments(build_segments(subj, clip))
     got = binned_split(build_segments(subj, clip), strip_w)
     assert canon(ref) == canon(got)
@@ -52,6 +82,7 @@ def assert_bit_parity(subj, clip, strip_w=256, fill_rules=(0, 1)):
         assert shapes_area2(s1) == shapes_area2(s2), rule
         assert len(s1) == len(s2), rule
         assert sum(len(s) - 1 for s in s1) == sum(len(s) - 1 for s in s2), rule
+        assert _ring_multiset(s1) == _ring_multiset(s2), rule
 
 
 def test_rect_cases():
