@@ -458,6 +458,149 @@ def _pair_blocks_1d(segs: Segments, members: np.ndarray, bmin=None,
         i0 = i1
 
 
+def _rect_pair_blocks(segs: Segments, h_mask: np.ndarray):
+    """Candidate pairs for fully rectilinear scenes, enumerated
+    straight from INCLUSIVE bbox overlap (the same pair set the
+    generic x-window + y-reject scan keeps, proven by a set-equality
+    test): H x V through a segment tree over the vertical columns with
+    per-node y-sorted members (O((n + out) log n)), H-H / V-V through
+    same-line packed windows."""
+    n = len(segs)
+    hh = np.flatnonzero(h_mask)
+    vv = np.flatnonzero(~h_mask)
+    out_i: list = []
+    out_j: list = []
+    budget = [0]
+
+    def flush(force=False):
+        if budget[0] >= PAIR_BLOCK or (force and budget[0]):
+            ii = np.concatenate(out_i)
+            jj = np.concatenate(out_j)
+            out_i.clear()
+            out_j.clear()
+            budget[0] = 0
+            return ii, jj
+        return None
+
+    # ---- H x V ----
+    if len(hh) and len(vv):
+        vx = segs.ax[vv]
+        vy0 = segs.ay[vv]
+        vy1 = segs.by[vv]           # a < b normalized: ay < by for V
+        X, vcol = np.unique(vx, return_inverse=True)
+        ncols = len(X)
+        lo = np.searchsorted(X, segs.ax[hh], side="left")
+        hi = np.searchsorted(X, segs.bx[hh], side="right")  # inclusive
+        keep = hi > lo
+        N = 1 << max(1, (ncols - 1).bit_length())
+        l = (lo[keep] + N).copy()
+        h = (hi[keep] + N - 1).copy()   # inclusive leaf range [l, h]
+        sid = hh[keep]
+        node_parts = []
+        mem_parts = []
+        while len(l):
+            oddl = (l & 1) == 1
+            if oddl.any():
+                node_parts.append(l[oddl].copy())
+                mem_parts.append(sid[oddl].copy())
+                l = l + oddl
+            evenh = (h & 1) == 0
+            if evenh.any():
+                node_parts.append(h[evenh].copy())
+                mem_parts.append(sid[evenh].copy())
+                h = h - evenh
+            l >>= 1
+            h >>= 1
+            keep2 = l <= h
+            l = l[keep2]
+            h = h[keep2]
+            sid = sid[keep2]
+        if node_parts:
+            nodes = np.concatenate(node_parts)
+            mem = np.concatenate(mem_parts)
+            hy = segs.ay[mem]
+            B31 = np.int64(1) << 31
+            packed = nodes.astype(np.int64) * (np.int64(1) << 32) \
+                + (hy + B31)
+            o = np.argsort(packed, kind="stable")
+            packed_s = packed[o]
+            mem_s = mem[o]
+            # per-V ancestor probes, all levels at once
+            leaf = vcol + N
+            levels = int(N).bit_length()
+            base = np.int64(1) << 32
+            for _ in range(levels):
+                lb = np.searchsorted(
+                    packed_s, leaf.astype(np.int64) * base
+                    + (vy0 + B31), side="left")
+                ub = np.searchsorted(
+                    packed_s, leaf.astype(np.int64) * base
+                    + (vy1 + B31), side="right")
+                cnt = ub - lb
+                hitv = np.flatnonzero(cnt > 0)
+                if len(hitv):
+                    reps = cnt[hitv]
+                    total = int(reps.sum())
+                    offs = np.concatenate(([0],
+                                           np.cumsum(reps)))[:-1]
+                    pos = np.arange(total, dtype=np.int64) \
+                        - np.repeat(offs, reps) + np.repeat(lb[hitv],
+                                                            reps)
+                    out_i.append(mem_s[pos])
+                    out_j.append(vv[np.repeat(hitv, reps)])
+                    budget[0] += total
+                    blk = flush()
+                    if blk is not None:
+                        yield blk
+                leaf >>= 1
+
+    # ---- same-line pairs (H-H sharing y, V-V sharing x) ----
+    for idx, line, c0, c1 in (
+            (hh, segs.ay, segs.ax, segs.bx),
+            (vv, segs.ax, segs.ay, segs.by)):
+        if len(idx) < 2:
+            continue
+        ln = line[idx]
+        a = c0[idx]
+        b = c1[idx]
+        o = np.lexsort((a, ln))
+        idx_s = idx[o]
+        ln_s = ln[o]
+        a_s = a[o]
+        b_s = b[o]
+        avals = np.unique(a_s)
+        K = np.int64(len(avals) + 2)
+        lr = np.unique(ln_s, return_inverse=True)[1].astype(np.int64)
+        xr = np.searchsorted(avals, a_s)
+        pk = lr * K + xr
+        qr = np.searchsorted(avals, b_s, side="right")
+        j_end = np.searchsorted(pk, lr * K + qr, side="left")
+        m = len(idx_s)
+        cts = np.maximum(j_end - np.arange(1, m + 1), 0)
+        pcs = np.concatenate(([0], np.cumsum(cts)))
+        i0 = 0
+        while i0 < m:
+            i1 = int(np.searchsorted(pcs, pcs[i0] + PAIR_BLOCK,
+                                     "right")) - 1
+            i1 = max(i1, i0 + 1)
+            c = cts[i0:i1]
+            total = int(c.sum())
+            if total:
+                pp = np.repeat(np.arange(i0, i1), c)
+                offs = (pcs[i0:i1] - pcs[i0]).astype(np.int64)
+                qq = np.arange(total) - np.repeat(offs, c) + pp + 1
+                out_i.append(idx_s[pp])
+                out_j.append(idx_s[qq])
+                budget[0] += total
+                blk = flush()
+                if blk is not None:
+                    yield blk
+            i0 = i1
+    blk = flush(force=True)
+    if blk is not None:
+        yield blk
+
+
 def _candidate_pair_blocks(segs: Segments):
     """Yield (i, j>i) candidate-pair blocks with x-overlap (sorted by a)
     and y-range overlap.
@@ -485,6 +628,18 @@ def _candidate_pair_blocks(segs: Segments):
         # dense-crossing scenes (grids) blow the flat window even at
         # modest n: band when the window is >>n, not only at huge n
         use_bands = flat_pairs > max(32 * n, 1 << 16)
+    if use_bands and _RECT_FAST:
+        is_h = segs.ay == segs.by
+        is_v = segs.ax == segs.bx
+        if bool(np.all(is_h | is_v)):
+            # rectilinear interval join: candidates enumerated straight
+            # from bbox overlap (H x V via a column segment tree with
+            # per-node y-sorted members; same-line H-H / V-V via packed
+            # windows) — the y-banded scan enumerates x-window pairs
+            # BEFORE its y-reject, which is O(n^2) on concentric-frame
+            # scenes where every strip spans the full extent
+            yield from _rect_pair_blocks(segs, is_h & ~is_v)
+            return
     if use_bands:
         y0 = int(ymin.min())
         y1 = int(ymax.max())
@@ -1372,6 +1527,87 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True,
     return bot_subj, bot_clip
 
 
+def _rect_windings(segs: Segments, q_pos, with_clip: bool, ctx: dict):
+    """Winding below doubled points for fully RECTILINEAR scenes.
+
+    Vertical segments have an empty half-open x-span [2ax, 2ax) and
+    never cover a stab; a horizontal segment at y=ay counts exactly
+    when 2ax <= qx < 2bx and 2ay < qy. So the answer is a pure prefix
+    sum: decompose each H x-span over a segment tree of the query
+    columns, sort each node's members by 2ay with winding prefix sums,
+    and every query reads ONE searchsorted position per ancestor level
+    — no float keys, no exact-rational re-sorts, no rank search.
+    Bit-exact with the generic engines (same strict-below semantics)."""
+    nq = len(q_pos)
+    bot_subj = np.zeros(nq, dtype=np.int64)
+    bot_clip = np.zeros(nq, dtype=np.int64)
+    qmx = ctx["qmx"]
+    qmy = ctx["qmy"]
+    X = ctx["X"]
+    q_col = ctx["q_col"]
+    hmask = (segs.ay == segs.by) & (segs.ax != segs.bx)
+    hsel = np.flatnonzero(hmask)
+    if not len(hsel) or not len(X):
+        return bot_subj, bot_clip
+    lo = ctx["lo"][hsel]
+    hi = ctx["hi"][hsel]
+    keep = hi > lo
+    hsel = hsel[keep]
+    lo = lo[keep]
+    hi = hi[keep]
+    if not len(hsel):
+        return bot_subj, bot_clip
+    ncols = len(X)
+    N = 1 << max(1, (ncols - 1).bit_length())
+    l = (lo + N).copy()
+    h = (hi - 1 + N).copy()     # inclusive leaf range
+    sid = hsel
+    node_parts = []
+    mem_parts = []
+    while len(l):
+        oddl = (l & 1) == 1
+        if oddl.any():
+            node_parts.append(l[oddl].copy())
+            mem_parts.append(sid[oddl].copy())
+            l = l + oddl
+        evenh = (h & 1) == 0
+        if evenh.any():
+            node_parts.append(h[evenh].copy())
+            mem_parts.append(sid[evenh].copy())
+            h = h - evenh
+        l >>= 1
+        h >>= 1
+        keep2 = l <= h
+        l = l[keep2]
+        h = h[keep2]
+        sid = sid[keep2]
+    if not node_parts:
+        return bot_subj, bot_clip
+    nodes = np.concatenate(node_parts).astype(np.int64)
+    mem = np.concatenate(mem_parts)
+    OFF = np.int64(1) << 32
+    BASE = np.int64(1) << 33
+    packed = nodes * BASE + (2 * segs.ay[mem] + OFF)
+    o = np.argsort(packed, kind="stable")
+    packed_s = packed[o]
+    mem_s = mem[o]
+    csum_s = np.concatenate(([0], np.cumsum(segs.subj[mem_s])))
+    csum_c = np.concatenate(([0], np.cumsum(segs.clip[mem_s]))) \
+        if with_clip else None
+    leaf = (q_col + N).astype(np.int64)
+    levels = int(N).bit_length()
+    qk = qmy + OFF
+    for _ in range(levels):
+        base = leaf * BASE
+        nb = np.searchsorted(packed_s, base)
+        pos = np.searchsorted(packed_s, base + qk, side="left")
+        bot_subj += csum_s[pos] - csum_s[nb]
+        if with_clip:
+            bot_clip += csum_c[pos] - csum_c[nb]
+        leaf >>= 1
+    return bot_subj, bot_clip
+
+
 def _pair_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True,
                    ctx: dict | None = None):
     """Winding below doubled points by direct exact pair evaluation.
@@ -1501,6 +1737,10 @@ def _stab_windings(segs: Segments, mx, my, q_pos, block: int = 256,
     ctx = {"X": X, "lo": lo_all, "hi": hi_all, "q_col": q_col0,
            "Qp": Qp0, "tax2": tax2, "tbx2": tbx2, "ux": ux, "uy": uy,
            "qmx": qmx_all, "qmy": qmy_all}
+    if _RECT_FAST and bool(np.all((uy == 0) | (ux == 0))):
+        # fully rectilinear: pure prefix-sum engine, O((n+q) log n)
+        # with no exact-rational work at all
+        return _rect_windings(segs, q_pos, with_clip, ctx)
     n_pairs = int((Qp0[hi_all] - Qp0[lo_all]).sum())
     if n_pairs <= max(4_000_000, 16 * max(len(segs), nq)):
         return _pair_windings(segs, mx, my, q_pos, with_clip, ctx)

@@ -243,3 +243,74 @@ def test_rectilinear_classify_fast_path_matches_general():
                 assert fast == general, rule
     finally:
         K._RECT_FAST = True
+
+
+def test_rect_pair_enumeration_set_equals_generic():
+    # the rectilinear interval-join candidate enumeration must produce
+    # EXACTLY the generic x-window + y-reject pair set
+    import numpy as np
+
+    import ioverlay_ray.geometry.kernel as K
+
+    rng = np.random.default_rng(2024)
+
+    def rect(x0, y0, w, h):
+        return [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+
+    for trial in range(10):
+        polys = []
+        for _ in range(int(rng.integers(5, 60))):
+            x0, y0 = (int(v) for v in rng.integers(0, 300, 2))
+            polys.append(rect(x0, y0, int(rng.integers(1, 200)),
+                              int(rng.integers(1, 200))))
+        # concentric frames: the regime the banded scan is O(n^2) on
+        for i in range(12):
+            r = 4 * (i + 1)
+            polys.append(rect(-r, -r, 2 * r, 2 * r))
+        segs = K.sort_merge(K.build_segments(
+            polys[:len(polys) // 2], polys[len(polys) // 2:]))
+        h_mask = segs.ay == segs.by
+        got = set()
+        for ii, jj in K._rect_pair_blocks(segs, h_mask):
+            got.update(zip(np.minimum(ii, jj).tolist(),
+                           np.maximum(ii, jj).tolist()))
+        K._RECT_FAST = False
+        try:
+            ref = set()
+            for ii, jj in K._candidate_pair_blocks(segs):
+                ref.update(zip(np.minimum(ii, jj).tolist(),
+                               np.maximum(ii, jj).tolist()))
+        finally:
+            K._RECT_FAST = True
+        assert got == ref, trial
+
+
+def test_rect_fill_fast_path_matches_general():
+    # the rectilinear prefix-sum winding engine must be BIT-IDENTICAL
+    # to the generic engines on random rectilinear scenes
+    import numpy as np
+
+    import ioverlay_ray.geometry.kernel as K
+    from ioverlay_ray.geometry.overlay import overlay
+
+    rng = np.random.default_rng(4096)
+
+    def rect(x0, y0, w, h):
+        return [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+
+    for trial in range(10):
+        subj, clip = [], []
+        for out in (subj, clip):
+            for _ in range(int(rng.integers(3, 40))):
+                x0, y0 = (int(v) for v in rng.integers(0, 400, 2))
+                out.append(rect(x0, y0, int(rng.integers(1, 250)),
+                                int(rng.integers(1, 250))))
+        for rule in ("union", "xor", "difference", "intersect"):
+            K._RECT_FAST = True
+            fast = overlay(subj, clip, rule)
+            K._RECT_FAST = False
+            try:
+                gen = overlay(subj, clip, rule)
+            finally:
+                K._RECT_FAST = True
+            assert fast == gen, (trial, rule)
