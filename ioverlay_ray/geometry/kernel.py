@@ -1255,7 +1255,10 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True,
         spans = (lf_hi - lf_lo)[full]
         entries = 2 * len(spans) + 2 * int(
             np.log2(np.maximum(spans, 1)).sum())
-        cost = rem + 6 * entries + 2 * nq * levels
+        # weights fit to the empirical L sweeps on Spiral 32k/131k
+        # (entries carry keys+lexsort+prefix work; remnant pairs are
+        # a streaming cross test each)
+        cost = rem + 13 * entries + 2 * nq * levels
         if best is None or cost < best[0]:
             best = (cost, L, lf_lo, lf_hi, full, a_end, rem1, rem2)
         elif cost > best[0] * 1.25:
