@@ -124,3 +124,11 @@ def test_concentric_matches_single_kernel(ray_session):
     shapes = overlay(subs, clips, "difference", "nonzero")
     assert r["polygons"] == len(shapes)
     assert r["area2"] == _net_area2(shapes)
+
+
+def test_nested_deep_single_kernel_gate(ray_session):
+    # deep-nesting regression gate: 1024 concentric frames through the
+    # single kernel (hole binding is the historical O(n^2) hazard)
+    r = W.nested_squares_single(1024)
+    assert r["shapes"] == 1024
+    assert r["contours"] == 2048
