@@ -314,3 +314,27 @@ def test_block_stitch_matches_single_task(ray_session):
     assert sorted(canon(p) for p in single["pts"]) \
         == sorted(canon(p) for p in block["pts"])
     assert len(single) > 0
+
+
+def test_tiled_spiral_area_matches_kernel(ray_session):
+    # the named single-component worst case (Spiral) through the FULL
+    # tiled pipeline: net area must equal the single kernel's on the
+    # same lattice (arbitrary slopes, one giant pure cycle, chains
+    # spanning every strip)
+    from ioverlay_ray.pipelines.perf_workloads import spiral as spiral_pts
+    from ioverlay_ray.geometry.float_api import FloatPointAdapter
+    from ioverlay_ray.pipelines.tiled_overlay import (rings_area2,
+                                                      tiled_rings_ds)
+    from ioverlay_ray.stages.geo_arrow import shapes_area2
+
+    path = spiral_pts(2048)
+    xs = np.array([p[0] for p in path])
+    ys = np.array([p[1] for p in path])
+    ad = FloatPointAdapter(float(xs.min()), float(ys.min()),
+                           float(xs.max()), float(ys.max()))
+    qx = np.rint((xs - ad.offset_x) * ad.scale).astype(np.int64)
+    qy = np.rint((ys - ad.offset_y) * ad.scale).astype(np.int64)
+    ipath = list(zip(qx.tolist(), qy.tolist()))
+    shapes = overlay([ipath], [], "subject", "nonzero")
+    rings = tiled_rings_ds([ipath], [], "subject", "nonzero")
+    assert rings_area2(rings) == shapes_area2(shapes)
