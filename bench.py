@@ -122,6 +122,24 @@ def run_lines_net(n: int) -> dict:
     return lines_net_grid(n, block=16)
 
 
+def run_tiled_linesnet(n: int) -> dict:
+    """The generic tile-distributed overlay (bit-exact fragment model:
+    binned split + distributed mark exchange + strip fill/walk/stitch)
+    on LinesNet — tracks the pipeline's barrier constant per round.
+    Verified against the closed form (n^2 unit squares)."""
+    from ioverlay_ray.pipelines.perf_workloads import (many_lines_x,
+                                                       many_lines_y)
+    from ioverlay_ray.pipelines.tiled_overlay import (rings_area2,
+                                                      tiled_rings_ds)
+    subj = many_lines_x(20, n)
+    clip = many_lines_y(20, n)
+    t0 = time.time()
+    a2 = rings_area2(tiled_rings_ds(subj, clip, "intersect", "nonzero"))
+    sec = time.time() - t0
+    assert a2 == 200 * n * n - 100 * n, a2
+    return {"sec": sec, "label": 2 * n}
+
+
 def run_spiral(count: int) -> dict:
     """Reference perf test 3 (Spiral subject-only overlay; label =
     count). Dominated by one connected component, so this is the
@@ -149,6 +167,8 @@ def bench_once(sf_dir: str, num_cpus: int, n_images: int) -> dict:
                     int(os.environ.get("GRAFT_LINES_N", "1024")))
     spiral = best_of(run_spiral,
                      int(os.environ.get("GRAFT_SPIRAL_N", "32768")))
+    tiled = best_of(run_tiled_linesnet,
+                    int(os.environ.get("GRAFT_TILED_N", "256")))
     # the reference's remaining six perf workloads at the LARGEST size
     # in its published i64 multithreaded logs (BASELINE.md comparison
     # rows); each is index-math distributed, closed-form/parity checked
@@ -170,6 +190,7 @@ def bench_once(sf_dir: str, num_cpus: int, n_images: int) -> dict:
     queries["flagship_overlay_join"] = round(flag["sec"], 3)
     queries["lines_net_intersect"] = round(lines["sec"], 3)
     queries["spiral_subject"] = round(spiral["sec"], 3)
+    queries["tiled_linesnet"] = round(tiled["sec"], 3)
     for key, r in ref6.items():
         queries[key] = round(r["sec"], 3)
     total = sum(queries.values())
