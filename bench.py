@@ -168,7 +168,7 @@ def bench_once(sf_dir: str, num_cpus: int, n_images: int) -> dict:
     spiral = best_of(run_spiral,
                      int(os.environ.get("GRAFT_SPIRAL_N", "32768")))
     tiled = best_of(run_tiled_linesnet,
-                    int(os.environ.get("GRAFT_TILED_N", "256")))
+                    int(os.environ.get("GRAFT_TILED_N", "128")))
     # the reference's remaining six perf workloads at the LARGEST size
     # in its published i64 multithreaded logs (BASELINE.md comparison
     # rows); each is index-math distributed, closed-form/parity checked
