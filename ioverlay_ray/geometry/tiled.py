@@ -610,11 +610,36 @@ def bind_tags(ring_entries: List[tuple], anchor_entries: List[tuple]):
         lambda u, v: (-1 if u[0][0] < v[0][0] else 1) if u[0][0] != v[0][0]
         else _cmp_by_angle(u[0], v[0])))
 
+    # comparator-bisected status line (the join_holes structure):
+    # output edges never cross, so the pairwise order of
+    # co-overlapping segments is static and bisection is valid —
+    # O((n+q) log n) instead of the per-anchor full rescan
+    import heapq
     out: dict = {}
-    scan: list = []
+    status: list = []
+    expiry: list = []
+    seq = 0
+
+    def locate(vseg) -> int:
+        lo, hi = 0, len(status)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if _vseg_cmp(status[mid][0], vseg) < 0:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
     j = 0
     for anchor_vseg, hole_tag in anchors:
         p = anchor_vseg[0]
+        while expiry and expiry[0][0] < p[0]:
+            _, _, vseg = heapq.heappop(expiry)
+            pos = locate(vseg)
+            while pos < len(status) and status[pos][0] != vseg:
+                pos += 1
+            if pos < len(status):
+                del status[pos]
         while j < len(segments):
             vseg, tag = segments[j]
             if vseg[0] > anchor_vseg[0] or (
@@ -622,21 +647,17 @@ def bind_tags(ring_entries: List[tuple], anchor_entries: List[tuple]):
                     and _cmp_by_angle(vseg, anchor_vseg) > 0):
                 break
             if vseg[1][0] > p[0]:
-                scan.append((vseg, tag))
+                status.insert(locate(vseg), (vseg, tag))
+                heapq.heappush(expiry, (vseg[1][0], seq, vseg))
+                seq += 1
             j += 1
-        best = None
-        best_tag = None
-        alive = []
-        for vseg, tag in scan:
-            if vseg[1][0] < p[0]:
-                continue
-            alive.append((vseg, tag))
-            if tag != hole_tag and _vseg_cmp(vseg, anchor_vseg) < 0:
-                if best is None or _vseg_cmp(best, vseg) < 0:
-                    best = vseg
-                    best_tag = tag
-        scan = alive
-        out[hole_tag] = best_tag
+        # greatest entry strictly under the anchor that is NOT the
+        # hole's own ring (its bottom edges can sit right below its
+        # own anchor)
+        pos = locate(anchor_vseg) - 1
+        while pos >= 0 and status[pos][1] == hole_tag:
+            pos -= 1
+        out[hole_tag] = status[pos][1] if pos >= 0 else None
     return out
 
 
