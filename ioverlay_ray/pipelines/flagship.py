@@ -49,13 +49,13 @@ def images_dataset(n_images: int = 512, seed: int = 42,
                     s0, min(shard, n_images - s0), fn))
         ray.get(refs)
         open(marker, "w").close()
-    files = [os.path.join(path, f) for f in sorted(os.listdir(path))
-             if f.endswith(".parquet")]
     import ray
+
+    from ..sources.images import read_images
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return ray.data.read_parquet(
-        files, columns=["image_id", "w", "h"],
-        override_num_blocks=max(len(files), cpus * 2))
+    n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    return read_images(path, columns=["image_id", "w", "h"],
+                       override_num_blocks=max(n_files, cpus * 2))
 
 
 def overlay_join(ds: "ray.data.Dataset", rule: str = "intersect",

@@ -323,3 +323,30 @@ def test_exact_grouped_quantiles(ray_session):
         vals = np.sort(df.loc[df["g"] == r["g"], "v"].to_numpy())
         k = max(1, int(np.ceil(r["q"] * len(vals))))
         assert r["value"] == vals[k - 1], (r["g"], r["q"])
+
+
+def test_read_images_front_door(ray_session, tmp_path):
+    # the canonical image-table reader: parquet path prunes columns;
+    # the Lance path is import-gated with an actionable error in this
+    # container (no pylance wheel); unknown columns rejected
+    import pytest
+
+    from ioverlay_ray.sources.images import read_images
+    from ioverlay_ray.sources.synth import make_images_table
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    pq.write_table(make_images_table(32), str(d / "part0.parquet"))
+    ds = read_images(str(d), columns=["image_id", "w", "h"])
+    df = ds.to_pandas()
+    assert list(df.columns) == ["image_id", "w", "h"]
+    assert len(df) == 32
+
+    with pytest.raises(ValueError):
+        read_images(str(d), columns=["image_id", "nope"])
+
+    lance_dir = tmp_path / "t.lance"
+    lance_dir.mkdir()
+    with pytest.raises(ImportError, match="pylance"):
+        read_images(str(lance_dir))
