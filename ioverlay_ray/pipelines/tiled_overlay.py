@@ -43,7 +43,7 @@ from ..geometry.kernel import (FILL_RULE_NAMES, RULE_NAMES, Segments,
                                fills_from_windings, is_fill_top,
                                rule_include_mask)
 from ..geometry.tiled import (bind_tags, bottom_windings_subset,
-                              stitch_chains, strip_walk, _ring_area2)
+                              stitch_chains)
 from ..geometry.extract import _left_bottom_segment
 
 PTS = pa.list_(pa.int64())  # flat x,y pairs
@@ -59,13 +59,6 @@ def _seg_table(segs: Segments) -> pa.Table:
 def _segs_of(batch: pa.Table) -> Segments:
     return Segments(*[batch.column(c).to_numpy().astype(np.int64)
                       for c in SEG_COLS])
-
-
-def _pack_key(ax, ay, bx, by):
-    """128-bit parent key as a python int (coords < 2^30)."""
-    B = 1 << 31
-    return (((ax + B) << 96) | ((ay + B) << 64) |
-            ((bx + B) << 32) | (by + B))
 
 
 # ---------------------------------------------------------------------------
