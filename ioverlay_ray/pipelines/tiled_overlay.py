@@ -4,13 +4,17 @@ Round-2 architecture (geometry/tiled.py, mirroring the reference's
 fragment solver split/solver_fragment.rs:107-178):
 
   split rounds:  segments Dataset -> map_batches(bin replicate)
-                 -> groupby(bin).map_groups(exact pair marks on WHOLE
-                    parents) -> small marks table -> broadcast ->
-                 map_batches(apply marks to parents)
-                 -> hash-partitioned merge (the distributed sort_merge)
-  fill:          map_batches(strip replicate + owner flag)
-                 -> groupby(strip).map_groups(winding stab for owned,
-                    rule filter, region-on-left orient)
+                 -> groupby(bin).map_groups(bin-local winding merge +
+                    exact pair marks on WHOLE parents) -> small marks
+                 table -> broadcast -> map_batches(apply marks to
+                 parents).  The global sort_merge exchange is FOLDED
+                 into the bin/strip groupbys (identical rows replicate
+                 identically, so a group-local merge equals the global
+                 one) — one exchange per round, not two.
+  fill:          map_batches(strip replicate)
+                 -> groupby(strip).map_groups(strip-local winding
+                    merge, winding stab for owned, rule filter,
+                    region-on-left orient)
   extract:       edges shuffle by tail-strip
                  -> groupby(tstrip).map_groups(chain walk)
   stitch:        chains (the small tail) -> block-grouped stitch round
@@ -41,7 +45,7 @@ from ..geometry.kernel import (FILL_RULE_NAMES, RULE_NAMES, Segments,
                                _apply_marks, _candidate_pair_blocks,
                                _cat_marks, _classify_pairs, build_segments,
                                fills_from_windings, is_fill_top,
-                               rule_include_mask)
+                               rule_include_mask, sort_merge)
 from ..geometry.tiled import (bind_tags, bottom_windings_subset,
                               stitch_chains)
 from ..geometry.extract import _left_bottom_segment
@@ -80,8 +84,13 @@ def _bin_replicate(strip_w: int):
 def _bin_marks(radius: int):
     def fn(group: pa.Table) -> pa.Table:
         segs = _segs_of(group)
-        order = np.lexsort((segs.by, segs.bx, segs.ay, segs.ax))
-        segs = segs.take(order)
+        # bin-LOCAL winding merge before pairing: split rounds defer the
+        # global sort_merge exchange; identical rows replicate to the
+        # same bins, so the per-bin merge equals the global merge
+        # restricted to this bin (zero-sum duplicates drop here and
+        # produce no phantom marks). sort_merge also provides the
+        # (a, b) order _candidate_pair_blocks expects.
+        segs = sort_merge(segs)
         m_idx: list = []
         m_px: list = []
         m_py: list = []
@@ -250,20 +259,26 @@ SINGLE_STITCH_CAP = 50_000
 
 
 def split_rounds_ds(segs_ds, strip_w: int, max_rounds: int = 64,
-                    pre_merged: bool = False):
+                    pre_merged: bool = False, merged_output: bool = True):
     """Iterate the snap fixed point over the segments Dataset; returns
-    the converged (split + merged) Dataset.
+    the converged split Dataset.
 
-    ``pre_merged``: caller guarantees winding-merged de-duplicated
-    segments (e.g. a driver-side sort_merge), skipping the initial
-    distributed merge exchange.
+    The global sort_merge exchange is FOLDED into the consumers:
+    identical segment rows replicate to identical bins/strips, so
+    `_bin_marks` (and the fill phase's `_fill_orient`) perform the
+    winding merge group-locally — one exchange per round instead of
+    two, and no upfront merge at all. ``merged_output=True`` (the
+    public contract) appends one final distributed merge so the result
+    rows are de-duplicated; the tiled pipeline passes False and lets
+    the strip groupby merge instead. ``pre_merged`` is kept for API
+    compatibility (it no longer changes the plan).
 
     Mark exchange per round: small mark tables broadcast through the
     driver (ray.put once); large ones hash-partition by parent key and
     join their segments through one groupby — the driver only ever
     sees the round's row count (round-2 VERDICT wrong #2)."""
-    ds = segs_ds.materialize() if pre_merged \
-        else _merged(segs_ds).materialize()
+    del pre_merged
+    ds = segs_ds.materialize()
     exp = 0
     for _ in range(max_rounds):
         radius = 1 << exp
@@ -274,7 +289,7 @@ def split_rounds_ds(segs_ds, strip_w: int, max_rounds: int = 64,
                                 batch_format="pyarrow")).materialize()
         n_marks = marks_ds.count()
         if n_marks == 0:
-            return ds
+            break
         any_round = bool(marks_ds.sum("is_round"))
         if n_marks <= DRIVER_MARKS_CAP:
             marks = marks_ds.to_pandas()
@@ -293,11 +308,11 @@ def split_rounds_ds(segs_ds, strip_w: int, max_rounds: int = 64,
                 _tag_for_join(True, num_parts), batch_format="pyarrow"))
             applied = tagged.groupby("part").map_groups(
                 _apply_group, batch_format="pyarrow")
-        ds = _merged(applied).materialize()
+        ds = applied.materialize()
         exp = min(60, exp + 1)
         if not any_round:
-            return ds
-    return ds
+            break
+    return _merged(ds).materialize() if merged_output else ds
 
 
 # ---------------------------------------------------------------------------
@@ -308,9 +323,8 @@ def _strip_replicate(strip_w: int):
     def fn(batch: pa.Table) -> pa.Table:
         segs = _segs_of(batch)
         from ..geometry.tiled import strip_membership
-        strips, idx, owner = strip_membership(segs, strip_w)
-        cols = {"strip": pa.array(strips, pa.int64()),
-                "owner": pa.array(owner.astype(np.int64), pa.int64())}
+        strips, idx, _owner = strip_membership(segs, strip_w)
+        cols = {"strip": pa.array(strips, pa.int64())}
         for c in SEG_COLS:
             cols[c] = pa.array(getattr(segs, c)[idx], pa.int64())
         return pa.table(cols)
@@ -319,11 +333,17 @@ def _strip_replicate(strip_w: int):
 
 def _fill_orient(rule: int, fill_rule: int, strip_w: int):
     def fn(group: pa.Table) -> pa.Table:
+        strip = int(group.column("strip")[0].as_py())
         segs = _segs_of(group)
-        owner = group.column("owner").to_numpy().astype(bool)
-        order = np.argsort(segs.ax, kind="stable")
-        segs = segs.take(order)
-        owner = owner[order]
+        # strip-LOCAL winding merge (the deferred global sort_merge:
+        # identical rows replicate to identical strips, so this equals
+        # the global merge restricted to this strip); sort_merge's
+        # ax-primary order is what bottom_windings_subset expects.
+        # Ownership is pure geometry (doubled-midpoint strip,
+        # tiled.strip_membership), so it is recomputed post-merge
+        # instead of shuffled as a column.
+        segs = sort_merge(segs)
+        owner = (segs.ax + segs.bx) // (2 * strip_w) == strip
         q = np.flatnonzero(owner)
         if len(q) == 0:
             return pa.table({c: pa.array([], pa.int64())
@@ -407,6 +427,10 @@ def _stitched_rings(walkout, strip_w: int, block_strips: int = 8):
     chains stitch in a block round then one final task."""
     import pyarrow.compute as pc
 
+    # one materialization: both branch filters below are narrow reads
+    # of the walk output — without it the fill+walk groupbys would
+    # re-execute once per consuming branch
+    walkout = walkout.materialize()
     rings0 = walkout.filter(expr="kind == 0")
     chains = walkout.filter(expr="kind == 1").materialize()
     n_chains = chains.count()
@@ -673,7 +697,8 @@ def tiled_rings_from_segments_ds(segs_ds, rule, fill_rule,
         segs_ds = segs_ds.materialize()
         agg = segs_ds.min("ax"), segs_ds.max("bx")
         strip_w = _auto_strip_w(agg[0] or 0, agg[1] or 1)
-    ds = split_rounds_ds(segs_ds, strip_w, pre_merged=pre_merged)
+    ds = split_rounds_ds(segs_ds, strip_w, pre_merged=pre_merged,
+                         merged_output=False)
     edges = (ds.map_batches(_strip_replicate(strip_w),
                             batch_format="pyarrow")
              .groupby("strip")
