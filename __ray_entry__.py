@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_lang": rq.q_doc_lang,
         "q_doc_fingerprint": rq.q_doc_fingerprint,
         "q_minhash_bands": rq.q_minhash_bands,
+        "q_neardup_clusters": rq.q_neardup_clusters,
         "q_doc_minhash": rq.q_doc_minhash,
         "q_jaccard_verify": rq.q_jaccard_verify,
         "q_simhash": rq.q_simhash,
@@ -189,6 +190,50 @@ def _flagship_tiles_oracle(n_images: int = 512, seed: int = 42) -> str:
                TRUE AS area_ok, TRUE AS shapes_ok
         FROM cells GROUP BY tile_id ORDER BY tile_id
     """
+
+
+# MinHash+LSH candidate-pair CTE chain (shared by the
+# q_minhash_bands oracle and the q_neardup_clusters recursive-CTE
+# closure oracle): signatures (md5 shingle hashes through 64 fixed
+# perms), 16 bands of 4 rows hashed to canonical keys, buckets with
+# >1 distinct doc.
+_MINHASH_CTES = """t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents WHERE trim(text) != ''
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN array_length(toks) < 5
+                            THEN array_to_string(toks, ' ')
+                            ELSE array_to_string(toks[i + 1:i + 5], ' ') END
+                           AS shingle
+                FROM (SELECT doc_id, toks,
+                             unnest(range(0, GREATEST(1, array_length(toks) - 4)))
+                                 AS i
+                      FROM t)
+            ), hv AS (
+                SELECT doc_id,
+                       CAST(md5_number_upper(shingle) & 2147483647 AS BIGINT)
+                           AS h
+                FROM sh
+            ), perms(k, a, b) AS (VALUES (0, 2029167940, 2132991552), (1, 1342382292, 25327476), (2, 1469265226, 208719315), (3, 1926751965, 413180457), (4, 1241873584, 2080950717), (5, 1665772334, 1486127662), (6, 1790251936, 1893744462), (7, 483628758, 430799658), (8, 119253155, 1548284816), (9, 644602188, 793573183), (10, 612176794, 1050150559), (11, 1875941738, 8019223), (12, 1959843383, 1326161203), (13, 11307155, 1782513925), (14, 1073283950, 1425262065), (15, 1763574598, 331702645), (16, 282266799, 1146331533), (17, 1711693563, 574665130), (18, 255728785, 2072097652), (19, 1004882659, 1890498904), (20, 1753345571, 399930127), (21, 650757181, 1094767427), (22, 733587778, 2018102210), (23, 597914449, 1819241300), (24, 1545052023, 1520252679), (25, 547328271, 1373782154), (26, 2126996168, 90439481), (27, 955794088, 1592940979), (28, 1026816911, 1016862180), (29, 1083509135, 196485315), (30, 1251001414, 525027445), (31, 1188626512, 1162097506), (32, 1094029749, 1560763481), (33, 2137820579, 1090432573), (34, 1734444720, 1316294024), (35, 1702228508, 1871187062), (36, 1503827931, 1473219433), (37, 1336119720, 775808658), (38, 732347575, 1381360663), (39, 2123775744, 1284590501), (40, 1001222388, 232416243), (41, 462371909, 127241932), (42, 1814811279, 1417675531), (43, 344052723, 832432953), (44, 1841358261, 1284902936), (45, 1315418783, 693715270), (46, 246345230, 484582549), (47, 94364744, 322551461), (48, 955111941, 819442989), (49, 76622815, 1753072728), (50, 303992515, 861136854), (51, 1105715321, 814854448), (52, 2083627518, 1235630862), (53, 1001169815, 2101845076), (54, 1736125123, 842335582), (55, 1969602794, 1266997512), (56, 1768373431, 943789710), (57, 1351253091, 1299348410), (58, 947894554, 957152603), (59, 1104059238, 1370087223), (60, 571810498, 1175000481), (61, 1067027577, 1452665836), (62, 814704260, 2054636806), (63, 531534248, 323814804)
+            ), m AS (
+                SELECT doc_id, k, MIN((a * h + b) % 2147483647) AS v
+                FROM hv CROSS JOIN perms GROUP BY doc_id, k
+            ), band AS (
+                SELECT doc_id, CAST(k // 4 AS INTEGER) AS bnd,
+                       array_to_string(list(v ORDER BY k), ',') AS vals
+                FROM m GROUP BY doc_id, k // 4
+            ), keys AS (
+                SELECT doc_id,
+                       substr(md5(CAST(bnd AS VARCHAR) || ':' || vals), 1, 16)
+                           AS band_key
+                FROM band
+            ), buckets AS (
+                SELECT band_key, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+                FROM keys GROUP BY band_key
+                HAVING COUNT(*) > 1 AND MIN(doc_id) != MAX(doc_id)
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -479,49 +524,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, array_to_string(list_value(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0), ',') AS sig
             FROM t WHERE empty
         """,
-        "q_minhash_bands": """
-            -- MinHash+LSH candidate pairs end to end in SQL: signatures
-            -- (md5 shingle hashes through 64 fixed perms), 16 bands of 4
-            -- rows hashed to canonical keys, buckets with >1 distinct doc
-            WITH t AS (
-                SELECT doc_id,
-                       regexp_split_to_array(trim(text), '\\s+') AS toks
-                FROM documents WHERE trim(text) != ''
-            ), sh AS (
-                SELECT doc_id,
-                       CASE WHEN array_length(toks) < 5
-                            THEN array_to_string(toks, ' ')
-                            ELSE array_to_string(toks[i + 1:i + 5], ' ') END
-                           AS shingle
-                FROM (SELECT doc_id, toks,
-                             unnest(range(0, GREATEST(1, array_length(toks) - 4)))
-                                 AS i
-                      FROM t)
-            ), hv AS (
-                SELECT doc_id,
-                       CAST(md5_number_upper(shingle) & 2147483647 AS BIGINT)
-                           AS h
-                FROM sh
-            ), perms(k, a, b) AS (VALUES (0, 2029167940, 2132991552), (1, 1342382292, 25327476), (2, 1469265226, 208719315), (3, 1926751965, 413180457), (4, 1241873584, 2080950717), (5, 1665772334, 1486127662), (6, 1790251936, 1893744462), (7, 483628758, 430799658), (8, 119253155, 1548284816), (9, 644602188, 793573183), (10, 612176794, 1050150559), (11, 1875941738, 8019223), (12, 1959843383, 1326161203), (13, 11307155, 1782513925), (14, 1073283950, 1425262065), (15, 1763574598, 331702645), (16, 282266799, 1146331533), (17, 1711693563, 574665130), (18, 255728785, 2072097652), (19, 1004882659, 1890498904), (20, 1753345571, 399930127), (21, 650757181, 1094767427), (22, 733587778, 2018102210), (23, 597914449, 1819241300), (24, 1545052023, 1520252679), (25, 547328271, 1373782154), (26, 2126996168, 90439481), (27, 955794088, 1592940979), (28, 1026816911, 1016862180), (29, 1083509135, 196485315), (30, 1251001414, 525027445), (31, 1188626512, 1162097506), (32, 1094029749, 1560763481), (33, 2137820579, 1090432573), (34, 1734444720, 1316294024), (35, 1702228508, 1871187062), (36, 1503827931, 1473219433), (37, 1336119720, 775808658), (38, 732347575, 1381360663), (39, 2123775744, 1284590501), (40, 1001222388, 232416243), (41, 462371909, 127241932), (42, 1814811279, 1417675531), (43, 344052723, 832432953), (44, 1841358261, 1284902936), (45, 1315418783, 693715270), (46, 246345230, 484582549), (47, 94364744, 322551461), (48, 955111941, 819442989), (49, 76622815, 1753072728), (50, 303992515, 861136854), (51, 1105715321, 814854448), (52, 2083627518, 1235630862), (53, 1001169815, 2101845076), (54, 1736125123, 842335582), (55, 1969602794, 1266997512), (56, 1768373431, 943789710), (57, 1351253091, 1299348410), (58, 947894554, 957152603), (59, 1104059238, 1370087223), (60, 571810498, 1175000481), (61, 1067027577, 1452665836), (62, 814704260, 2054636806), (63, 531534248, 323814804)
-            ), m AS (
-                SELECT doc_id, k, MIN((a * h + b) % 2147483647) AS v
-                FROM hv CROSS JOIN perms GROUP BY doc_id, k
-            ), band AS (
-                SELECT doc_id, CAST(k // 4 AS INTEGER) AS bnd,
-                       array_to_string(list(v ORDER BY k), ',') AS vals
-                FROM m GROUP BY doc_id, k // 4
-            ), keys AS (
-                SELECT doc_id,
-                       substr(md5(CAST(bnd AS VARCHAR) || ':' || vals), 1, 16)
-                           AS band_key
-                FROM band
-            ), buckets AS (
-                SELECT band_key, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-                FROM keys GROUP BY band_key
-                HAVING COUNT(*) > 1 AND MIN(doc_id) != MAX(doc_id)
-            )
+        "q_minhash_bands": "WITH " + _MINHASH_CTES + """
             SELECT DISTINCT min_doc, max_doc FROM buckets
             ORDER BY min_doc, max_doc
+        """,
+        # near-dup clustering: the LSH candidate pairs (same CTE chain)
+        # closed into connected components by a recursive transitive
+        # reachability CTE; cluster_id = min doc_id reachable
+        "q_neardup_clusters": "WITH RECURSIVE " + _MINHASH_CTES + """,
+            cand AS (SELECT DISTINCT min_doc, max_doc FROM buckets),
+            edges AS (SELECT min_doc AS s, max_doc AS d FROM cand
+                      UNION SELECT max_doc, min_doc FROM cand),
+            reach(id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+            )
+            SELECT id AS doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY id ORDER BY doc_id
         """,
         "q_jaccard_verify": """
             -- LSH candidates verified by exact 5-gram jaccard, all in SQL

@@ -269,6 +269,34 @@ def q_minhash_bands(sf_dir: str) -> pd.DataFrame:
         .astype(np.int64)
 
 
+def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate CLUSTERING — the last step of the dedup pipeline:
+    MinHash+LSH candidate pairs -> connected components (distributed
+    min-label propagation, stages/cc.py) -> every doc labelled with its
+    cluster's min doc_id. Docs in no candidate pair are their own
+    cluster (self-loop edges keep them in the node set). A 100-TB dedup
+    keeps rows WHERE doc_id = cluster_id; the full (doc, cluster) map
+    is returned so the oracle checks every assignment."""
+    from ..stages.cc import connected_components
+    cand = _minhash_candidates_ds(sf_dir)
+
+    def cand_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("min_doc"),
+                         "dst": batch.column("max_doc")})
+
+    def self_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("doc_id"),
+                         "dst": batch.column("doc_id")})
+
+    edges = (cand.map_batches(cand_edges, batch_format="pyarrow")
+             .union(_read(sf_dir, "documents", ["doc_id"], num_blocks=8)
+                    .map_batches(self_edges, batch_format="pyarrow")))
+    labels = connected_components(edges, num_partitions=8)
+    out = labels.to_pandas().rename(
+        columns={"id": "doc_id", "label": "cluster_id"})
+    return out.sort_values("doc_id").reset_index(drop=True).astype(np.int64)
+
+
 def q_simhash(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import SimHashStage
     ds = _read(sf_dir, "documents", ["doc_id", "text"],
