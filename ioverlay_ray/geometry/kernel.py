@@ -1164,6 +1164,69 @@ def split_segments(segs: Segments, precision_start: int = 0,
 # strategies build/boolean.rs:96-154)
 # ---------------------------------------------------------------------------
 
+def _single_cycle_windings(segs: Segments):
+    """O(n) closed-form bot_subj for the clean-geometry fast path: a
+    post-split subject-only scene that is ONE simple closed contour
+    (every node degree 2, one cycle, every count +-1 — the Spiral
+    regime, and any already-clean polygon union'd with nothing).
+
+    Split output has no crossings or T-junctions, so if the segments
+    form a single directed cycle the scene is a simple polygon: the
+    winding just below a boundary edge is the polygon's orientation w
+    where the interior lies below and 0 where it lies above. With the
+    canonical a < b storage (subj=+1 means the input edge ran a->b),
+    "interior below" reduces to subj != w for BOTH the non-vertical
+    case (interior left of travel for w=+1; below iff travelling -x)
+    and the vertical case under the half-open stab convention
+    (winding on the +x side; interior right iff travelling -y), so
+
+        bot_subj = w  if subj != w  else 0.
+
+    Returns None when any precondition fails (caller falls back to the
+    stabbing engines). Preconditions are airtight, not heuristic:
+    crossings/touches would have produced degree-4 nodes, coincident
+    runs merged counts away from +-1, and multiple cycles fail the
+    pointer-doubling single-label check.
+    """
+    n = len(segs)
+    subj = segs.subj
+    if n < 3 or np.abs(subj).min() != 1 or np.abs(subj).max() != 1:
+        return None
+    off = np.int64(1) << np.int64(30)   # |coords| < 2^30 (check_coords)
+    ka = ((segs.ax + off) << np.int64(31)) | (segs.ay + off)
+    kb = ((segs.bx + off) << np.int64(31)) | (segs.by + off)
+    nodes, inv = np.unique(np.concatenate([ka, kb]), return_inverse=True)
+    if len(nodes) != n:
+        return None
+    fwd = subj > 0
+    head = np.where(fwd, inv[n:], inv[:n])   # input-direction endpoint
+    tail = np.where(fwd, inv[:n], inv[n:])
+    cnt = np.bincount(head, minlength=n)
+    if cnt.max() != 1 or np.bincount(tail, minlength=n).max() != 1:
+        return None
+    seg_at_tail = np.empty(n, np.int64)
+    seg_at_tail[tail] = np.arange(n)
+    # single directed cycle <=> pointer doubling reaches label 0 everywhere
+    lbl = np.arange(n)
+    reach = seg_at_tail[head]
+    for _ in range(max(1, int(np.ceil(np.log2(n))))):
+        lbl = np.minimum(lbl, lbl[reach])
+        reach = reach[reach]
+    if lbl.max() != 0:
+        return None
+    # orientation sign from the shoelace sum; float64 with an error
+    # bound, exact Python-int fallback only when the bound is violated
+    terms = subj * (segs.ax * segs.by - segs.bx * segs.ay)
+    s = float(np.sum(terms, dtype=np.float64))
+    bound = n * float(np.abs(terms).max()) * 2.0 ** -50
+    if abs(s) <= bound:
+        s = float(sum(int(t) for t in terms.tolist()))
+        if s == 0.0:
+            return None
+    w = np.int64(1) if s > 0 else np.int64(-1)
+    return np.where(subj != w, w, np.int64(0))
+
+
 def bottom_windings(segs: Segments, block: int = 256,
                     with_clip: bool = True):
     """(bot_subj, bot_clip) winding just below each segment's midpoint.
@@ -1179,6 +1242,10 @@ def bottom_windings(segs: Segments, block: int = 256,
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z.copy()
+    if not with_clip and not segs.clip.any():
+        fast = _single_cycle_windings(segs)
+        if fast is not None:
+            return fast, np.zeros(n, dtype=np.int64)
     mx = segs.ax + segs.bx          # doubled midpoint
     my = segs.ay + segs.by
     return _stab_windings(segs, mx, my, np.arange(n), block, with_clip)
