@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_cosine_topk": rq.q_ann_cosine_topk,
         "q_ann_ivf_topk": rq.q_ann_ivf_topk,
         "q_embedding_neardup": rq.q_embedding_neardup,
+        "q_embedding_neardup_clusters": rq.q_embedding_neardup_clusters,
+        "q_kmeans_embeddings": rq.q_kmeans_embeddings,
         "q_ann_lsh_buckets": rq.q_ann_lsh_buckets,
         # geometry engine (SQL-checked via arithmetic oracles)
         "q_rect_intersect_area": gq.q_rect_intersect_area,
@@ -234,6 +236,74 @@ _MINHASH_CTES = """t AS (
                 FROM keys GROUP BY band_key
                 HAVING COUNT(*) > 1 AND MIN(doc_id) != MAX(doc_id)
             )"""
+
+
+def _neardup_ctes() -> str:
+    """LSH-bucketed embedding near-dup pair CTE chain (shared by the
+    q_embedding_neardup oracle and the q_embedding_neardup_clusters
+    recursive closure): buckets from the literal seed-11 hyperplanes,
+    same-bucket pairs only (the scale path), bucket-local cosine."""
+    return f"""{_planes_cte()},
+            n AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), b AS (
+                SELECT n.vec_id,
+                       CAST(SUM(CASE WHEN list_dot_product(n.e, p.pv) > 0
+                            THEN 1 << p.pid ELSE 0 END) AS BIGINT) AS bucket
+                FROM n CROSS JOIN planes p GROUP BY n.vec_id
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                       list_cosine_similarity(na.e, nb.e) AS sim
+                FROM b a JOIN b b2
+                  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+                JOIN n na ON na.vec_id = a.vec_id
+                JOIN n nb ON nb.vec_id = b2.vec_id
+            )"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd's k-means as SQL, replaying stages/kmeans.py
+    exactly: init = embeddings of vec_ids 0..k-1, L2 assignment with
+    (distance, cid) tie-break, per-dimension means re-quantized to the
+    1e-6 grid (floor(x*1e6+0.5)/1e6 — identical in numpy and DuckDB)
+    after every iteration, final assignment against c{iters}."""
+    parts = [f"""
+            -- distributed k-means oracle: {iters} Lloyd iterations
+            WITH n AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), pos(i) AS (SELECT unnest(range(1, {dim + 1}))),
+            c0 AS (SELECT vec_id AS cid, e AS cv FROM n
+                   WHERE vec_id < {k})"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+            a{t} AS (
+                SELECT vec_id, cid FROM (
+                    SELECT n.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY n.vec_id
+                               ORDER BY list_distance(n.e, c.cv), c.cid)
+                               AS rn
+                    FROM n CROSS JOIN c{t - 1} c) WHERE rn = 1
+            ), m{t} AS (
+                SELECT a.cid, pos.i,
+                       FLOOR(AVG(n.e[pos.i]) * 1e6 + 0.5) / 1e6 AS v
+                FROM a{t} a JOIN n USING (vec_id) CROSS JOIN pos
+                GROUP BY a.cid, pos.i
+            ), c{t} AS (
+                SELECT c.cid,
+                       CASE WHEN COUNT(m.v) = 0 THEN ANY_VALUE(c.cv)
+                            ELSE list(m.v ORDER BY m.i) END AS cv
+                FROM c{t - 1} c LEFT JOIN m{t} m USING (cid)
+                GROUP BY c.cid)""")
+    parts.append(f"""
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+                SELECT n.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY n.vec_id
+                           ORDER BY list_distance(n.e, c.cv), c.cid) AS rn
+                FROM n CROSS JOIN c{iters} c) WHERE rn = 1
+            ORDER BY vec_id""")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -623,31 +693,29 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
         """,
-        "q_embedding_neardup": f"""
-            -- LSH-bucketed near-dup: same-bucket pairs only (the scale
-            -- path), buckets from the literal seed-11 hyperplanes
-            WITH {_planes_cte()},
-            n AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                FROM embeddings
-            ), b AS (
-                SELECT n.vec_id,
-                       CAST(SUM(CASE WHEN list_dot_product(n.e, p.pv) > 0
-                            THEN 1 << p.pid ELSE 0 END) AS BIGINT) AS bucket
-                FROM n CROSS JOIN planes p GROUP BY n.vec_id
-            ), pairs AS (
-                SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-                       list_cosine_similarity(na.e, nb.e) AS sim
-                FROM b a JOIN b b2
-                  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-                JOIN n na ON na.vec_id = a.vec_id
-                JOIN n nb ON nb.vec_id = b2.vec_id
-            )
+        "q_embedding_neardup": "WITH " + _neardup_ctes() + """
             SELECT id_a, id_b,
                    CAST(ROUND(sim * 1000) AS BIGINT) AS sim_e3
             FROM pairs WHERE sim > 0.4
             ORDER BY id_a, id_b
         """,
+        # semantic dedup end to end: the near-dup pairs (same CTE
+        # chain) closed into connected components by a recursive
+        # transitive-reachability CTE; cluster_id = min vec_id reachable
+        "q_embedding_neardup_clusters": "WITH RECURSIVE "
+        + _neardup_ctes() + """,
+            cand AS (SELECT id_a, id_b FROM pairs WHERE sim > 0.4),
+            edges AS (SELECT id_a AS s, id_b AS d FROM cand
+                      UNION SELECT id_b, id_a FROM cand),
+            reach(id, lbl) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+            )
+            SELECT id AS vec_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY id ORDER BY vec_id
+        """,
+        "q_kmeans_embeddings": _kmeans_sql(),
         "q_ann_ivf_topk": f"""
             -- IVF ANN: coarse-quantize to the literal seed-13 unit
             -- centroids, probe the 4 closest lists per query, cosine

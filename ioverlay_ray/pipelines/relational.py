@@ -305,14 +305,13 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
                           concurrency=_conc(compute_bound=True)).to_pandas()
 
 
-def q_embedding_neardup(sf_dir: str, threshold: float = 0.4,
-                        n_planes: int = 8) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs, 100TB-shaped: hyperplane
-    LSH buckets (fixed seed-11 planes, same as q_ann_lsh_buckets)
-    colocate candidates via a bucket groupby, then each bucket runs a
-    LOCAL all-pairs cosine — never a whole-corpus broadcast or global
-    matmul. The SQL oracle reproduces the plane signs and bucket-local
-    cosine with the plane vectors embedded as literals."""
+def _embedding_neardup_pairs_ds(sf_dir: str, threshold: float = 0.4,
+                                n_planes: int = 8):
+    """Embedding-cosine near-duplicate PAIRS as a Dataset, 100TB-shaped:
+    hyperplane LSH buckets (fixed seed-11 planes, same as
+    q_ann_lsh_buckets) colocate candidates via a bucket groupby, then
+    each bucket runs a LOCAL all-pairs cosine — never a whole-corpus
+    broadcast or global matmul."""
     from ..stages.ann import HyperplaneLSHStage
 
     class BucketKeep(HyperplaneLSHStage):
@@ -350,14 +349,70 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.4,
     buckets = ds.map_batches(BucketKeep, batch_format="pyarrow",
                              fn_constructor_args=(dim, n_planes),
                              concurrency=_conc())
-    out = buckets.groupby("bucket").map_groups(
-        local_pairs, batch_format="pyarrow").to_pandas()
+    return buckets.groupby("bucket").map_groups(
+        local_pairs, batch_format="pyarrow")
+
+
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.4,
+                        n_planes: int = 8) -> pd.DataFrame:
+    """Near-dup pairs (see _embedding_neardup_pairs_ds). The SQL oracle
+    reproduces the plane signs and bucket-local cosine with the plane
+    vectors embedded as literals."""
+    out = _embedding_neardup_pairs_ds(sf_dir, threshold,
+                                      n_planes).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                              "id_b": pd.Series([], dtype=np.int64),
                              "sim_e3": pd.Series([], dtype=np.int64)})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True) \
         .astype(np.int64)
+
+
+def q_embedding_neardup_clusters(sf_dir: str) -> pd.DataFrame:
+    """SEMANTIC dedup end to end: embedding near-dup pairs closed into
+    clusters by the distributed connected-components stage (the same
+    min-label BSP as q_neardup_clusters); every vector labelled with
+    its cluster's min vec_id, singletons self-labelled via self-loop
+    edges. A 100-TB semantic dedup keeps WHERE vec_id = cluster_id."""
+    from ..stages.cc import connected_components
+    pairs = _embedding_neardup_pairs_ds(sf_dir)
+
+    def pair_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("id_a"),
+                         "dst": batch.column("id_b")})
+
+    def self_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("vec_id"),
+                         "dst": batch.column("vec_id")})
+
+    edges = (pairs.map_batches(pair_edges, batch_format="pyarrow")
+             .union(_read(sf_dir, "embeddings", ["vec_id"], num_blocks=8)
+                    .map_batches(self_edges, batch_format="pyarrow")))
+    labels = connected_components(edges, num_partitions=8)
+    out = labels.to_pandas().rename(
+        columns={"id": "vec_id", "label": "cluster_id"})
+    return out.sort_values("vec_id").reset_index(drop=True).astype(np.int64)
+
+
+def q_kmeans_embeddings(sf_dir: str, k: int = 8,
+                        iters: int = 3) -> pd.DataFrame:
+    """Distributed k-means (Lloyd's) over the embedding column —
+    semantic clustering for data curation. Init = the embeddings of
+    vec_ids 0..k-1 (data-deterministic, no RNG; fetched via the same
+    small-side take as the ANN query matrices — at scale a filtered
+    read). Each iteration: broadcast centroids, per-block partial sums
+    (k x d rows per BLOCK, never per row), tiny driver reduce,
+    centroids re-quantized to the 1e-6 grid so the unrolled SQL oracle
+    replays the iterations from exactly equal state (stages/kmeans.py)."""
+    from ..stages.kmeans import kmeans_assign, kmeans_fit
+    qt = _small_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"] < k].sort_values("vec_id")
+    init = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_fit(ds, init, iters=iters, concurrency=_conc())
+    out = kmeans_assign(ds, cents, concurrency=_conc()).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True).astype(np.int64)
 
 
 def q_ann_cosine_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
