@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracles verify the encode->parquet->decode round trip)
         "q_image_decode_stats": mq.q_image_decode_stats,
         "q_image_embed_topk": mq.q_image_embed_topk,
+        # image dedup: phash banding + Hamming verify; the SQL oracle
+        # reproduces banding/candidates/verify from generator phashes
+        "q_image_phash_neardup": mq.q_image_phash_neardup,
         # SQL-checked since r2: exact-rational winding recompute oracle
         "q_raster_scanlines": mq.q_raster_scanlines,
     }
@@ -981,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         # encode -> parquet -> actor-pool-decode pipeline
         "q_image_decode_stats": _image_decode_stats_oracle(),
         "q_image_embed_topk": _image_embed_topk_oracle(),
+        "q_image_phash_neardup": _image_phash_neardup_oracle(),
         # raster scanlines: exact-rational winding recompute with
         # kernel-spec crossing rounding (snap-hazard images fall back
         # to the clip kernel; see media.scanline_oracle_rows)
@@ -1002,6 +1006,34 @@ def _raster_scanlines_oracle() -> str:
         FROM (VALUES {vals})
         AS t(pair_id, covered_rows, covered_len2)
         ORDER BY pair_id
+    """
+
+
+def _image_phash_neardup_oracle() -> str:
+    """Perceptual-hash dedup oracle: phash values come from the
+    generator (decode is not SQL-expressible) but the PIPELINE — 4 x
+    16-bit banding via arithmetic shift+mask (two's complement matches
+    the numpy uint64 view), same-band candidate join, popcount-of-xor
+    Hamming verify, distinct — is reproduced entirely in SQL."""
+    from ioverlay_ray.pipelines.media import phash_oracle_rows
+    vals = ",\n".join(f"({i}, {p})" for i, p in phash_oracle_rows(240))
+    return f"""
+        WITH imgs(idx, ph) AS (VALUES {vals}),
+        bands AS (
+            SELECT idx, ph, b.b AS band,
+                   (ph >> (16 * b.b)) & 65535 AS bval
+            FROM imgs CROSS JOIN (SELECT unnest(range(4)) AS b) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.idx AS id_a, c.idx AS id_b,
+                   a.ph AS pa, c.ph AS pb
+            FROM bands a JOIN bands c
+              ON a.band = c.band AND a.bval = c.bval AND a.idx < c.idx
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(pa, pb)) <= 6
+        ORDER BY id_a, id_b
     """
 
 

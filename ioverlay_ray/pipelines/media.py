@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from . import flagship
 from ..stages.multimodal import DecodeStage, EmbedStage
@@ -257,3 +258,123 @@ def scanline_oracle_rows(n_images: int = 256) -> list:
             _, covs = scanline_coverage(star, fx0, fx1, ys)
         out.append((i, sum(1 for c in covs if c > 0), int(sum(covs))))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (phash banding + Hamming verify)
+# ---------------------------------------------------------------------------
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of an int64/uint64 array (numpy 1.x has no
+    bitwise_count): byte view + 8-bit LUT."""
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)
+    return _POP8[b].sum(axis=1)
+
+
+def q_image_phash_neardup(sf_dir: str, n_images: int = 240,
+                          thresh: int = 6) -> pd.DataFrame:
+    """Image near-duplicate detection by perceptual hash, 100-TB
+    shaped: decode (actor pool, codec table in __init__) -> recompute
+    the 64-bit phash from DECODED pixels -> split into 4 x 16-bit
+    bands -> groupby(band, bval) emits same-band candidate pairs
+    (never all-pairs; an exact dup shares all 4 bands, a near dup
+    almost surely shares >=1; a degenerate hot band — e.g. flat images
+    hashing to 0 — would need the salt/cap treatment of
+    stages/dedup.py at scale) -> Hamming popcount(xor) <= thresh ->
+    distinct pairs via a (id_a, id_b) groupby. The binary column is
+    dropped before the first shuffle; candidates stay a Dataset.
+
+    Corpus: sources.synth.make_neardup_images_table_range — every
+    i % 3 == 2 image is a noise-perturbed copy of image i-1, so true
+    near-dup pairs exist by construction. The SQL oracle reproduces
+    banding, candidate join, Hamming and the distinct from the
+    generator's phash values (VALUES CTE; decode is not
+    SQL-expressible, the banding/verify logic is)."""
+    import ray.data
+
+    from ..sources.synth import make_neardup_images_table_range
+    from ..stages.multimodal import _CODECS, _phash64
+
+    nb = max(4, min(16, n_images // 16))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = sorted(batch.column("id").to_pylist())
+        if ids == list(range(ids[0], ids[-1] + 1)):
+            return make_neardup_images_table_range(ids[0], ids[-1] + 1)
+        return pa.concat_tables(
+            [make_neardup_images_table_range(i, i + 1) for i in ids])
+
+    class PhashStage:
+        """Decode + phash from pixels (never trusts the stored phash
+        column); emits (idx, phash) only — binary dropped."""
+
+        def __init__(self):
+            self.codecs = dict(_CODECS)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            phs = [
+                _phash64(self.codecs[fmt](blob, w, h))
+                for blob, w, h, fmt in zip(
+                    batch.column("bytes").to_pylist(),
+                    batch.column("w").to_pylist(),
+                    batch.column("h").to_pylist(),
+                    batch.column("fmt").to_pylist())
+            ]
+            return pa.table({"idx": batch.column("idx"),
+                             "phash": pa.array(phs, pa.int64())})
+
+    def bands(batch: pa.Table) -> pa.Table:
+        idx = batch.column("idx").to_numpy()
+        ph = batch.column("phash").to_numpy().astype(np.uint64)
+        n = len(idx)
+        bvals = np.empty((4, n), np.int64)
+        for b in range(4):
+            bvals[b] = ((ph >> np.uint64(16 * b))
+                        & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            "band": pa.array(np.repeat(np.arange(4, dtype=np.int64), n)),
+            "bval": pa.array(bvals.reshape(-1)),
+            "idx": pa.array(np.tile(idx, 4)),
+            "phash": pa.array(np.tile(ph.view(np.int64), 4)),
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        idx = group.column("idx").to_numpy()
+        ph = group.column("phash").to_numpy()
+        order = np.argsort(idx, kind="stable")
+        idx, ph = idx[order], ph[order]
+        n = len(idx)
+        ia, ib = np.triu_indices(n, k=1)
+        ham = _popcount64(np.bitwise_xor(ph[ia], ph[ib]))
+        keep = ham <= thresh
+        return pa.table({
+            "id_a": pa.array(idx[ia[keep]], pa.int64()),
+            "id_b": pa.array(idx[ib[keep]], pa.int64()),
+            "hamming": pa.array(ham[keep], pa.int64()),
+        })
+
+    def first_row(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    ds = ray.data.range(n_images, override_num_blocks=nb)
+    out = (ds.map_batches(gen, batch_format="pyarrow")
+           .map_batches(PhashStage, batch_format="pyarrow",
+                        concurrency=2)
+           .map_batches(bands, batch_format="pyarrow")
+           .groupby(["band", "bval"])
+           .map_groups(pairs, batch_format="pyarrow")
+           .groupby(["id_a", "id_b"])
+           .map_groups(first_row, batch_format="pyarrow")).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True) \
+        .astype(np.int64)
+
+
+def phash_oracle_rows(n_images: int = 240) -> list:
+    """(idx, phash) rows recomputed from the near-dup generator for the
+    q_image_phash_neardup SQL oracle's VALUES CTE."""
+    from ..sources.synth import neardup_pixels, phash64
+    return [(i, phash64(neardup_pixels(i)[2])) for i in range(n_images)]

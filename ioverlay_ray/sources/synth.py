@@ -91,6 +91,50 @@ def make_images_table_range(start: int, end: int, seed: int = 42) -> pa.Table:
     })
 
 
+def neardup_pixels(index: int, seed: int = 43) -> tuple:
+    """Pixels for the NEAR-DUP image corpus: indices with i % 3 == 2
+    are perturbed copies of image i-1 (uniform ±16 noise on ~10% of
+    pixels — the 8x8 mean-threshold phash flips only a few bits), so
+    the corpus carries deterministic small-Hamming pairs for the
+    perceptual-hash dedup pipeline. Returns (w, h, pixels)."""
+    base = index - 1 if index % 3 == 2 else index
+    rng = _rng(seed, base)
+    w = int(rng.integers(16, 64))
+    h = int(rng.integers(16, 64))
+    px = make_pixels(seed, base, w, h)
+    if index % 3 == 2:
+        prng = _rng(seed, 1_000_000 + index)
+        mask = prng.random((h, w, 1)) < 0.10
+        noise = prng.integers(-16, 17, size=(h, w, 3))
+        px = np.clip(px.astype(np.int64) + noise * mask,
+                     0, 255).astype(np.uint8)
+    return w, h, px
+
+
+def make_neardup_images_table_range(start: int, end: int,
+                                    seed: int = 43) -> pa.Table:
+    """Near-dup image-table shard [start, end): same schema as
+    make_images_table_range, pixels from neardup_pixels. Per-index
+    seeding keeps sharded generation identical to one-shot."""
+    ids, blobs, ws, hs, fmts, phashes = [], [], [], [], [], []
+    for i in range(start, end):
+        w, h, px = neardup_pixels(i, seed)
+        ids.append(i)
+        blobs.append(encode_raw(px))
+        ws.append(w)
+        hs.append(h)
+        fmts.append("raw")
+        phashes.append(phash64(px))
+    return pa.table({
+        "idx": pa.array(ids, pa.int64()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "fmt": pa.array(fmts, pa.string()),
+        "phash": pa.array(phashes, pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Derived polygon annotations (deterministic from image index)
 # ---------------------------------------------------------------------------

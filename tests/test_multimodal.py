@@ -118,3 +118,35 @@ def test_pcm_only_gate():
                   "fmt": ["mp3"], "bytes": [b""]})
     with pytest.raises(NotImplementedError):
         AudioFeatureStage()(t)
+
+
+def test_phash_neardup_pipeline(ray_session):
+    """Distributed phash dedup == brute-force band-candidates + Hamming
+    on the same generator; perturbed copies (i % 3 == 2) must be found."""
+    import numpy as np
+
+    from ioverlay_ray.pipelines.media import (_popcount64,
+                                              q_image_phash_neardup)
+    from ioverlay_ray.sources.synth import neardup_pixels, phash64
+
+    n, thresh = 96, 6
+    out = q_image_phash_neardup("", n_images=n, thresh=thresh)
+
+    ph = np.array([phash64(neardup_pixels(i)[2]) for i in range(n)],
+                  dtype=np.int64)
+    exp = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            u, v = np.uint64(ph[a]), np.uint64(ph[b])
+            shares = any(((u >> np.uint64(16 * k)) & np.uint64(0xFFFF))
+                         == ((v >> np.uint64(16 * k)) & np.uint64(0xFFFF))
+                         for k in range(4))
+            ham = int(_popcount64(np.array([ph[a] ^ ph[b]]))[0])
+            if shares and ham <= thresh:
+                exp.append((a, b, ham))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == exp
+    # the constructed perturbed copies are really in there
+    found = {(a, b) for a, b, _ in got}
+    hits = sum((i - 1, i) in found for i in range(2, n, 3))
+    assert hits >= (n // 3) * 3 // 4, hits
