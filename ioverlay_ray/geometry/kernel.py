@@ -1582,18 +1582,20 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True,
     c_s = 2 * (segs.ay[seg_s] * ux_s - segs.ax[seg_s] * uy_s)
     leaf = q_col // L + N
     levels = int(N).bit_length()
-    # collect ALL (query, ancestor-node) hits first (one cheap
-    # searchsorted per level), then rank every hit in ONE simultaneous
-    # binary-search loop — ~log(max node size) numpy passes total
-    # instead of levels x log small-array passes
+    # collect ALL (query, ancestor-node) hits first, then rank every
+    # hit in ONE simultaneous binary-search loop — ~log(max node size)
+    # numpy passes total instead of levels x log small-array passes.
+    # node -> slot is a dense 2N-entry table (nodes < 2N, table fits
+    # L1/L2): one cached gather per level instead of a log-width
+    # searchsorted over uniq_nodes per query
+    node_pos = np.full(2 * N, -1, np.int64)
+    node_pos[uniq_nodes] = np.arange(len(uniq_nodes), dtype=np.int64)
     hit_qs = []
     hit_start = []
     hit_len = []
     for _ in range(levels):
-        pos = np.searchsorted(uniq_nodes, leaf)
-        hit = (pos < len(uniq_nodes))
-        pos = np.minimum(pos, len(uniq_nodes) - 1)
-        hit &= uniq_nodes[pos] == leaf
+        pos = node_pos[leaf]
+        hit = pos >= 0
         if hit.any():
             qs = np.flatnonzero(hit)
             hit_qs.append(qs)
