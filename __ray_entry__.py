@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "q_event_asof_order": rq.q_event_asof_order,
         "q_part_value_range": rq.q_part_value_range,
+        # distributed anti join (single tagged hash exchange)
+        "q_customers_no_urgent": rq.q_customers_no_urgent,
         "q_top_orders_per_priority": rq.q_top_orders_per_priority,
         "q_price_quantiles": rq.q_price_quantiles,
         "q_events_sliding": rq.q_events_sliding,
@@ -968,6 +970,14 @@ def oracle_sql() -> dict[str, str]:
                  AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
             ORDER BY event_id
+        """,
+        "q_customers_no_urgent": """
+            SELECT c_custkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey
         """,
         "q_part_value_range": """
             -- range join: events counted into each part's value bracket

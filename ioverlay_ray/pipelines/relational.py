@@ -588,6 +588,57 @@ def q_events_sliding(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def q_customers_no_urgent(sf_dir: str) -> pd.DataFrame:
+    """Distributed ANTI join (customers with no URGENT order), 100-TB
+    shaped: the right side is predicate-pruned at the read, both sides
+    are tag-unioned onto one narrow schema and exchanged ONCE
+    (hash_aggregate on custkey: has_order = max(side), bal_cents =
+    sum(bal) — orders rows carry bal 0 and c_custkey is unique, so the
+    sum is the customer's balance), then a vectorized filter keeps
+    has_order == 0. No broadcast, no per-key Python groups; flipping
+    the filter to has_order == 1 is the SEMI join."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg import hash_aggregate
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        bal = pc.round(pc.multiply(batch.column("c_acctbal"), 100.0))
+        return pa.table({
+            "key": batch.column("c_custkey"),
+            "side": pa.array(np.zeros(len(batch), np.int64)),
+            "bal": bal.cast(pa.int64()),
+        })
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("o_orderpriority"),
+                                  "1-URGENT"))
+        return pa.table({
+            "key": t.column("o_custkey"),
+            "side": pa.array(np.ones(len(t), np.int64)),
+            "bal": pa.array(np.zeros(len(t), np.int64)),
+        })
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
+        .map_batches(cust_prep, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(ord_prep, batch_format="pyarrow")
+    agg = hash_aggregate(cust.union(orders), ["key"],
+                         {"has_order": ("side", "max"),
+                          "bal_cents": ("bal", "sum")})
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("has_order"), 0))
+        return pa.table({"c_custkey": t.column("key"),
+                         "bal_cents": t.column("bal_cents")})
+
+    out = agg.map_batches(keep, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                            "bal_cents": pd.Series([], dtype=np.int64)})
+    return out.sort_values("c_custkey").reset_index(drop=True) \
+        .astype(np.int64)
+
+
 def q_part_value_range(sf_dir: str) -> pd.DataFrame:
     """Range (interval) join: count events whose value falls in each
     part's derived [p_size*2, p_size*2 + 30) bracket. Scale shape:
