@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_order_revenue_topk": rq.q_order_revenue_topk,
         "q_part_brands": rq.q_part_brands,
         "q_events_daily": rq.q_events_daily,
+        # exact COUNT(DISTINCT) per group (pair-hash exchange)
+        "q_events_distinct_users": rq.q_events_distinct_users,
         "q_event_sessions": rq.q_event_sessions,
         # training-data ops
         "q_event_asof_order": rq.q_event_asof_order,
@@ -970,6 +972,11 @@ def oracle_sql() -> dict[str, str]:
                  AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
             ORDER BY event_id
+        """,
+        "q_events_distinct_users": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q_customers_no_urgent": """
             SELECT c_custkey,

@@ -55,6 +55,41 @@ def _conc(compute_bound: bool = False):
 # Core relational operators
 # ---------------------------------------------------------------------------
 
+def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT) per group, 100-TB shaped: per-batch partial
+    dedup shrinks the stream before the wire, ONE hash exchange on the
+    full (event_type, user_id) pair (hash_aggregate buckets on the pair
+    hash, so one event_type's users spread over all partitions — a hot
+    group cannot pin a worker), then a tiny per-type sum of per-bucket
+    distinct counts. Exact, not a sketch; the sketch variant (HLL)
+    would replace only the exchange payload."""
+    from ..stages.agg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["event_type", "user_id"]] \
+            .drop_duplicates()
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    # one exchange: distinct pairs via min-aggregate on the pair itself
+    uniq = hash_aggregate(pairs, ["event_type", "user_id"],
+                          {"one": ("user_id", "min")})
+
+    def count_per_type(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("event_type", as_index=False) \
+            .agg(n_users=("user_id", "size"))
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    parts = uniq.map_batches(count_per_type,
+                             batch_format="pyarrow").to_pandas()
+    out = parts.groupby("event_type", as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-style groupby aggregate with per-batch partial combine."""
 
