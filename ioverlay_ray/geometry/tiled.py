@@ -361,6 +361,18 @@ def strip_walk_arrays(tx, ty, hx, hy, strip: int, strip_w: int):
     sees the residue. Output is BIT-IDENTICAL to strip_walk (same ring
     start vertices and order: rings sort by their minimal edge index,
     the walker's discovery key)."""
+    rings_mix, chains = _strip_walk_mix(tx, ty, hx, hy, strip, strip_w)
+    rings = [
+        [tuple(p) for p in P.tolist()] if isinstance(P, np.ndarray)
+        else P
+        for _, P in rings_mix]
+    return rings, chains
+
+
+def _strip_walk_mix(tx, ty, hx, hy, strip: int, strip_w: int):
+    """Shared walk core: ``(start_key, ring)`` pairs sorted by
+    discovery key (ring = (L,2) ndarray for pure cycles, point list
+    for walker residue) plus the open chains."""
     n = len(tx)
     if n == 0:
         return [], []
@@ -467,11 +479,34 @@ def strip_walk_arrays(tx, ty, hx, hy, strip: int, strip_w: int):
                                               strip_w)
         rings_mix.extend(r_rings)
     rings_mix.sort(key=lambda it: it[0])
-    rings = [
-        [tuple(p) for p in P.tolist()] if isinstance(P, np.ndarray)
-        else P
-        for _, P in rings_mix]
-    return rings, chains
+    return rings_mix, chains
+
+
+def strip_walk_flat(tx, ty, hx, hy, strip: int, strip_w: int):
+    """``strip_walk_arrays`` with FLAT ring buffers: returns
+    ``(offsets, values, chains)`` where ``values`` is the interleaved
+    [x0,y0,x1,y1,...] int64 buffer of all rings in the bit-identical
+    discovery order and ``offsets`` (len = nrings+1, in VALUE units)
+    delimits them — ready for a zero-copy
+    ``pa.ListArray.from_arrays``. Skips the per-point tuple
+    materialization of the list form (the walk stage's dominant cost
+    on dense scenes: millions of tuples built only to be re-flattened
+    into Arrow)."""
+    rings_mix, chains = _strip_walk_mix(tx, ty, hx, hy, strip, strip_w)
+    if not rings_mix:
+        return (np.zeros(1, np.int64), np.zeros(0, np.int64), chains)
+    parts = []
+    lens = np.empty(len(rings_mix), np.int64)
+    for i, (_, P) in enumerate(rings_mix):
+        if isinstance(P, np.ndarray):
+            flat = P.reshape(-1)
+        else:
+            flat = np.asarray(P, np.int64).reshape(-1)
+        parts.append(flat)
+        lens[i] = len(flat)
+    values = np.concatenate(parts)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    return offsets, values, chains
 
 
 def _strip_walk_indexed(edges, orig_idx, strip: int, strip_w: int):

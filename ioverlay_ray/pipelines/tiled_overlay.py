@@ -379,13 +379,28 @@ def _walk(strip_w: int):
         hx = group.column("hx").to_numpy()
         hy = group.column("hy").to_numpy()
         strip = int(group.column("tstrip")[0].as_py())
-        from ..geometry.tiled import strip_walk_arrays
-        rings, chains = strip_walk_arrays(tx, ty, hx, hy, strip, strip_w)
-        kinds = [0] * len(rings) + [1] * len(chains)
-        pts = [[v for p in r for v in p] for r in rings] + \
-              [[v for p in c for v in p] for c in chains]
+        from ..geometry.tiled import strip_walk_flat
+        offs, vals, chains = strip_walk_flat(tx, ty, hx, hy, strip,
+                                             strip_w)
+        nr = len(offs) - 1
+        # rings straight from the flat buffers (no per-point tuples);
+        # the few open chains append through the Python path
+        c_off = [int(offs[-1])]
+        c_vals = []
+        for c in chains:
+            for p in c:
+                c_vals.extend(p)
+            c_off.append(c_off[-1] + 2 * len(c))
+        all_offs = np.concatenate((offs, np.asarray(c_off[1:],
+                                                    np.int64)))
+        all_vals = np.concatenate((vals, np.asarray(c_vals, np.int64)))
+        pts = pa.ListArray.from_arrays(
+            pa.array(all_offs, pa.int32()),
+            pa.array(all_vals, pa.int64()))
+        kinds = np.concatenate((np.zeros(nr, np.int64),
+                                np.ones(len(chains), np.int64)))
         return pa.table({"kind": pa.array(kinds, pa.int64()),
-                         "pts": pa.array(pts, PTS)})
+                         "pts": pts.cast(PTS)})
     return fn
 
 
