@@ -354,8 +354,11 @@ def _fill_orient(rule: int, fill_rule: int, strip_w: int):
         mask = rule_include_mask(fills, rule)
         sel = q[mask]
         f = fills[mask]
-        top = np.array([is_fill_top(int(v), rule) for v in f.tolist()],
-                       dtype=bool)
+        # fills are 4-bit masks: evaluate is_fill_top once per VALUE
+        # (16-entry LUT), not once per edge
+        top_lut = np.array([is_fill_top(v, rule) for v in range(16)],
+                           dtype=bool)
+        top = top_lut[f]
         ax, ay = segs.ax[sel], segs.ay[sel]
         bx, by = segs.bx[sel], segs.by[sel]
         tx = np.where(top, ax, bx)
