@@ -542,18 +542,18 @@ def _classify_rings(batch: pa.Table) -> pa.Table:
         else np.zeros(0, np.int64)
     x1_all = np.maximum.reduceat(xs, v0) if len(xs) \
         else np.zeros(0, np.int64)
-    rid, hole, x0, x1, anc, keep_pts = [], [], [], [], [], []
-    pl = col.to_pylist()
-    for i in np.flatnonzero(keep):
-        flat = pl[i]
-        is_hole = a2[i] < 0
-        keep_pts.append(flat)
-        rid.append(_ring_id(flat))
-        hole.append(int(is_hole))
-        x0.append(int(x0_all[i]))
-        x1.append(int(x1_all[i]))
-        if is_hole:
-            ring = list(zip(flat[0::2], flat[1::2]))
+    kept = np.flatnonzero(keep)
+    # ring ids / anchors off the flat numpy buffers (no to_pylist of
+    # millions of points); the pts column is one Arrow take
+    rid = np.empty(len(kept), np.int64)
+    hole = (a2[kept] < 0).astype(np.int64)
+    anc = []
+    for out_i, i in enumerate(kept.tolist()):
+        flat = vals[offs[i]:offs[i + 1]]
+        h = hashlib.md5(np.ascontiguousarray(flat).tobytes()).digest()
+        rid[out_i] = int.from_bytes(h[:8], "little", signed=True)
+        if hole[out_i]:
+            ring = list(zip(flat[0::2].tolist(), flat[1::2].tolist()))
             (p, q) = _left_bottom_segment(ring)
             anc.append([p[0], p[1], q[0], q[1]])
         else:
@@ -561,10 +561,10 @@ def _classify_rings(batch: pa.Table) -> pa.Table:
     return pa.table({
         "ring_id": pa.array(rid, pa.int64()),
         "is_hole": pa.array(hole, pa.int64()),
-        "x0": pa.array(x0, pa.int64()),
-        "x1": pa.array(x1, pa.int64()),
+        "x0": pa.array(x0_all[kept], pa.int64()),
+        "x1": pa.array(x1_all[kept], pa.int64()),
         "anchor": pa.array(anc, PTS),
-        "pts": pa.array(keep_pts, PTS),
+        "pts": col.take(pa.array(kept, pa.int64())),
     })
 
 
