@@ -11,11 +11,12 @@ import pandas as pd
 import pyarrow as pa
 
 from . import flagship
-from ..stages.multimodal import DecodeStage, EmbedStage
+from ..stages.multimodal import DecodeStage, EmbedStage, stage_fn
 
 
 def q_image_decode_stats(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
-    """Decode every image (actor pool), emit per-image channel stats +
+    """Decode every image (stage_fn task pool: codec table cached per
+    worker, no per-call actor spin-up), emit per-image channel stats +
     the phash recomputed from decoded pixels (round-trip invariant in
     the distributed path)."""
     import os
@@ -32,9 +33,8 @@ def q_image_decode_stats(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
     ds = ray.data.read_parquet(
         files, columns=["image_id", "bytes", "w", "h", "fmt"],
         override_num_blocks=nb)
-    out = ds.map_batches(DecodeStage, batch_format="pyarrow",
-                         fn_constructor_kwargs={"check_phash": True},
-                         concurrency=2).to_pandas()
+    out = ds.map_batches(stage_fn(DecodeStage, check_phash=True),
+                         batch_format="pyarrow").to_pandas()
     out = out.sort_values("image_id").reset_index(drop=True)
     # stable int columns for hashing
     for c in ("mean_r", "mean_g", "mean_b", "std"):
@@ -44,8 +44,9 @@ def q_image_decode_stats(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
 
 def q_image_embed_topk(sf_dir: str, n_images: int = 256,
                        k: int = 5) -> pd.DataFrame:
-    """Image embeddings (actor pool) -> brute-force cosine top-k of the
-    first 4 images against the corpus (the multimodal ANN path)."""
+    """Image embeddings (stage_fn task pool) -> brute-force cosine
+    top-k of the first 4 images against the corpus (the multimodal ANN
+    path)."""
     import os
     import tempfile
 
@@ -63,7 +64,7 @@ def q_image_embed_topk(sf_dir: str, n_images: int = 256,
     ds = ray.data.read_parquet(
         files, columns=["image_id", "bytes", "w", "h", "fmt"],
         override_num_blocks=nb)
-    emb = ds.map_batches(EmbedStage, batch_format="pyarrow", concurrency=2)
+    emb = ds.map_batches(stage_fn(EmbedStage), batch_format="pyarrow")
     emb_df = emb.to_pandas().sort_values("image_id").reset_index(drop=True)
     queries = np.array(emb_df["embedding"].iloc[:4].tolist())
     qids = list(range(4))
