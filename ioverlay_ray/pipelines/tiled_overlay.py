@@ -308,10 +308,16 @@ def split_rounds_ds(segs_ds, strip_w: int, max_rounds: int = 64,
                 _tag_for_join(True, num_parts), batch_format="pyarrow"))
             applied = tagged.groupby("part").map_groups(
                 _apply_group, batch_format="pyarrow")
+        if not any_round:
+            # final round (no rounded crossings -> the fixed point is
+            # reached after this apply): hand the apply back LAZY so
+            # the consumer's exchange fuses it into its own map side —
+            # single-round scenes skip one full materialization of the
+            # split output
+            ds = applied
+            break
         ds = applied.materialize()
         exp = min(60, exp + 1)
-        if not any_round:
-            break
     return _merged(ds).materialize() if merged_output else ds
 
 
