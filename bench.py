@@ -21,8 +21,12 @@ import time
 
 def _init_ray(num_cpus: int):
     import ray
+    # log_to_driver=False: worker-side warnings (schema-hash notices,
+    # actor-restart hints) otherwise interleave with the one JSON line
+    # this script must print
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
