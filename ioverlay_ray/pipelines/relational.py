@@ -334,10 +334,13 @@ def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
 
 def q_simhash(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import SimHashStage
+    from ..stages.util import stage_fn
     ds = _read(sf_dir, "documents", ["doc_id", "text"],
                num_blocks=8)
-    return ds.map_batches(SimHashStage, batch_format="pyarrow",
-                          concurrency=_conc(compute_bound=True)).to_pandas()
+    # stage_fn task pool: the ±1 contribution cache builds once per
+    # worker; no per-call actor spin-up (1.68 -> 0.37 s warm at sf0.1)
+    return ds.map_batches(stage_fn(SimHashStage),
+                          batch_format="pyarrow").to_pandas()
 
 
 def _embedding_neardup_pairs_ds(sf_dir: str, threshold: float = 0.4,
@@ -806,10 +809,11 @@ def q_doc_minhash(sf_dir: str) -> pd.DataFrame:
     """Full MinHash signatures per document as a comma-joined string
     (SQL-checked against the permutation arithmetic oracle)."""
     from ..stages.dedup import MinHashStage
+    from ..stages.util import stage_fn
     ds = _read(sf_dir, "documents", ["doc_id", "text"],
                num_blocks=8)
-    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow",
-                          concurrency=_conc(compute_bound=True)).to_pandas()
+    sigs = ds.map_batches(stage_fn(MinHashStage),
+                          batch_format="pyarrow").to_pandas()
     sigs["sig"] = sigs["minhash"].map(
         lambda v: ",".join(str(int(x)) for x in v))
     return sigs[["doc_id", "sig"]].sort_values("doc_id")         .reset_index(drop=True)

@@ -213,24 +213,4 @@ class AudioFeatureStage:
         })
 
 
-_WORKER_CACHE: dict = {}
-
-
-def stage_fn(cls, /, **kwargs):
-    """Task-pool form of a stage class: the instance (codec table,
-    model weights) is built ONCE per worker process and cached, like
-    an actor's __init__ — but the stage reuses the cluster's already-
-    warm workers instead of spinning a dedicated actor pool. On this
-    host a fresh actor pool costs ~1.3-1.7 s per map_batches call
-    (cold-worker page faults; see NOTES), which dominates small/medium
-    inputs. Large corpora that want pinned resources and placement
-    still pass the class + ``concurrency=`` directly."""
-    key = (cls, tuple(sorted(kwargs.items())))
-
-    def fn(batch: pa.Table) -> pa.Table:
-        st = _WORKER_CACHE.get(key)
-        if st is None:
-            st = cls(**kwargs)
-            _WORKER_CACHE[key] = st
-        return st(batch)
-    return fn
+from .util import stage_fn  # noqa: E402,F401  (shared task-pool form)

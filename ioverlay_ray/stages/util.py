@@ -1,0 +1,29 @@
+"""Shared stage helpers."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+_WORKER_CACHE: dict = {}
+
+
+def stage_fn(cls, /, **kwargs):
+    """Task-pool form of a stage class: the instance (codec table,
+    shingle/permutation caches, model weights) is built ONCE per worker
+    process and cached — the same amortization as an actor's __init__ —
+    but the stage reuses the cluster's already-warm workers instead of
+    spinning a dedicated actor pool. On this host a fresh actor pool
+    costs ~1.3-1.7 s PER map_batches CALL (cold-worker page faults, see
+    NOTES; pools are torn down when the dataset finishes), which
+    dominates small/medium inputs and repeated suite runs. Large
+    corpora that want pinned resources and placement still pass the
+    class + ``concurrency=`` directly."""
+    key = (cls, tuple(sorted(kwargs.items())))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        st = _WORKER_CACHE.get(key)
+        if st is None:
+            st = cls(**kwargs)
+            _WORKER_CACHE[key] = st
+        return st(batch)
+    return fn
