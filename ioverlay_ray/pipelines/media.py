@@ -75,8 +75,8 @@ def q_image_embed_topk(sf_dir: str, n_images: int = 256,
                               pa.list_(pa.float64())),
     })
     partials = ray.data.from_arrow(t).map_batches(
-        CosineTopKStage, batch_format="pyarrow",
-        fn_constructor_args=(queries, qids, k), concurrency=2).to_pandas()
+        stage_fn(CosineTopKStage, queries, qids, k),
+        batch_format="pyarrow").to_pandas()
     out = merge_topk(pa.Table.from_pandas(partials), k).to_pandas()
     return out.astype(np.int64)
 
@@ -90,8 +90,8 @@ def q_raster_scanlines(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
     from ..stages.raster import ScanlineRasterStage
     ds = flagship.images_dataset(n_images)
     annotated = ds.map_batches(AnnotateStage(4), batch_format="pyarrow")
-    out = annotated.map_batches(ScanlineRasterStage, batch_format="pyarrow",
-                                concurrency=4).to_pandas()
+    out = annotated.map_batches(stage_fn(ScanlineRasterStage),
+                                batch_format="pyarrow").to_pandas()
     return out.sort_values("pair_id").reset_index(drop=True)
 
 
@@ -363,8 +363,7 @@ def q_image_phash_neardup(sf_dir: str, n_images: int = 240,
 
     ds = ray.data.range(n_images, override_num_blocks=nb)
     out = (ds.map_batches(gen, batch_format="pyarrow")
-           .map_batches(PhashStage, batch_format="pyarrow",
-                        concurrency=2)
+           .map_batches(stage_fn(PhashStage), batch_format="pyarrow")
            .map_batches(bands, batch_format="pyarrow")
            .groupby(["band", "bval"])
            .map_groups(pairs, batch_format="pyarrow")

@@ -149,10 +149,10 @@ def q_nation_customers(sf_dir: str) -> pd.DataFrame:
             return pa.Table.from_pandas(
             g, preserve_index=False).replace_schema_metadata(None)
 
+    from ..stages.util import stage_fn
     ds = _read(sf_dir, "customer", ["c_nationkey"])
-    parts = ds.map_batches(CountPerNation, batch_format="pyarrow",
-                           fn_constructor_args=(lookup_ref,),
-                           concurrency=_conc()).to_pandas()
+    parts = ds.map_batches(stage_fn(CountPerNation, lookup_ref),
+                           batch_format="pyarrow").to_pandas()
     out = parts.groupby("n_name", as_index=False)["num_customers"].sum()
     out["num_customers"] = out["num_customers"].astype(np.int64)
     return out
@@ -384,9 +384,9 @@ def _embedding_neardup_pairs_ds(sf_dir: str, threshold: float = 0.4,
     qt = _small_table(sf_dir, "embeddings", ["embedding"])
     dim = len(qt.column("embedding")[0].as_py())
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    buckets = ds.map_batches(BucketKeep, batch_format="pyarrow",
-                             fn_constructor_args=(dim, n_planes),
-                             concurrency=_conc())
+    from ..stages.util import stage_fn
+    buckets = ds.map_batches(stage_fn(BucketKeep, dim, n_planes),
+                             batch_format="pyarrow")
     return buckets.groupby("bucket").map_groups(
         local_pairs, batch_format="pyarrow")
 
@@ -485,11 +485,11 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 8, k_lists: int = 16,
     queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
     qref = ray.put(queries)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    from ..stages.util import stage_fn
     partials = ds.map_batches(
-        IVFScanStage, batch_format="pyarrow",
-        fn_constructor_args=(qref, qdf["vec_id"].tolist(), k_lists,
-                             nprobe, k),
-        concurrency=_conc())
+        stage_fn(IVFScanStage, qref, qdf["vec_id"].tolist(), k_lists,
+                 nprobe, k),
+        batch_format="pyarrow")
     return merge_topk(pa.Table.from_pandas(partials.to_pandas()),
                       k).to_pandas()
 
@@ -503,9 +503,9 @@ def q_ann_lsh_buckets(sf_dir: str, n_planes: int = 8) -> pd.DataFrame:
     qt = _small_table(sf_dir, "embeddings", ["embedding"])
     dim = len(qt.column("embedding")[0].as_py())
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    buckets = ds.map_batches(HyperplaneLSHStage, batch_format="pyarrow",
-                             fn_constructor_args=(dim, n_planes),
-                             concurrency=_conc())
+    from ..stages.util import stage_fn
+    buckets = ds.map_batches(stage_fn(HyperplaneLSHStage, dim, n_planes),
+                             batch_format="pyarrow")
     out = hash_aggregate(buckets, ["bucket"], {
         "members": ("vec_id", "count"),
         "min_vec": ("vec_id", "min"),
@@ -704,10 +704,10 @@ def q_part_value_range(sf_dir: str) -> pd.DataFrame:
                 "n_events": pa.array(n.astype(np.int64), pa.int64()),
             })
 
+    from ..stages.util import stage_fn
     ds = _read(sf_dir, "events", ["value"])
-    parts = ds.map_batches(RangeCountStage, batch_format="pyarrow",
-                           fn_constructor_args=(iv_ref,),
-                           concurrency=_conc()).to_pandas()
+    parts = ds.map_batches(stage_fn(RangeCountStage, iv_ref),
+                           batch_format="pyarrow").to_pandas()
     out = parts.groupby("p_partkey", as_index=False)["n_events"].sum()
     out = out[out["n_events"] > 0]
     return out.sort_values("p_partkey").reset_index(drop=True) \

@@ -7,7 +7,7 @@ import pyarrow as pa
 _WORKER_CACHE: dict = {}
 
 
-def stage_fn(cls, /, **kwargs):
+def stage_fn(cls, /, *args, **kwargs):
     """Task-pool form of a stage class: the instance (codec table,
     shingle/permutation caches, model weights) is built ONCE per worker
     process and cached — the same amortization as an actor's __init__ —
@@ -18,12 +18,14 @@ def stage_fn(cls, /, **kwargs):
     dominates small/medium inputs and repeated suite runs. Large
     corpora that want pinned resources and placement still pass the
     class + ``concurrency=`` directly."""
-    key = (cls, tuple(sorted(kwargs.items())))
+    # repr-keyed: constructor args may be unhashable (lists, arrays);
+    # ObjectRef reprs are stable per ref
+    key = (cls, repr(args), repr(sorted(kwargs.items())))
 
     def fn(batch: pa.Table) -> pa.Table:
         st = _WORKER_CACHE.get(key)
         if st is None:
-            st = cls(**kwargs)
+            st = cls(*args, **kwargs)
             _WORKER_CACHE[key] = st
         return st(batch)
     return fn
