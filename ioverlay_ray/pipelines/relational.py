@@ -37,12 +37,11 @@ def _small_table(sf_dir: str, table: str, columns=None) -> pa.Table:
                          columns=columns)
 
 def _conc(compute_bound: bool = False):
-    """Actor-pool width. Mixed pipelines (producer + actor + consumer)
-    cap at a quarter of the CPUs as backpressure; compute-DOMINATED
-    stages (MinHash, SimHash: per-doc hashing is ~all the wall time)
-    AUTOSCALE with the cluster (min 2, max cpus-2) so small inputs pay
-    two actor startups, not thirty, while big inputs still fill the
-    node."""
+    """Actor-pool width for the stages that still want a PINNED pool
+    (most query stages moved to stages/util.stage_fn task pools — the
+    per-call actor spin-up costs 1.3-1.7 s on this host). Mixed
+    pipelines cap at a quarter of the CPUs as backpressure;
+    compute-dominated stages autoscale (min 2, max cpus-2)."""
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 8))
     if compute_bound:
