@@ -256,24 +256,38 @@ def dissolve(ds: "ray.data.Dataset", base: int = 64, levels: int = 5,
             "rings": batch.column("rings"),
         })
 
-    current = ds.map_batches(assign, batch_format="pyarrow").materialize()
+    current = ds.map_batches(assign, batch_format="pyarrow")
 
-    # one cheap histogram pass: shuffle rounds only run for levels that
-    # actually hold geometry (deep hierarchies over shallow data would
-    # otherwise pay a pass-through shuffle per empty level); per-batch
-    # unique + driver merge — a block scan, not a groupby exchange
+    # one cheap histogram pass for DEEP hierarchies: shuffle rounds
+    # only run for levels that actually hold geometry (shallow data
+    # under many levels would otherwise pay a pass-through shuffle per
+    # empty level); per-batch unique + driver merge — a block scan,
+    # not a groupby exchange. For shallow hierarchies the histogram
+    # cannot prune anything the loop wouldn't run anyway, so skip the
+    # pass (and the extra materialization of `current` it needs) and
+    # assume every level is populated.
     import pyarrow.compute as pc
 
-    def _levels_of(batch: pa.Table) -> pa.Table:
-        return pa.table({"level": pc.unique(batch.column("level"))})
+    if levels >= 4:
+        current = current.materialize()
 
-    present = set(
-        r["level"] for r in
-        current.map_batches(_levels_of, batch_format="pyarrow").take_all())
+        def _levels_of(batch: pa.Table) -> pa.Table:
+            return pa.table({"level": pc.unique(batch.column("level"))})
+
+        present = set(
+            r["level"] for r in
+            current.map_batches(_levels_of,
+                                batch_format="pyarrow").take_all())
+    else:
+        present = set(range(levels))
     max_input = max(present) if present else 0
     finals = []
 
     start_lev = 0
+    if levels < 2:
+        # the level loop below issues count() actions on `current`;
+        # without the combiner's materialize it would re-execute
+        current = current.materialize()
     if levels >= 2:
         L = min(local_levels, levels - 2)
         may_fin0 = L >= max_input
