@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_sample_hash": rq.q_doc_sample_hash,
         "q_doc_sample_stratified": rq.q_doc_sample_stratified,
         "q_doc_token_stats": rq.q_doc_token_stats,
+        # distributed TF-IDF (integer idf surrogate; strict hash match)
+        "q_doc_tfidf_terms": rq.q_doc_tfidf_terms,
         "q_doc_quality": rq.q_doc_quality,
         "q_doc_lang": rq.q_doc_lang,
         "q_doc_fingerprint": rq.q_doc_fingerprint,
@@ -977,6 +979,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_doc_tfidf_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9]+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            )
+            SELECT doc_id, rnk, term, score FROM (
+                SELECT doc_id, term,
+                       CAST((tf * 1000000) // df AS BIGINT) AS score,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY (tf * 1000000) // df DESC, term)
+                           AS BIGINT) AS rnk
+                FROM tf JOIN df USING (term)) t
+            WHERE rnk <= 3
+            ORDER BY doc_id, rnk
         """,
         "q_customers_no_urgent": """
             SELECT c_custkey,

@@ -237,6 +237,68 @@ def q_doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_doc_tfidf_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Distributed TF-IDF top-k terms per document (training-data
+    keyword extraction / term-importance filter), 100-TB shaped:
+
+    1. (doc_id, term, tf) rows per batch (vectorized Counter rows);
+    2. document frequency via ONE hash exchange over the term key
+       (hash_aggregate count of distinct doc-term rows);
+    3. tf rows join df through a second term-hash exchange (tagged
+       union + per-partition vectorized merge — both sides partition
+       by the SAME pandas hash, no broadcast of the vocabulary);
+    4. per-doc top-k by score through the grouped-topk combiner
+       (map-side k-per-group, exchange is k x docs rows).
+
+    Scoring uses the log-free integer idf surrogate
+    score = tf * 1e6 // df — monotone in tf/df, exactly reproducible
+    in both numpy and DuckDB (float ln() could differ by 1 ulp and
+    flip a rank), so the oracle is a strict hash match."""
+    from ..stages.agg import _part_of, hash_aggregate
+    from ..stages.text import tfidf_term_rows
+    from ..stages.topk import grouped_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    tf = docs.map_batches(tfidf_term_rows, batch_format="pyarrow")
+    dfreq = hash_aggregate(tf, ["term"], {"df": ("doc_id", "count")})
+    P = 32
+
+    def tag(side: int, cnt_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            d = batch.to_pandas()
+            out = pd.DataFrame({
+                "doc_id": d["doc_id"] if side == 0 else np.int64(-1),
+                "term": d["term"],
+                "cnt": d[cnt_col],
+                "side": np.int64(side),
+            })
+            out["part"] = _part_of(out, ["term"], P)
+            return pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
+        return fn
+
+    both = tf.map_batches(tag(0, "tf"), batch_format="pyarrow")         .union(dfreq.map_batches(tag(1, "df"), batch_format="pyarrow"))
+
+    def join_part(group: pa.Table) -> pa.Table:
+        g = group.to_pandas()
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1][["term", "cnt"]]             .rename(columns={"cnt": "df"})
+        m = left.merge(right, on="term")
+        m["score"] = (m["cnt"] * 1_000_000) // m["df"]
+        return pa.Table.from_pandas(
+            m[["doc_id", "term", "score"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    scored = both.groupby("part").map_groups(join_part,
+                                             batch_format="pyarrow")
+    top = grouped_topk(scored, ["doc_id"], "score", k,
+                       tie_cols=["term"], rank_col="rnk").to_pandas()
+    top["rnk"] = top["rnk"].astype(np.int64)
+    top["doc_id"] = top["doc_id"].astype(np.int64)
+    top["score"] = top["score"].astype(np.int64)
+    return top[["doc_id", "rnk", "term", "score"]]         .sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+
+
 def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import token_stats
     ds = _read(sf_dir, "documents", ["doc_id", "text"],

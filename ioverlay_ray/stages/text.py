@@ -98,3 +98,25 @@ def fingerprint(batch: pa.Table) -> pa.Table:
         "doc_id": batch.column("doc_id"),
         "fingerprint": pa.array(fps, pa.int64()),
     })
+
+
+_TERM_RE = re.compile(r"[a-z0-9]+")
+
+
+def tfidf_term_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) rows — one per distinct term per document
+    (lowercase alphanumeric runs; DuckDB regexp_extract_all parity)."""
+    from collections import Counter
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    d, t, c = [], [], []
+    for i, x in zip(ids, texts):
+        for term, n in Counter(_TERM_RE.findall(x.lower())).items():
+            d.append(i)
+            t.append(term)
+            c.append(n)
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "term": pa.array(t, pa.string()),
+        "tf": pa.array(c, pa.int64()),
+    })
