@@ -338,3 +338,41 @@ def test_tiled_spiral_area_matches_kernel(ray_session):
     shapes = overlay([ipath], [], "subject", "nonzero")
     rings = tiled_rings_ds([ipath], [], "subject", "nonzero")
     assert rings_area2(rings) == shapes_area2(shapes)
+
+
+def test_strip_walk_flat_matches_arrays():
+    # the flat-buffer form must reproduce strip_walk_arrays exactly
+    # (same rings in the same order, same chains), including narrow
+    # strips that leave open chains
+    import numpy as np
+
+    from ioverlay_ray.geometry.tiled import strip_walk_arrays, strip_walk_flat
+
+    rng = np.random.default_rng(909)
+    for trial in range(20):
+        edges = []
+        for _ in range(rng.integers(3, 30)):
+            x0, y0 = (int(v) for v in rng.integers(0, 120, 2))
+            w = int(rng.integers(1, 20))
+            h = int(rng.integers(1, 20))
+            quad = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                    (x0, y0 + h)]
+            for i in range(4):
+                edges.append((quad[i], quad[(i + 1) % 4]))
+        rng.shuffle(edges)
+        tx = np.array([e[0][0] for e in edges], np.int64)
+        ty = np.array([e[0][1] for e in edges], np.int64)
+        hx = np.array([e[1][0] for e in edges], np.int64)
+        hy = np.array([e[1][1] for e in edges], np.int64)
+        # one wide strip AND a narrow strip (chains at the borders)
+        for strip, strip_w in ((0, 1 << 20), (1, 64)):
+            rings, chains = strip_walk_arrays(tx, ty, hx, hy, strip,
+                                              strip_w)
+            offs, vals, chains2 = strip_walk_flat(tx, ty, hx, hy,
+                                                  strip, strip_w)
+            assert chains == chains2, trial
+            assert len(offs) - 1 == len(rings), trial
+            for i, ring in enumerate(rings):
+                flat = vals[offs[i]:offs[i + 1]]
+                got = list(zip(flat[0::2].tolist(), flat[1::2].tolist()))
+                assert got == ring, (trial, i)
