@@ -350,3 +350,51 @@ def test_read_images_front_door(ray_session, tmp_path):
     lance_dir.mkdir()
     with pytest.raises(ImportError, match="pylance"):
         read_images(str(lance_dir))
+
+
+def test_new_relational_ops_vs_duckdb(ray_session):
+    """Anti join, grouped count-distinct and TF-IDF top terms against
+    direct DuckDB recomputes at sf0.001 (the driver's oracle gate runs
+    the same comparison at sf0.01)."""
+    import duckdb
+
+    from ioverlay_ray.pipelines import relational as rq
+    con = duckdb.connect()
+    for t in ("customer", "orders", "events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+
+    anti = rq.q_customers_no_urgent(SF)
+    exp = con.execute("""
+        SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal
+        FROM customer WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""").df()
+    assert list(anti["c_custkey"]) == list(exp["c_custkey"])
+    assert list(anti["bal_cents"]) == list(exp["bal"])
+
+    cd = rq.q_events_distinct_users(SF)
+    exp = con.execute("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n
+        FROM events GROUP BY 1 ORDER BY 1""").df()
+    assert list(cd["event_type"]) == list(exp["event_type"])
+    assert list(cd["n_users"]) == list(exp["n"])
+
+    tfidf = rq.q_doc_tfidf_terms(SF)
+    exp = con.execute("""
+        WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(
+                lower(text), '[a-z0-9]+')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+               GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+        SELECT doc_id, rnk, term, score FROM (
+            SELECT doc_id, term,
+                   CAST((tf*1000000)//df AS BIGINT) AS score,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY (tf*1000000)//df DESC, term) AS rnk
+            FROM tf JOIN df USING (term)) t
+        WHERE rnk <= 3 ORDER BY doc_id, rnk""").df()
+    assert len(tfidf) == len(exp)
+    assert list(tfidf["term"]) == list(exp["term"])
+    assert list(tfidf["score"]) == list(exp["score"])
