@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image dedup: phash banding + Hamming verify; the SQL oracle
         # reproduces banding/candidates/verify from generator phashes
         "q_image_phash_neardup": mq.q_image_phash_neardup,
+        # caption byte-equality through write->read (input_hint invariant)
+        "q_image_caption_roundtrip": mq.q_image_caption_roundtrip,
         # SQL-checked since r2: exact-rational winding recompute oracle
         "q_raster_scanlines": mq.q_raster_scanlines,
     }
@@ -1028,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "q_image_decode_stats": _image_decode_stats_oracle(),
         "q_image_embed_topk": _image_embed_topk_oracle(),
         "q_image_phash_neardup": _image_phash_neardup_oracle(),
+        "q_image_caption_roundtrip": _image_caption_oracle(),
         # raster scanlines: exact-rational winding recompute with
         # kernel-spec crossing rounding (snap-hazard images fall back
         # to the clip kernel; see media.scanline_oracle_rows)
@@ -1077,6 +1080,16 @@ def _image_phash_neardup_oracle() -> str:
                CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(pa, pb)) <= 6
         ORDER BY id_a, id_b
+    """
+
+
+def _image_caption_oracle() -> str:
+    from ioverlay_ray.pipelines.media import caption_oracle_rows
+    vals = ",\n".join(f"('{i}', {d})" for i, d in caption_oracle_rows(256))
+    return f"""
+        SELECT image_id, CAST(caption_md5 AS BIGINT) AS caption_md5
+        FROM (VALUES {vals}) AS t(image_id, caption_md5)
+        ORDER BY image_id
     """
 
 

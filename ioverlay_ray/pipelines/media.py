@@ -378,3 +378,55 @@ def phash_oracle_rows(n_images: int = 240) -> list:
     q_image_phash_neardup SQL oracle's VALUES CTE."""
     from ..sources.synth import neardup_pixels, phash64
     return [(i, phash64(neardup_pixels(i)[2])) for i in range(n_images)]
+
+
+def q_image_caption_roundtrip(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
+    """Caption byte-equality invariant through the FULL dataset path:
+    generator -> parquet shard write -> pruned-column distributed read
+    -> per-batch md5 of the utf-8 caption bytes. The oracle recomputes
+    the same digests straight from the generator (no parquet, no Ray),
+    so a hash match proves captions survive the storage round trip
+    byte-for-byte (BASELINE input_hint invariant)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import ray.data
+    flagship.images_dataset(n_images)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"ioverlay_images_{n_images}_42")
+    files = [os.path.join(path, f) for f in sorted(os.listdir(path))
+             if f.endswith(".parquet")]
+    ds = ray.data.read_parquet(files, columns=["image_id", "caption"],
+                               override_num_blocks=max(8, len(files)))
+
+    def digest(batch: pa.Table) -> pa.Table:
+        out = [int.from_bytes(
+            hashlib.md5(c.encode("utf-8")).digest()[:8], "little",
+            signed=True)
+            for c in batch.column("caption").to_pylist()]
+        return pa.table({"image_id": batch.column("image_id"),
+                         "caption_md5": pa.array(out, pa.int64())})
+
+    out = ds.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def caption_oracle_rows(n_images: int = 256) -> list:
+    """(image_id, md5-int) recomputed from the generator for the
+    q_image_caption_roundtrip VALUES oracle."""
+    import hashlib
+
+    from ..sources.synth import WORDS, _rng
+    rows = []
+    for i in range(n_images):
+        rng = _rng(42, i)
+        rng.integers(16, 64)  # w draw (keep the generator's RNG order)
+        rng.integers(16, 64)  # h draw
+        k = int(rng.integers(4, 9))
+        widx = rng.integers(0, len(WORDS), size=k)
+        cap = " ".join(WORDS[j] for j in widx)
+        rows.append((f"img_{i:012d}", int.from_bytes(
+            hashlib.md5(cap.encode("utf-8")).digest()[:8], "little",
+            signed=True)))
+    return rows
