@@ -411,6 +411,11 @@ def _middle_cross(t, o, radius):
 # ---------------------------------------------------------------------------
 
 PAIR_BLOCK = 4_000_000  # max candidate pairs materialized at once
+# optional hook: fn(segs, with_clip) -> (bot_subj, bot_clip), installed by
+# pipelines/parallel_fill.py to shard the fill's stab queries across Ray
+# tasks (exact: per-query independence); None = in-process numpy
+PARALLEL_FILL = None
+
 _TREE_LEAF_MAX = 256    # widest leaf the tree cost model considers
 _RECT_FAST = True       # rectilinear perpendicular classify fast path
 
@@ -1246,6 +1251,11 @@ def bottom_windings(segs: Segments, block: int = 256,
         fast = _single_cycle_windings(segs)
         if fast is not None:
             return fast, np.zeros(n, dtype=np.int64)
+    if PARALLEL_FILL is not None:
+        # pipeline-injected sharded fill (pipelines/parallel_fill.py):
+        # stab queries are data-parallel, so a task wave computes the
+        # identical values; the kernel itself stays numpy-pure
+        return PARALLEL_FILL(segs, with_clip)
     mx = segs.ax + segs.bx          # doubled midpoint
     my = segs.ay + segs.by
     return _stab_windings(segs, mx, my, np.arange(n), block, with_clip)
@@ -1377,11 +1387,13 @@ def _tree_windings(segs: Segments, mx, my, q_pos, with_clip: bool = True,
         subj64 = segs.subj.astype(np.float64)
         clip64 = segs.clip.astype(np.float64) if with_clip else None
         CH = 1 << 21
-        # reused scratch (the host pays dearly for fresh large pages —
-        # see NOTES on the fault-path finding)
-        t_a = np.empty(CH + 1, np.int64)
-        t_b = np.empty(CH + 1, np.int64)
-        ar = np.arange(CH + 1, dtype=np.int64)
+        # reused scratch sized to the ACTUAL remnant total (the host
+        # pays dearly for fresh large pages — see NOTES; a small query
+        # shard must not first-touch the full 48MB chunk scratch)
+        sz = int(min(CH, cumr[-1])) + 1
+        t_a = np.empty(sz, np.int64)
+        t_b = np.empty(sz, np.int64)
+        ar = np.arange(sz, dtype=np.int64)
         r0 = 0
         nr = len(rs)
         while r0 < nr:

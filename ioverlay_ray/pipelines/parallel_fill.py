@@ -1,0 +1,111 @@
+"""Ray-parallel fill for ONE connected component (the Spiral regime).
+
+The round-2 VERDICT's remaining design gap ("no decomposition of a
+single connected component"): sweep-fill work on a single component
+cannot be split by component, but the fill itself is a pure stab
+problem — the winding below each split segment's midpoint against the
+WHOLE segment table — and stab queries are data-parallel. Sharding the
+(ax-sorted) query positions into contiguous COLUMN ranges and running
+the existing winding engine per shard is exact by construction: each
+task computes its queries' windings against all segments, and a
+segment contributes tree/remnant work only for the query columns it
+spans, so cross-shard replication is bounded by segments crossing
+shard borders (short-segment scenes like the Spiral replicate almost
+nothing — the same argument as the tiled pipeline's strips, without
+the bit-model machinery, because nothing here changes geometry).
+
+This targets the beyond-one-core regime between the raw single kernel
+(one core does everything) and the full tiled pipeline (bit-exact but
+~3 dataset barriers): one ``ray.put`` of the split segment table, one
+wave of tasks, one concatenate. Fill is the dominant phase of large
+single-component scenes (~55% of Spiral at 131k), so wall time
+approaches split+extract plus fill/shards.
+
+Reference semantics: core/fill/ in iOverlay (winding below, fill
+rules); decomposition is ours — the reference is single-machine.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import numpy as np
+import ray
+
+from ..geometry.kernel import Segments, _stab_windings
+
+
+# measured crossover on the Spiral family: at ~200k split segments the
+# task wave (put + cold-worker first-touch + per-shard setup) still
+# loses to the in-process fill; at ~800k it wins ~2-4x
+PARALLEL_MIN_SEGS = 400_000
+
+
+@ray.remote
+def _fill_shard(arrs, lo: int, hi: int, with_clip: bool):
+    ax, ay, bx, by, subj, clip, mx, my = arrs
+    segs = Segments(ax, ay, bx, by, subj, clip)
+    q = np.arange(lo, hi, dtype=np.int64)
+    return _stab_windings(segs, mx, my, q, with_clip=with_clip)
+
+
+def bottom_windings_ray(segs: Segments, with_clip: bool = True,
+                        shards: int | None = None):
+    """Sharded bottom_windings: exact same values as the sequential
+    kernel (pinned by tests), fill wall time divided by the task wave.
+    Falls back to in-process evaluation when Ray is not initialised or
+    the scene is too small to amortize a task wave."""
+    n = len(segs)
+    mx = segs.ax + segs.bx
+    my = segs.ay + segs.by
+    if shards is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 1
+        shards = max(1, min(16, cpus // 2))
+    if n < PARALLEL_MIN_SEGS or shards <= 1 or not ray.is_initialized():
+        return _stab_windings(segs, mx, my,
+                              np.arange(n, dtype=np.int64),
+                              with_clip=with_clip)
+    arrs_ref = ray.put((segs.ax, segs.ay, segs.bx, segs.by,
+                        segs.subj, segs.clip, mx, my))
+    bounds = np.linspace(0, n, shards + 1).astype(np.int64)
+    futs = [_fill_shard.remote(arrs_ref, int(bounds[i]),
+                               int(bounds[i + 1]), with_clip)
+            for i in range(shards) if bounds[i + 1] > bounds[i]]
+    parts = ray.get(futs)
+    bot_subj = np.concatenate([p[0] for p in parts])
+    bot_clip = np.concatenate([p[1] for p in parts])
+    return bot_subj, bot_clip
+
+
+@contextlib.contextmanager
+def parallel_fill(shards: int | None = None):
+    """Install the sharded fill for the enclosed kernel calls:
+
+        with parallel_fill():
+            shapes = float_overlay([spiral_path], [], "subject",
+                                   "nonzero")
+
+    Everything else (split, extraction, the float facade) is untouched
+    — the hook only replaces bottom_windings' in-process stab with the
+    task wave, so results are pinned identical by the kernel tests."""
+    from ..geometry import kernel
+    prev = kernel.PARALLEL_FILL
+    kernel.PARALLEL_FILL = \
+        lambda segs, with_clip: bottom_windings_ray(segs, with_clip,
+                                                    shards)
+    try:
+        yield
+    finally:
+        kernel.PARALLEL_FILL = prev
+
+
+def parallel_overlay(subj, clip, rule, fill_rule="nonzero",
+                     shards: int | None = None, **options):
+    """float_overlay with the FILL phase as a Ray task wave — the
+    middle path between the raw single kernel (one core does the whole
+    component) and the fully tiled pipeline (bit-exact but ~3 dataset
+    barriers)."""
+    from ..geometry.float_api import float_overlay
+    with parallel_fill(shards):
+        return float_overlay(subj, clip, rule, fill_rule, **options)
