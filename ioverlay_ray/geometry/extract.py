@@ -401,14 +401,25 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
         jump = jump0.copy()
         mn_l = sv >> 1
         rounds = max(1, int(m).bit_length())
-        for _ in range(rounds):
-            v = np.flatnonzero(jump >= 0)
-            if not len(v):
-                break
-            t = jump[v]
-            mn_l[v] = np.minimum(mn_l[v], mn_l[t])
-            jump[v] = jump[t]
-        on_cycle = jump >= 0     # tails hit a -1 within 2^rounds steps
+        if okp.all():
+            # no tails: jump is a permutation (pure cycles only), so it
+            # stays >= 0 forever — propagate over the FULL arrays and
+            # skip the per-round flatnonzero + fancy-index compaction
+            # (one giant cycle pays bit_length(m) full-size rounds
+            # either way; this halves the passes per round)
+            for _ in range(rounds):
+                mn_l = np.minimum(mn_l, mn_l[jump])
+                jump = jump[jump]
+            on_cycle = np.ones(m, dtype=bool)
+        else:
+            for _ in range(rounds):
+                v = np.flatnonzero(jump >= 0)
+                if not len(v):
+                    break
+                t = jump[v]
+                mn_l[v] = np.minimum(mn_l[v], mn_l[t])
+                jump[v] = jump[t]
+            on_cycle = jump >= 0   # tails hit a -1 within 2^rounds steps
         if on_cycle.any():
             keys, cnts = np.unique(mn_l[on_cycle], return_counts=True)
             lens = cnts >> 1     # each physical cycle = 2 orientations
