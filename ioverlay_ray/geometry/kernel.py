@@ -411,10 +411,14 @@ def _middle_cross(t, o, radius):
 # ---------------------------------------------------------------------------
 
 PAIR_BLOCK = 4_000_000  # max candidate pairs materialized at once
-# optional hook: fn(segs, with_clip) -> (bot_subj, bot_clip), installed by
-# pipelines/parallel_fill.py to shard the fill's stab queries across Ray
-# tasks (exact: per-query independence); None = in-process numpy
+# optional hooks installed by pipelines/parallel_fill.py; None = in-process
+# numpy. PARALLEL_FILL: fn(segs, with_clip) -> (bot_subj, bot_clip) shards
+# the fill's stab queries across Ray tasks (exact: per-query independence).
+# PARALLEL_MARKS: fn(segs, radius) -> marks tuple or None (None = caller
+# falls through to the in-process path) shards the split's banded
+# candidate enumeration by band range.
 PARALLEL_FILL = None
+PARALLEL_MARKS = None
 
 _TREE_LEAF_MAX = 256    # widest leaf the tree cost model considers
 _RECT_FAST = True       # rectilinear perpendicular classify fast path
@@ -606,7 +610,44 @@ def _rect_pair_blocks(segs: Segments, h_mask: np.ndarray):
         yield blk
 
 
-def _candidate_pair_blocks(segs: Segments):
+def _pair_plan(segs: Segments):
+    """Which enumeration regime _candidate_pair_blocks will take:
+    ("flat"|"rect"|"banded", B). Exposed so the sharded split
+    (pipelines/parallel_fill.py) can fan the banded regime out by band
+    ranges; must stay in lockstep with _candidate_pair_blocks."""
+    n = len(segs)
+    if n == 0:
+        return "flat", 0
+    use_bands = False
+    flat_pairs = 0
+    if n > 512:
+        j_end = np.searchsorted(segs.ax, segs.bx, side="right")
+        flat_pairs = int(np.maximum(
+            j_end - np.arange(1, n + 1), 0).sum())
+        use_bands = flat_pairs > max(32 * n, 1 << 16)
+    if use_bands and _RECT_FAST:
+        is_h = segs.ay == segs.by
+        is_v = segs.ax == segs.bx
+        if bool(np.all(is_h | is_v)):
+            return "rect", 0
+    if use_bands:
+        ymin = np.minimum(segs.ay, segs.by)
+        ymax = np.maximum(segs.ay, segs.by)
+        y0 = int(ymin.min())
+        y1 = int(ymax.max())
+        B = min(512, max(2, flat_pairs // (2 * n)))
+        while B > 1:
+            h = max(1, (y1 - y0 + B) // B)
+            rep = int(((ymax - y0) // h - (ymin - y0) // h + 1).sum())
+            if rep <= 4 * n:
+                break
+            B >>= 1
+        if B > 1:
+            return "banded", B
+    return "flat", 0
+
+
+def _candidate_pair_blocks(segs: Segments, band_range=None):
     """Yield (i, j>i) candidate-pair blocks with x-overlap (sorted by a)
     and y-range overlap.
 
@@ -617,54 +658,47 @@ def _candidate_pair_blocks(segs: Segments):
     segment joins every band its y-range overlaps, pairs are emitted in
     the band max(bmin_i, bmin_j) only (exact de-dup), and the x-window
     runs per band.  Blocks bound peak memory so one dense tile can't
-    blow up a worker (the 100TB-regime guard)."""
+    blow up a worker (the 100TB-regime guard).
+
+    ``band_range=(lo, hi)`` restricts the BANDED regime to bands in
+    [lo, hi) — the sharded split's unit of work; pairs are emitted in
+    the same order as the full enumeration restricted to those bands
+    (bands are processed band-major either way). Only valid when
+    _pair_plan says "banded"."""
     n = len(segs)
     if n == 0:
         return
-    ymin = np.minimum(segs.ay, segs.by)
-    ymax = np.maximum(segs.ay, segs.by)
-    use_bands = False
-    flat_pairs = 0
-    if n > 512:
-        # estimate flat x-window pair count; band when it explodes
-        j_end = np.searchsorted(segs.ax, segs.bx, side="right")
-        flat_pairs = int(np.maximum(
-            j_end - np.arange(1, n + 1), 0).sum())
-        # dense-crossing scenes (grids) blow the flat window even at
-        # modest n: band when the window is >>n, not only at huge n
-        use_bands = flat_pairs > max(32 * n, 1 << 16)
-    if use_bands and _RECT_FAST:
+    mode, B = _pair_plan(segs)
+    if mode == "rect":
+        assert band_range is None
         is_h = segs.ay == segs.by
         is_v = segs.ax == segs.bx
-        if bool(np.all(is_h | is_v)):
-            # rectilinear interval join: candidates enumerated straight
-            # from bbox overlap (H x V via a column segment tree with
-            # per-node y-sorted members; same-line H-H / V-V via packed
-            # windows) — the y-banded scan enumerates x-window pairs
-            # BEFORE its y-reject, which is O(n^2) on concentric-frame
-            # scenes where every strip spans the full extent
-            yield from _rect_pair_blocks(segs, is_h & ~is_v)
-            return
-    if use_bands:
+        # rectilinear interval join: candidates enumerated straight
+        # from bbox overlap (H x V via a column segment tree with
+        # per-node y-sorted members; same-line H-H / V-V via packed
+        # windows) — the y-banded scan enumerates x-window pairs
+        # BEFORE its y-reject, which is O(n^2) on concentric-frame
+        # scenes where every strip spans the full extent
+        yield from _rect_pair_blocks(segs, is_h & ~is_v)
+        return
+    ymin = np.minimum(segs.ay, segs.by)
+    ymax = np.maximum(segs.ay, segs.by)
+    if mode == "banded":
         y0 = int(ymin.min())
         y1 = int(ymax.max())
-        # start from ~2n pairs per band-pass (sweep-tuned; smaller
-        # bands win until the replication loop below caps them at 4n)
-        B = min(512, max(2, flat_pairs // (2 * n)))
-        while B > 1:
-            h = max(1, (y1 - y0 + B) // B)
-            bmin = (ymin - y0) // h
-            bmax = (ymax - y0) // h
-            rep = int((bmax - bmin + 1).sum())
-            if rep <= 4 * n:
-                break
-            B >>= 1
-        if B > 1:
+        h = max(1, (y1 - y0 + B) // B)
+        bmin = (ymin - y0) // h
+        bmax = (ymax - y0) // h
+        if True:
             counts = (bmax - bmin + 1).astype(np.int64)
             order = np.repeat(np.arange(n), counts)
             csum = np.concatenate(([0], np.cumsum(counts)))[:-1]
             bands = np.arange(len(order)) - np.repeat(csum, counts) \
                 + bmin[order]
+            if band_range is not None:
+                sel = (bands >= band_range[0]) & (bands < band_range[1])
+                order = order[sel]
+                bands = bands[sel]
             srt = np.argsort(bands, kind="stable")
             band_m = bands[srt]
             order_s = order[srt]
@@ -706,6 +740,7 @@ def _candidate_pair_blocks(segs: Segments):
                     yield ii[keep], jj[keep]
                 i0 = i1
             return
+    assert band_range is None
     yield from _pair_blocks_1d(segs, np.arange(n))
 
 
@@ -727,18 +762,23 @@ def _cat_marks(parts) -> np.ndarray:
     return np.concatenate(parts)
 
 
-def _find_marks(segs: Segments, radius: int):
+def _find_marks(segs: Segments, radius: int, band_range=None):
     """Classify all candidate pairs; return split marks and whether any
     rounding occurred (split/solver.rs:82-156).
 
     Marks are (seg_index, px, py) int64 arrays. Pairs are consumed in
-    bounded-memory blocks (_candidate_pair_blocks).
-    """
+    bounded-memory blocks (_candidate_pair_blocks). ``band_range``
+    restricts enumeration+classification to a band range of the banded
+    regime (the sharded split's task unit)."""
+    if PARALLEL_MARKS is not None and band_range is None:
+        res = PARALLEL_MARKS(segs, radius)
+        if res is not None:
+            return res
     m_idx: list = []
     m_px: list = []
     m_py: list = []
     any_round = False
-    for ii, jj in _candidate_pair_blocks(segs):
+    for ii, jj in _candidate_pair_blocks(segs, band_range):
         r = _classify_pairs(segs, ii, jj, radius, m_idx, m_px, m_py)
         any_round |= r
     return _cat_marks(m_idx), _cat_marks(m_px), _cat_marks(m_py), any_round

@@ -91,13 +91,17 @@ def parallel_fill(shards: int | None = None):
     task wave, so results are pinned identical by the kernel tests."""
     from ..geometry import kernel
     prev = kernel.PARALLEL_FILL
+    prev_m = kernel.PARALLEL_MARKS
     kernel.PARALLEL_FILL = \
         lambda segs, with_clip: bottom_windings_ray(segs, with_clip,
                                                     shards)
+    kernel.PARALLEL_MARKS = \
+        lambda segs, radius: find_marks_ray(segs, radius, shards)
     try:
         yield
     finally:
         kernel.PARALLEL_FILL = prev
+        kernel.PARALLEL_MARKS = prev_m
 
 
 def parallel_overlay(subj, clip, rule, fill_rule="nonzero",
@@ -109,3 +113,49 @@ def parallel_overlay(subj, clip, rule, fill_rule="nonzero",
     from ..geometry.float_api import float_overlay
     with parallel_fill(shards):
         return float_overlay(subj, clip, rule, fill_rule, **options)
+
+
+# ---------------------------------------------------------------------------
+# Sharded split: fan the banded candidate enumeration out by band range
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _marks_shard(arrs, radius: int, lo: int, hi: int):
+    ax, ay, bx, by, subj, clip = arrs
+    from ..geometry.kernel import _find_marks
+    segs = Segments(ax, ay, bx, by, subj, clip)
+    return _find_marks(segs, radius, band_range=(lo, hi))
+
+
+def find_marks_ray(segs: Segments, radius: int, shards: int | None = None):
+    """Sharded _find_marks for the banded regime: each task enumerates
+    AND classifies its band range (bands are independent — a pair is
+    emitted only in band max(bmin_i, bmin_j)); the driver concatenates
+    marks in band order, which is exactly the full enumeration's
+    emission order. Returns None (fall through to the in-process path)
+    for non-banded plans or small scenes."""
+    from ..geometry.kernel import _pair_plan
+    n = len(segs)
+    if n < PARALLEL_MIN_SEGS or not ray.is_initialized():
+        return None
+    mode, B = _pair_plan(segs)
+    if mode != "banded":
+        return None
+    if shards is None:
+        shards = max(1, min(16,
+                            int(ray.cluster_resources().get("CPU", 8))
+                            // 2))
+    if shards <= 1 or B < 2 * shards:
+        return None
+    arrs_ref = ray.put((segs.ax, segs.ay, segs.bx, segs.by,
+                        segs.subj, segs.clip))
+    bounds = np.linspace(0, B + 1, shards + 1).astype(np.int64)
+    futs = [_marks_shard.remote(arrs_ref, radius, int(bounds[i]),
+                                int(bounds[i + 1]))
+            for i in range(shards) if bounds[i + 1] > bounds[i]]
+    parts = ray.get(futs)
+    m_idx = np.concatenate([p[0] for p in parts])
+    m_px = np.concatenate([p[1] for p in parts])
+    m_py = np.concatenate([p[2] for p in parts])
+    any_round = any(p[3] for p in parts)
+    return m_idx, m_px, m_py, any_round

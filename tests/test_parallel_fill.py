@@ -42,3 +42,53 @@ def test_parallel_fill_fallback_below_threshold(ray_session):
     sq = [[(0, 0), (10, 0), (10, 10), (0, 10)]]
     assert pf.parallel_overlay(sq, [], "subject", "nonzero") == \
         float_overlay(sq, [], "subject", "nonzero")
+
+
+def test_sharded_marks_identical(ray_session, monkeypatch):
+    """find_marks_ray (band-range fan-out) == in-process _find_marks
+    after the order-insensitive apply; full overlay parity on a dense
+    arbitrary-slope scene that takes the banded regime."""
+    import numpy as np
+
+    from ioverlay_ray.geometry import kernel as K
+    from ioverlay_ray.geometry.float_api import float_overlay
+    from ioverlay_ray.pipelines import parallel_fill as pf
+
+    monkeypatch.setattr(pf, "PARALLEL_MIN_SEGS", 1)
+
+    rng = np.random.default_rng(23)
+    # dense crossing soup: many long skewed lines -> banded plan
+    subj = []
+    for i in range(220):
+        x0 = int(rng.integers(0, 2000))
+        y0 = int(rng.integers(0, 2000))
+        dx = int(rng.integers(500, 3000))
+        dy = int(rng.integers(-40, 40))
+        subj.append([(x0, y0), (x0 + dx, y0 + dy),
+                     (x0 + dx, y0 + dy + 7), (x0, y0 + 7)])
+    clip = []
+    for i in range(220):
+        x0 = int(rng.integers(0, 2000))
+        y0 = int(rng.integers(0, 2000))
+        dy = int(rng.integers(500, 3000))
+        dx = int(rng.integers(-40, 40))
+        clip.append([(x0, y0), (x0 + dx, y0 + dy),
+                     (x0 + dx + 7, y0 + dy), (x0 + 7, y0)])
+
+    segs = K.sort_merge(K.build_segments(subj, clip))
+    mode, B = K._pair_plan(segs)
+    assert mode == "banded" and B >= 2, (mode, B)
+    seq = K._find_marks(segs, 1)
+    shd = pf.find_marks_ray(segs, 1, shards=5)
+    assert shd is not None
+    # identical mark SETS (apply is order-insensitive: lexsort + dedup)
+    def canon(m):
+        i, x, y, r = m
+        o = np.lexsort((y, x, i))
+        return i[o].tolist(), x[o].tolist(), y[o].tolist(), bool(r)
+    assert canon(seq) == canon(shd)
+
+    for rule in ("union", "xor"):
+        a = float_overlay(subj, clip, rule, "nonzero")
+        b = pf.parallel_overlay(subj, clip, rule, "nonzero", shards=5)
+        assert a == b, rule
