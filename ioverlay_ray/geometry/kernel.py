@@ -689,57 +689,56 @@ def _candidate_pair_blocks(segs: Segments, band_range=None):
         h = max(1, (y1 - y0 + B) // B)
         bmin = (ymin - y0) // h
         bmax = (ymax - y0) // h
-        if True:
-            counts = (bmax - bmin + 1).astype(np.int64)
-            order = np.repeat(np.arange(n), counts)
-            csum = np.concatenate(([0], np.cumsum(counts)))[:-1]
-            bands = np.arange(len(order)) - np.repeat(csum, counts) \
-                + bmin[order]
-            if band_range is not None:
-                sel = (bands >= band_range[0]) & (bands < band_range[1])
-                order = order[sel]
-                bands = bands[sel]
-            srt = np.argsort(bands, kind="stable")
-            band_m = bands[srt]
-            order_s = order[srt]
-            # x-windows for ALL bands in one pass: rank-pack
-            # (band, rank(ax)) so one global searchsorted finds each
-            # member's window end within its band
-            m = len(order_s)
-            ax_vals = np.unique(segs.ax)
-            KK = np.int64(len(ax_vals) + 2)
-            xr = np.searchsorted(ax_vals, segs.ax[order_s])
-            packed = band_m * KK + xr
-            qr = np.searchsorted(ax_vals, segs.bx[order_s],
-                                 side="right")
-            j_end = np.searchsorted(packed, band_m * KK + qr,
-                                    side="left")
-            cts = np.maximum(j_end - np.arange(1, m + 1), 0)
-            pcs = np.concatenate(([0], np.cumsum(cts)))
-            i0 = 0
-            while i0 < m:
-                i1 = int(np.searchsorted(pcs, pcs[i0] + PAIR_BLOCK,
-                                         "right")) - 1
-                i1 = max(i1, i0 + 1)
-                c = cts[i0:i1]
-                total = int(c.sum())
-                if total == 0:
-                    i0 = i1
-                    continue
-                pp = np.repeat(np.arange(i0, i1), c)
-                offs = (pcs[i0:i1] - pcs[i0]).astype(np.int64)
-                qq = np.arange(total) - np.repeat(offs, c) + pp + 1
-                ii = order_s[pp]
-                jj = order_s[qq]
-                low = ymin[ii]
-                high = ymax[ii]
-                keep = ~(((low > segs.ay[jj]) & (low > segs.by[jj]))
-                         | ((high < segs.ay[jj]) & (high < segs.by[jj])))
-                keep &= np.maximum(bmin[ii], bmin[jj]) == band_m[pp]
-                if keep.any():
-                    yield ii[keep], jj[keep]
+        counts = (bmax - bmin + 1).astype(np.int64)
+        order = np.repeat(np.arange(n), counts)
+        csum = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        bands = np.arange(len(order)) - np.repeat(csum, counts) \
+            + bmin[order]
+        if band_range is not None:
+            sel = (bands >= band_range[0]) & (bands < band_range[1])
+            order = order[sel]
+            bands = bands[sel]
+        srt = np.argsort(bands, kind="stable")
+        band_m = bands[srt]
+        order_s = order[srt]
+        # x-windows for ALL bands in one pass: rank-pack
+        # (band, rank(ax)) so one global searchsorted finds each
+        # member's window end within its band
+        m = len(order_s)
+        ax_vals = np.unique(segs.ax)
+        KK = np.int64(len(ax_vals) + 2)
+        xr = np.searchsorted(ax_vals, segs.ax[order_s])
+        packed = band_m * KK + xr
+        qr = np.searchsorted(ax_vals, segs.bx[order_s],
+                             side="right")
+        j_end = np.searchsorted(packed, band_m * KK + qr,
+                                side="left")
+        cts = np.maximum(j_end - np.arange(1, m + 1), 0)
+        pcs = np.concatenate(([0], np.cumsum(cts)))
+        i0 = 0
+        while i0 < m:
+            i1 = int(np.searchsorted(pcs, pcs[i0] + PAIR_BLOCK,
+                                     "right")) - 1
+            i1 = max(i1, i0 + 1)
+            c = cts[i0:i1]
+            total = int(c.sum())
+            if total == 0:
                 i0 = i1
-            return
+                continue
+            pp = np.repeat(np.arange(i0, i1), c)
+            offs = (pcs[i0:i1] - pcs[i0]).astype(np.int64)
+            qq = np.arange(total) - np.repeat(offs, c) + pp + 1
+            ii = order_s[pp]
+            jj = order_s[qq]
+            low = ymin[ii]
+            high = ymax[ii]
+            keep = ~(((low > segs.ay[jj]) & (low > segs.by[jj]))
+                     | ((high < segs.ay[jj]) & (high < segs.by[jj])))
+            keep &= np.maximum(bmin[ii], bmin[jj]) == band_m[pp]
+            if keep.any():
+                yield ii[keep], jj[keep]
+            i0 = i1
+        return
     assert band_range is None
     yield from _pair_blocks_1d(segs, np.arange(n))
 
