@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_fingerprint": rq.q_doc_fingerprint,
         "q_minhash_bands": rq.q_minhash_bands,
         "q_neardup_clusters": rq.q_neardup_clusters,
+        # curation: at most k docs kept per near-dup cluster
+        "q_cluster_capped_sample": rq.q_cluster_capped_sample,
         "q_doc_minhash": rq.q_doc_minhash,
         "q_jaccard_verify": rq.q_jaccard_verify,
         "q_simhash": rq.q_simhash,
@@ -623,6 +625,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, MIN(lbl) AS cluster_id
             FROM reach GROUP BY id ORDER BY doc_id
+        """,
+        "q_cluster_capped_sample": "WITH RECURSIVE " + _MINHASH_CTES + """,
+            cand AS (SELECT DISTINCT min_doc, max_doc FROM buckets),
+            edges AS (SELECT min_doc AS s, max_doc AS d FROM cand
+                      UNION SELECT max_doc, min_doc FROM cand),
+            reach(id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+            ),
+            lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+                    FROM reach GROUP BY id)
+            SELECT cluster_id, rnk, doc_id FROM (
+                SELECT cluster_id, doc_id,
+                       CAST(row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY doc_id) AS BIGINT) AS rnk
+                FROM lab) t
+            WHERE rnk <= 2
+            ORDER BY cluster_id, rnk
         """,
         "q_jaccard_verify": """
             -- LSH candidates verified by exact 5-gram jaccard, all in SQL

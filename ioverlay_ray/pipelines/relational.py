@@ -393,6 +393,43 @@ def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True).astype(np.int64)
 
 
+def q_cluster_capped_sample(sf_dir: str, k: int = 2) -> pd.DataFrame:
+    """Per-cluster sampling CAP — the curation step after dedup
+    clustering: keep at most k docs per near-dup cluster (lowest doc_id
+    first, deterministic). Composition of two existing distributed
+    stages: CC labels (BSP min-label) -> grouped-topk combiner keyed by
+    cluster (map-side k-per-group, exchange is k x clusters rows). A
+    100-TB curation run writes the kept doc_ids; singletons pass
+    through untouched."""
+    from ..stages.cc import connected_components
+    from ..stages.topk import grouped_topk
+    cand = _minhash_candidates_ds(sf_dir)
+
+    def cand_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("min_doc"),
+                         "dst": batch.column("max_doc")})
+
+    def self_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("doc_id"),
+                         "dst": batch.column("doc_id")})
+
+    edges = (cand.map_batches(cand_edges, batch_format="pyarrow")
+             .union(_read(sf_dir, "documents", ["doc_id"], num_blocks=8)
+                    .map_batches(self_edges, batch_format="pyarrow")))
+    labels = connected_components(edges, num_partitions=8)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"cluster_id": batch.column("label"),
+                         "doc_id": batch.column("id")})
+
+    kept = grouped_topk(labels.map_batches(rename,
+                                           batch_format="pyarrow"),
+                        ["cluster_id"], "doc_id", k,
+                        descending=False, rank_col="rnk").to_pandas()
+    kept = kept.astype(np.int64)
+    return kept[["cluster_id", "rnk", "doc_id"]]         .sort_values(["cluster_id", "rnk"]).reset_index(drop=True)
+
+
 def q_simhash(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import SimHashStage
     from ..stages.util import stage_fn
