@@ -681,9 +681,9 @@ def _candidate_pair_blocks(segs: Segments, band_range=None):
         # scenes where every strip spans the full extent
         yield from _rect_pair_blocks(segs, is_h & ~is_v)
         return
-    ymin = np.minimum(segs.ay, segs.by)
-    ymax = np.maximum(segs.ay, segs.by)
     if mode == "banded":
+        ymin = np.minimum(segs.ay, segs.by)
+        ymax = np.maximum(segs.ay, segs.by)
         y0 = int(ymin.min())
         y1 = int(ymax.max())
         h = max(1, (y1 - y0 + B) // B)
