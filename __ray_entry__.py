@@ -333,7 +333,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
             FROM orders WHERE o_orderstatus = 'O'
-            ORDER BY o_totalprice DESC LIMIT 10
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
         "q_nation_customers": """
             SELECT n_name, COUNT(*) AS num_customers

@@ -118,11 +118,14 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def q_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Filter + top-k by sort: highest-value open orders."""
+    """Filter + global top-10 via per-block partial top-k (no global
+    sort shuffle: only 10 rows leave each block)."""
+    from ..stages.topk import global_topk
     ds = _read(sf_dir, "orders",
                ["o_orderkey", "o_orderstatus", "o_totalprice"])
     ds = ds.filter(expr="o_orderstatus == 'O'")
-    top = ds.sort("o_totalprice", descending=True).limit(10).to_pandas()
+    top = global_topk(ds, "o_totalprice", 10, descending=True,
+                      tie_cols=["o_orderkey"])
     top["total_cents"] = (top["o_totalprice"] * 100).round().astype(np.int64)
     return top[["o_orderkey", "total_cents"]]
 
@@ -137,16 +140,21 @@ def q_nation_customers(sf_dir: str) -> pd.DataFrame:
 
     class CountPerNation:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            lookup = ray.get(ref)
+            self.key_arr = np.array(sorted(lookup), dtype=np.int64)
+            self.names_sorted = np.array(
+                [lookup[k] for k in self.key_arr], dtype=object)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("c_nationkey").to_pylist()
-            names = [self.lookup[k] for k in keys]
-            df = pd.DataFrame({"n_name": names})
-            g = df.groupby("n_name", as_index=False).size()
-            g.columns = ["n_name", "num_customers"]
-            return pa.Table.from_pandas(
-            g, preserve_index=False).replace_schema_metadata(None)
+            keys = np.asarray(batch.column("c_nationkey"), dtype=np.int64)
+            # keys are small ints (nation dim); bincount then map count
+            # slots to names via the sorted key array — no per-row dict
+            counts = np.bincount(keys, minlength=int(self.key_arr[-1]) + 1)
+            present = np.nonzero(counts)[0]
+            names = self.names_sorted[np.searchsorted(self.key_arr, present)]
+            return pa.table({
+                "n_name": pa.array(names.tolist(), pa.string()),
+                "num_customers": pa.array(counts[present], pa.int64())})
 
     from ..stages.util import stage_fn
     ds = _read(sf_dir, "customer", ["c_nationkey"])
@@ -171,11 +179,14 @@ def q_order_revenue_topk(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
     from ..stages.agg import hash_aggregate
+    from ..stages.topk import global_topk
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    rev = hash_aggregate(parts, ["l_orderkey"],
-                         {"revenue": ("rev", "sum")}).to_pandas()
-    rev = rev.sort_values(["revenue", "l_orderkey"],
-                          ascending=[False, True]).head(20)
+    rev_ds = hash_aggregate(parts, ["l_orderkey"],
+                            {"revenue": ("rev", "sum")})
+    # top-20 via per-block partial top-k: only 20 rows leave each
+    # aggregate block, never one-row-per-orderkey to the driver
+    rev = global_topk(rev_ds, "revenue", 20, descending=True,
+                      tie_cols=["l_orderkey"])
     orders = _small_table(sf_dir, "orders",
                           ["o_orderkey", "o_orderpriority"]).to_pandas()
     out = rev.merge(orders, left_on="l_orderkey", right_on="o_orderkey")

@@ -772,6 +772,19 @@ def _ring_areas_flat(col) -> np.ndarray:
     # reduceat with duplicate offsets can't occur: rings have >= 3 pts
     a2 = np.add.reduceat(contrib, v0) if total_v \
         else np.zeros(0, np.int64)
+    # each term is exact in int64 (|contrib| <= 2^61) but a long ring of
+    # near-bound coordinates can wrap the SUM; bound the partial-sum
+    # magnitude per ring with a float64 sum of |contrib| (upper bound
+    # within rounding) and redo flagged rings with exact Python ints
+    if total_v:
+        absbound = np.add.reduceat(
+            np.abs(contrib).astype(np.float64), v0)
+        risky = np.nonzero(absbound * (1.0 + 1e-9) >= 2.0 ** 62)[0]
+        for ri in risky:
+            s, e = int(v0[ri]), int(v1[ri])
+            a2[ri] = sum(int(xs[j]) * int(ys[nxt[j]])
+                         - int(xs[nxt[j]]) * int(ys[j])
+                         for j in range(s, e))
     return a2
 
 

@@ -25,8 +25,14 @@ def embedding_matrix(batch, col: str = "embedding") -> np.ndarray:
     if n == 0:
         return np.empty((0, 0), dtype=np.float64)
     if pa.types.is_fixed_size_list(arr.type):
+        if arr.null_count:
+            return np.array(arr.to_pylist(), dtype=np.float64)
         dim = arr.type.list_size
+        # arr.values on a sliced FixedSizeListArray still spans the
+        # whole backing buffer — honor the slice offset explicitly
         flat = np.asarray(arr.values)
+        start = arr.offset * dim
+        flat = flat[start:start + n * dim]
         return flat.reshape(n, dim).astype(np.float64, copy=False)
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
         offs = np.asarray(arr.offsets)

@@ -218,6 +218,7 @@ def connected_components(edges, num_partitions: int = 16,
             pa.table({"id": pa.array([], pa.int64()),
                       "label": pa.array([], pa.int64())}))
     live = [i for i in range(P) if sizes[i]]
+    changed = None  # max_iters=0 => explicit "no rounds", init labels
     for _ in range(max_iters):
         o1 = {i: shards[i].phase1.options(
             num_returns=P if P > 1 else None).remote() for i in live}
@@ -232,5 +233,11 @@ def connected_components(edges, num_partitions: int = 16,
                            for i in live])
         if sum(changed) == 0:
             break
+    else:
+        if changed is not None and sum(changed):
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                f"rounds (last round still changed {sum(changed)} "
+                "labels); raise max_iters — labels would be wrong")
     return ray.data.from_arrow_refs(
         [shards[i].labels_table.remote() for i in live])

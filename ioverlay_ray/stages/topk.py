@@ -57,3 +57,26 @@ def grouped_topk(ds, keys: List[str], value: str, k: int,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(keys)
             .map_groups(merge, batch_format="pyarrow"))
+
+
+def global_topk(ds, value: str, k: int, descending: bool = True,
+                tie_cols: Optional[List[str]] = None) -> pd.DataFrame:
+    """Exact global top-k WITHOUT a full sort shuffle: every block
+    keeps its own top k (map-side combine), and only the tiny
+    k-rows-per-block partials are collected and merged. The exchange
+    is k x num_blocks rows -- independent of input row count -- vs a
+    global ``ds.sort`` which moves every block all-to-all.
+    """
+    tie_cols = list(tie_cols or [])
+    by = [value] + tie_cols
+    asc = [not descending] + [True] * len(tie_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.sort_values(by, ascending=asc, kind="mergesort").head(k)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (parts.sort_values(by, ascending=asc, kind="mergesort")
+            .head(k).reset_index(drop=True))

@@ -2,9 +2,28 @@
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
 import pyarrow as pa
 
 _WORKER_CACHE: dict = {}
+
+
+def _arg_key(v):
+    """Stable cache key for one constructor arg. ndarrays repr with
+    truncated precision (two different arrays can collide), so key them
+    by a digest of their exact bytes + shape + dtype instead."""
+    if isinstance(v, np.ndarray):
+        a = np.ascontiguousarray(v)
+        return ("__ndarray__", hashlib.sha256(a.tobytes()).hexdigest(),
+                a.shape, str(a.dtype))
+    if isinstance(v, (list, tuple)):
+        return (type(v).__name__,) + tuple(_arg_key(x) for x in v)
+    if isinstance(v, dict):
+        return ("dict",) + tuple(
+            (k, _arg_key(x)) for k, x in sorted(v.items()))
+    return repr(v)
 
 
 def stage_fn(cls, /, *args, **kwargs):
@@ -18,9 +37,9 @@ def stage_fn(cls, /, *args, **kwargs):
     dominates small/medium inputs and repeated suite runs. Large
     corpora that want pinned resources and placement still pass the
     class + ``concurrency=`` directly."""
-    # repr-keyed: constructor args may be unhashable (lists, arrays);
-    # ObjectRef reprs are stable per ref
-    key = (cls, repr(args), repr(sorted(kwargs.items())))
+    # constructor args may be unhashable (lists, arrays); ObjectRef
+    # reprs are stable per ref, ndarrays keyed by content digest
+    key = (cls, _arg_key(args), _arg_key(kwargs))
 
     def fn(batch: pa.Table) -> pa.Table:
         st = _WORKER_CACHE.get(key)
