@@ -319,6 +319,11 @@ def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     return "".join(parts)
 
 
+def _fixture_corpus_oracle() -> str:
+    from ioverlay_ray.pipelines.fixture_oracle import FIXTURE_CORPUS_SQL
+    return FIXTURE_CORPUS_SQL
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_pricing_summary": """
@@ -1059,6 +1064,11 @@ def oracle_sql() -> dict[str, str]:
         # flagship tiles: closed-form tile/pair/footprint recompute +
         # kernel-bound booleans (r2 VERDICT next-round #8)
         "q_flagship_tiles": _flagship_tiles_oracle(),
+        # fixture corpus: frozen VALUES of the canonical variant's
+        # per-(case, rule) shape/ring/vertex counts + exact area2;
+        # ground truth is the pytest golden-fixture gate, regenerated
+        # by tools/gen_fixture_oracle.py (r3 VERDICT next-round #6)
+        "q_overlay_fixture_corpus": _fixture_corpus_oracle(),
     }
 
 

@@ -255,7 +255,12 @@ def q_dissolve_area(sf_dir: str) -> pd.DataFrame:
 
 def q_overlay_fixture_corpus(sf_dir: str) -> pd.DataFrame:
     """Distributed conformance sweep: all executed reference fixtures x 7
-    rules through a Ray pipeline; per (case, rule) row counts + area."""
+    rules through a Ray pipeline; per (case, rule) shape/ring/vertex
+    counts + exact area2. The SQL oracle is a frozen VALUES table
+    (pipelines/fixture_oracle.py, regenerated by
+    tools/gen_fixture_oracle.py) whose ground truth is the pytest
+    golden-fixture gate (tests/test_fixtures_boolean.py compares exact
+    geometry against /root/reference's expected variants)."""
     from ..sources import fixtures
     from ..geometry.overlay import build_graph
     from ..stages.geo_arrow import shapes_area2
@@ -266,6 +271,7 @@ def q_overlay_fixture_corpus(sf_dir: str) -> pd.DataFrame:
 
     def run(batch: pa.Table) -> pa.Table:
         out_case, out_rule, out_n, out_a = [], [], [], []
+        out_rings, out_verts = [], []
         for i in batch.column("case").to_pylist():
             case = fixtures.load_boolean_case(int(i))
             graph = build_graph(case["subj"], case["clip_paths"],
@@ -278,10 +284,14 @@ def q_overlay_fixture_corpus(sf_dir: str) -> pd.DataFrame:
                 out_rule.append(RULE_NAMES[rule])
                 out_n.append(len(shapes))
                 out_a.append(shapes_area2(shapes))
+                out_rings.append(sum(len(s) for s in shapes))
+                out_verts.append(sum(len(r) for s in shapes for r in s))
         return pa.table({
             "case_id": pa.array(out_case, pa.int64()),
             "rule": pa.array(out_rule, pa.int64()),
             "n_shapes": pa.array(out_n, pa.int64()),
+            "n_rings": pa.array(out_rings, pa.int64()),
+            "n_vertices": pa.array(out_verts, pa.int64()),
             "area2": pa.array(out_a, pa.int64()),
         })
 
