@@ -207,10 +207,16 @@ def _flagship_tiles_oracle(n_images: int = 512, seed: int = 42) -> str:
     """
 
 
+def _band_key_expr() -> str:
+    from ioverlay_ray.stages.dedup import band_key_sql_expr
+    return band_key_sql_expr("bnd", "vs", 4)
+
+
 # MinHash+LSH candidate-pair CTE chain (shared by the
 # q_minhash_bands oracle and the q_neardup_clusters recursive-CTE
 # closure oracle): signatures (md5 shingle hashes through 64 fixed
-# perms), 16 bands of 4 rows hashed to canonical keys, buckets with
+# perms), 16 bands of 4 rows keyed by the vectorized polynomial mix
+# (dedup.band_key_sql_expr replays it exactly), buckets with
 # >1 distinct doc.
 _MINHASH_CTES = """t AS (
                 SELECT doc_id,
@@ -237,18 +243,16 @@ _MINHASH_CTES = """t AS (
                 FROM hv CROSS JOIN perms GROUP BY doc_id, k
             ), band AS (
                 SELECT doc_id, CAST(k // 4 AS INTEGER) AS bnd,
-                       array_to_string(list(v ORDER BY k), ',') AS vals
+                       list(v ORDER BY k) AS vs
                 FROM m GROUP BY doc_id, k // 4
             ), keys AS (
-                SELECT doc_id,
-                       substr(md5(CAST(bnd AS VARCHAR) || ':' || vals), 1, 16)
-                           AS band_key
+                SELECT doc_id, {band_key_expr} AS band_key
                 FROM band
             ), buckets AS (
                 SELECT band_key, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
                 FROM keys GROUP BY band_key
                 HAVING COUNT(*) > 1 AND MIN(doc_id) != MAX(doc_id)
-            )"""
+            )""".format(band_key_expr=_band_key_expr())
 
 
 def _neardup_ctes() -> str:
@@ -679,12 +683,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM hv CROSS JOIN perms GROUP BY doc_id, k
             ), band AS (
                 SELECT doc_id, CAST(k // 4 AS INTEGER) AS bnd,
-                       array_to_string(list(v ORDER BY k), ',') AS vals
+                       list(v ORDER BY k) AS vs
                 FROM m GROUP BY doc_id, k // 4
             ), keys AS (
-                SELECT doc_id,
-                       substr(md5(CAST(bnd AS VARCHAR) || ':' || vals), 1, 16)
-                           AS band_key
+                SELECT doc_id, """ + _band_key_expr() + """ AS band_key
                 FROM band
             ), cand AS (
                 SELECT DISTINCT MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
