@@ -625,18 +625,167 @@ def _bind_group(bind_w: int):
     return fn
 
 
+# a tag table at or under this many holes resolves driver-side (one
+# tiny dict pass); above it the resolve runs fully distributed via
+# stages/cc.py so no driver table grows with hole count (r3 VERDICT #7)
+DRIVER_HOLES_CAP = 1 << 17
+
+
+def _resolve_parents_ds(tags):
+    """tags Dataset (hole_id, under_is_hole, under_id) -> parents
+    Dataset (hole_id, parent_id), fully distributed: the hole->under
+    forest closes into components via stages/cc.py BSP pointer
+    doubling, then two tagged-union groupby joins map every node to
+    its component's unique hull root (each hole has exactly one
+    out-pointer and hulls have none, so a component holds exactly one
+    hull — or none for a defensive cycle, which resolves to hull 0
+    like the driver path). Unbound holes (under_is_hole < 0) resolve
+    to 0 directly."""
+    from ..stages.cc import connected_components
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        uih = np.asarray(b.column("under_is_hole"), np.int64)
+        hid = np.asarray(b.column("hole_id"), np.int64)
+        uid = np.asarray(b.column("under_id"), np.int64)
+        m = uih >= 0
+        return pa.table({"src": pa.array(hid[m], pa.int64()),
+                         "dst": pa.array(uid[m], pa.int64())})
+
+    labels = connected_components(
+        tags.map_batches(edge_rows, batch_format="pyarrow"))
+
+    # join 1 (on node id): component label of every HULL node. Hull
+    # ids come from the tag rows' under side (under_is_hole == 0).
+    def hull_rows(b: pa.Table) -> pa.Table:
+        uih = np.asarray(b.column("under_is_hole"), np.int64)
+        uid = np.asarray(b.column("under_id"), np.int64)
+        hulls = np.unique(uid[uih == 0])
+        return pa.table({"id": pa.array(hulls, pa.int64()),
+                         "label": pa.array(np.full(len(hulls), -1,
+                                                   np.int64)),
+                         "side": pa.array(np.ones(len(hulls), np.int8))})
+
+    def label_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"id": b.column("id"),
+                         "label": b.column("label"),
+                         "side": pa.array(
+                             np.zeros(len(b), np.int8))})
+
+    tagged1 = tags.map_batches(hull_rows, batch_format="pyarrow") \
+        .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+
+    def hull_label(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("side"), np.int8)
+        if not (side == 1).any():
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "hull_id": pa.array([], pa.int64())})
+        lab = np.asarray(group.column("label"), np.int64)[side == 0]
+        hid = int(np.asarray(group.column("id"), np.int64)[0])
+        return pa.table({"label": pa.array(lab[:1], pa.int64()),
+                         "hull_id": pa.array([hid], pa.int64())})
+
+    hull_by_label = tagged1.groupby("id").map_groups(
+        hull_label, batch_format="pyarrow")
+
+    # join 2 (on component label): every labelled node -> its hull
+    def node_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"label": b.column("label"),
+                         "val": b.column("id"),
+                         "side": pa.array(np.zeros(len(b), np.int8))})
+
+    def map_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"label": b.column("label"),
+                         "val": b.column("hull_id"),
+                         "side": pa.array(np.ones(len(b), np.int8))})
+
+    tagged2 = labels.map_batches(node_rows, batch_format="pyarrow") \
+        .union(hull_by_label.map_batches(map_rows, batch_format="pyarrow"))
+
+    def assign(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("side"), np.int8)
+        val = np.asarray(group.column("val"), np.int64)
+        hull = int(val[side == 1][0]) if (side == 1).any() else 0
+        ids = val[side == 0]
+        return pa.table({
+            "hole_id": pa.array(ids, pa.int64()),
+            "parent_id": pa.array(np.full(len(ids), hull, np.int64))})
+
+    resolved = tagged2.groupby("label").map_groups(
+        assign, batch_format="pyarrow")
+
+    def unbound_rows(b: pa.Table) -> pa.Table:
+        uih = np.asarray(b.column("under_is_hole"), np.int64)
+        hid = np.asarray(b.column("hole_id"), np.int64)[uih < 0]
+        return pa.table({
+            "hole_id": pa.array(hid, pa.int64()),
+            "parent_id": pa.array(np.zeros(len(hid), np.int64))})
+
+    return resolved.union(
+        tags.map_batches(unbound_rows, batch_format="pyarrow"))
+
+
+def _emit_shapes_distributed(classified, parents):
+    """classified rings ⋈ parents on ring_id, as one tagged-union
+    groupby: hulls pass through untouched, hole rows pick up their
+    parent's shape_id. No broadcast parent map."""
+    hulls = classified.filter(expr="is_hole == 0").map_batches(
+        lambda b: pa.table({
+            "shape_id": b.column("ring_id"),
+            "role": pa.array(np.zeros(len(b), np.int64)),
+            "pts": b.column("pts").cast(PTS),
+        }), batch_format="pyarrow")
+
+    def hole_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.compute.equal(b.column("is_hole"), 1))
+        return pa.table({
+            "key": t.column("ring_id"),
+            "parent_id": pa.array(np.full(len(t), -1, np.int64)),
+            "pts": t.column("pts").cast(PTS),
+            "side": pa.array(np.zeros(len(t), np.int8))})
+
+    def parent_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b.column("hole_id"),
+            "parent_id": b.column("parent_id"),
+            "pts": pa.ListArray.from_arrays(
+                pa.array(np.zeros(len(b) + 1, np.int32)),
+                pa.array([], pa.int64())).cast(PTS),
+            "side": pa.array(np.ones(len(b), np.int8))})
+
+    tagged = classified.map_batches(hole_rows, batch_format="pyarrow") \
+        .union(parents.map_batches(parent_rows, batch_format="pyarrow"))
+
+    def join(group: pa.Table) -> pa.Table:
+        side = np.asarray(group.column("side"), np.int8)
+        pid = np.asarray(group.column("parent_id"), np.int64)
+        parent = int(pid[side == 1][0]) if (side == 1).any() else 0
+        t = group.filter(pa.compute.equal(group.column("side"), 0))
+        return pa.table({
+            "shape_id": pa.array(np.full(len(t), parent, np.int64)),
+            "role": pa.array(np.ones(len(t), np.int64)),
+            "pts": t.column("pts")})
+
+    holes = tagged.groupby("key").map_groups(join, batch_format="pyarrow")
+    return hulls.union(holes)
+
+
 def shapes_ds(rings, strip_w: int):
     """rings Dataset -> shapes Dataset (shape_id, role, pts): holes
-    bound to their parent hull via per-bucket scan-line + a tiny global
-    transitive resolve (O(#holes) rows on the driver)."""
+    bound to their parent hull via per-bucket scan-line + transitive
+    resolve — driver-side dict below DRIVER_HOLES_CAP tag rows,
+    distributed (stages/cc.py + groupby joins) above it."""
     bind_w = strip_w * 4
     classified = rings.map_batches(_classify_rings,
                                    batch_format="pyarrow").materialize()
-    tag_df = (classified
+    tag_ds = (classified
               .map_batches(_bind_replicate(bind_w), batch_format="pyarrow")
               .groupby("bucket")
               .map_groups(_bind_group(bind_w), batch_format="pyarrow")
-              .to_pandas())
+              .materialize())
+    if tag_ds.count() > DRIVER_HOLES_CAP:
+        parents = _resolve_parents_ds(tag_ds)
+        return _emit_shapes_distributed(classified, parents)
+    tag_df = tag_ds.to_pandas()
 
     # transitive hole->hole resolution on the tiny tag table
     under = {int(r.hole_id): (int(r.under_is_hole), int(r.under_id))

@@ -376,3 +376,94 @@ def test_strip_walk_flat_matches_arrays():
                 flat = vals[offs[i]:offs[i + 1]]
                 got = list(zip(flat[0::2].tolist(), flat[1::2].tolist()))
                 assert got == ring, (trial, i)
+
+
+def test_distributed_hole_resolve_matches_driver(ray_session):
+    # r3 VERDICT next-round #7: force the distributed hole->parent
+    # transitive resolve (cap=0: stages/cc.py closure + groupby joins)
+    # and require identical (shape_id, role, ring) triples vs the
+    # driver-dict path on a hole-dense scene (grid of holes, some
+    # nested hole-in-island-in-hole chains).
+    import ioverlay_ray.pipelines.tiled_overlay as T
+    from ioverlay_ray.pipelines.tiled_overlay import tiled_overlay_ds
+
+    # subject: one big plate; clip: a grid of punches (-> many holes)
+    # plus nested rings (island inside a punch, punch inside that
+    # island -> hole->hole transitive chains)
+    subj = [rect(0, 0, 900, 900)]
+    clip = []
+    for gy in range(6):
+        for gx in range(6):
+            clip.append(rect(40 + gx * 140, 40 + gy * 140, 60, 60))
+    # nested chain: punch 300x300 at (500,500)... use rings inside the
+    # first grid punch region is too small; add a separate tower
+    subj.append(rect(1000, 0, 400, 400))
+    clip.append(rect(1050, 50, 300, 300))
+    subj.append(rect(1100, 100, 200, 200))
+    clip.append(rect(1150, 150, 100, 100))
+
+    def canon(df):
+        return sorted((int(s), int(r), tuple(p))
+                      for s, r, p in zip(df["shape_id"], df["role"],
+                                         df["pts"]))
+
+    cap = T.DRIVER_HOLES_CAP
+    try:
+        a = tiled_overlay_ds(subj, clip, "difference", "nonzero",
+                             strip_w=128).to_pandas()
+        T.DRIVER_HOLES_CAP = 0       # force the distributed resolve
+        b = tiled_overlay_ds(subj, clip, "difference", "nonzero",
+                             strip_w=128).to_pandas()
+    finally:
+        T.DRIVER_HOLES_CAP = cap
+    assert (a["role"] == 1).sum() >= 37          # hole-dense indeed
+    assert canon(a) == canon(b)
+
+
+def test_resolve_parents_ds_chains(ray_session):
+    # unit gate for the distributed transitive resolve: 3000 holes in
+    # 300 chains of depth 10 rooted at hulls, plus unbound holes; the
+    # BSP closure must reproduce the driver-dict reference exactly with
+    # no driver table proportional to hole count.
+    import pyarrow as pa
+    import ray.data
+
+    from ioverlay_ray.pipelines.tiled_overlay import _resolve_parents_ds
+
+    rng = np.random.default_rng(99)
+    hole_ids, uih, uid = [], [], []
+    expect = {}
+    hid = 10_000
+    for c in range(300):
+        hull = 1_000_000 + c
+        chain = []
+        for d in range(10):
+            chain.append(hid)
+            hid += 1
+        # bottom of chain points at the hull; others at the next hole
+        for i, h in enumerate(chain):
+            hole_ids.append(h)
+            if i == len(chain) - 1:
+                uih.append(0)
+                uid.append(hull)
+            else:
+                uih.append(1)
+                uid.append(chain[i + 1])
+            expect[h] = hull
+    for _ in range(50):                       # unbound -> parent 0
+        hole_ids.append(hid)
+        uih.append(-1)
+        uid.append(0)
+        expect[hid] = 0
+        hid += 1
+
+    perm = rng.permutation(len(hole_ids))
+    tags = ray.data.from_arrow(pa.table({
+        "hole_id": pa.array(np.asarray(hole_ids)[perm], pa.int64()),
+        "under_is_hole": pa.array(np.asarray(uih)[perm], pa.int64()),
+        "under_id": pa.array(np.asarray(uid)[perm], pa.int64()),
+    })).repartition(8)
+    out = _resolve_parents_ds(tags).to_pandas()
+    got = dict(zip(out["hole_id"].astype(int), out["parent_id"].astype(int)))
+    # hulls may also appear (labelled nodes); holes must all be right
+    assert all(got[h] == p for h, p in expect.items())
