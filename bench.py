@@ -162,9 +162,11 @@ def run_spiral_parallel(count: int) -> dict:
     tests/test_parallel_fill.py."""
     import time as _t
 
+    import numpy as np
+
     from ioverlay_ray.pipelines.parallel_fill import parallel_overlay
     from ioverlay_ray.pipelines.perf_workloads import spiral
-    path = spiral(count)
+    path = np.asarray(spiral(count))
     best = None
     # two passes regardless of GRAFT_BENCH_REPEAT: the first absorbs
     # the cold task wave (fresh fill workers pay the host's concurrent
@@ -172,7 +174,8 @@ def run_spiral_parallel(count: int) -> dict:
     # pipeline throughput
     for _ in range(2):
         t0 = _t.perf_counter()
-        shapes = parallel_overlay([path], [], "subject", "nonzero")
+        shapes = parallel_overlay([path], [], "subject", "nonzero",
+                                  out_arrays=True)
         sec = _t.perf_counter() - t0
         if best is None or sec < best:
             best = sec

@@ -323,6 +323,122 @@ def _build_succ2(links: Links) -> np.ndarray:
     return succ
 
 
+def _perm_cycle_layout(jump: np.ndarray, link_of: np.ndarray,
+                       stride: int | None = None):
+    """Cycle decomposition of a permutation by a blocked anchor walk.
+
+    Theta(m) total gather work versus Theta(m log m) for pointer
+    doubling: B evenly-spaced anchors walk forward in lockstep (one
+    ``jump`` gather per step over only the still-active walkers); each
+    arc ends at the next anchor reached, so every edge is gathered
+    exactly once.  Anchor arcs are then chained into cycles in Python
+    (s anchors << m edges).  Cycles that contain no anchor (possible
+    for short cycles) stay unlabeled and are re-walked with a denser
+    anchor set; the stride shrinks geometrically, so the final round
+    has stride 1 and coverage is total.
+
+    Returns ``(cyc, rank, cyc_len, cyc_min, layout, start_off)``:
+    ``cyc[e]`` the directed-cycle id of edge ``e``; ``rank[e]`` its
+    position along the cycle from that cycle's origin anchor;
+    ``cyc_len[c]`` the cycle length; ``cyc_min[c]`` the minimum
+    ``link_of`` value on the cycle; ``layout[start_off[c] + r]`` the
+    edge at rank ``r`` of cycle ``c``.
+    """
+    m = len(jump)
+    if stride is None:
+        stride = max(1, m // 8192)
+    label = np.full(m, -1, dtype=np.int64)    # owning anchor per edge
+    off = np.zeros(m, dtype=np.int64)         # steps from that anchor
+    anchor_id = np.full(m, -1, dtype=np.int64)
+    next_parts = []                            # per round: next anchor
+    alen_parts = []                            # per round: arc lengths
+    amin_parts = []                            # per round: arc min label
+    base = 0
+    first = True
+    while True:
+        if first:
+            cand = np.arange(0, m, stride, dtype=np.int64)
+            first = False
+        else:
+            unvis = np.flatnonzero(label < 0)
+            if not len(unvis):
+                break
+            stride = max(1, stride // 32)
+            cand = np.ascontiguousarray(unvis[::stride])
+        k = len(cand)
+        aid = base + np.arange(k, dtype=np.int64)
+        label[cand] = aid
+        off[cand] = 0
+        anchor_id[cand] = aid
+        nxt_a = np.full(k, -1, dtype=np.int64)
+        alen = np.zeros(k, dtype=np.int64)
+        amin = link_of[cand].copy()
+        wmin = amin.copy()
+        cur = jump[cand]
+        wid = np.arange(k, dtype=np.int64)
+        step = 1
+        while len(cur):
+            hit_a = anchor_id[cur]
+            hit = hit_a >= 0
+            if hit.any():
+                hw = wid[hit]
+                nxt_a[hw] = hit_a[hit]
+                alen[hw] = step
+                amin[hw] = wmin[hit]
+                keep = ~hit
+                cur = cur[keep]
+                wid = wid[keep]
+                wmin = wmin[keep]
+                if not len(cur):
+                    break
+            label[cur] = base + wid
+            off[cur] = step
+            np.minimum(wmin, link_of[cur], out=wmin)
+            step += 1
+            cur = jump[cur]
+        next_parts.append(nxt_a)
+        alen_parts.append(alen)
+        amin_parts.append(amin)
+        base += k
+    next_a = np.concatenate(next_parts)
+    arc_len = np.concatenate(alen_parts)
+    arc_min = np.concatenate(amin_parts)
+    s = len(next_a)
+    # chain anchors into cycles (next_a is a permutation of anchors)
+    cyc_of_a = np.full(s, -1, dtype=np.int64)
+    prefix_of_a = np.zeros(s, dtype=np.int64)
+    cyc_len_l = []
+    cyc_min_l = []
+    nl = next_a.tolist()
+    ll = arc_len.tolist()
+    ml = arc_min.tolist()
+    c = 0
+    for a0 in range(s):
+        if cyc_of_a[a0] >= 0:
+            continue
+        a = a0
+        total = 0
+        mn = ml[a0]
+        while cyc_of_a[a] < 0:
+            cyc_of_a[a] = c
+            prefix_of_a[a] = total
+            total += ll[a]
+            if ml[a] < mn:
+                mn = ml[a]
+            a = nl[a]
+        cyc_len_l.append(total)
+        cyc_min_l.append(mn)
+        c += 1
+    cyc_len = np.asarray(cyc_len_l, dtype=np.int64)
+    cyc_min = np.asarray(cyc_min_l, dtype=np.int64)
+    cyc = cyc_of_a[label]
+    rank = prefix_of_a[label] + off
+    start_off = np.concatenate(([0], np.cumsum(cyc_len)))
+    layout = np.empty(m, dtype=np.int64)
+    layout[start_off[cyc] + rank] = np.arange(m, dtype=np.int64)
+    return cyc, rank, cyc_len, cyc_min, layout, start_off
+
+
 _PURE_PLAN_MIN_LINKS = 1024  # below this the walk beats the array setup
 _PURE_CYCLE_CAP = 96  # vectorization pays for many short cycles; a few
 # long contours are cheaper on the sequential walk
@@ -392,26 +508,38 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
     if len(orig) and _PURE_CYCLE_CAP > 0:
         sv = orig                      # sorted survivor edge ids
         m = len(sv)
-        nxt = succ[sv]
-        pos = np.searchsorted(sv, nxt)
-        okp = pos < m
-        pos_c = np.minimum(pos, m - 1)
-        okp &= sv[pos_c] == nxt
-        jump0 = np.where(okp, pos_c, np.int64(-1))
-        jump = jump0.copy()
-        mn_l = sv >> 1
-        rounds = max(1, int(m).bit_length())
-        if okp.all():
-            # no tails: jump is a permutation (pure cycles only), so it
-            # stays >= 0 forever — propagate over the FULL arrays and
-            # skip the per-round flatnonzero + fancy-index compaction
-            # (one giant cycle pays bit_length(m) full-size rounds
-            # either way; this halves the passes per round)
-            for _ in range(rounds):
-                mn_l = np.minimum(mn_l, mn_l[jump])
-                jump = jump[jump]
-            on_cycle = np.ones(m, dtype=bool)
+        full_domain = m == len(succ)
+        if full_domain:
+            # every directed edge survived: compact ids == edge ids, so
+            # the searchsorted re-index is the identity (saves ~1 s on
+            # a 3M-edge single component) and succ is already a
+            # permutation (no -1 exists)
+            jump0 = succ
+            perm = True
         else:
+            nxt = succ[sv]
+            pos = np.searchsorted(sv, nxt)
+            okp = pos < m
+            pos_c = np.minimum(pos, m - 1)
+            okp &= sv[pos_c] == nxt
+            jump0 = np.where(okp, pos_c, np.int64(-1))
+            perm = bool(okp.all())
+        layout_info = None
+        if perm:
+            # no tails: jump is a permutation (pure cycles only), so
+            # the blocked anchor walk decomposes it in Theta(m) gather
+            # work — one visit per edge — instead of the doubling's
+            # Theta(m log m) full-array rounds
+            cycv, rankv, cyc_len, cyc_min, layout, start_off = \
+                _perm_cycle_layout(jump0, sv >> 1)
+            layout_info = (cycv, rankv, cyc_len, layout, start_off)
+            on_cycle = np.ones(m, dtype=bool)
+            keys, first_i = np.unique(cyc_min, return_index=True)
+            lens = cyc_len[first_i]   # both orientations: equal length
+        else:
+            jump = jump0.copy()
+            mn_l = sv >> 1
+            rounds = max(1, int(m).bit_length())
             for _ in range(rounds):
                 v = np.flatnonzero(jump >= 0)
                 if not len(v):
@@ -420,11 +548,16 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
                 mn_l[v] = np.minimum(mn_l[v], mn_l[t])
                 jump[v] = jump[t]
             on_cycle = jump >= 0   # tails hit a -1 within 2^rounds steps
-        if on_cycle.any():
-            keys, cnts = np.unique(mn_l[on_cycle], return_counts=True)
-            lens = cnts >> 1     # each physical cycle = 2 orientations
+            if on_cycle.any():
+                keys, cnts = np.unique(mn_l[on_cycle],
+                                       return_counts=True)
+                lens = cnts >> 1   # each physical cycle = 2 orientations
+            else:
+                keys = np.zeros(0, np.int64)
+                lens = keys
+        if len(keys):
             # mid-length cycles (K0 < L <= CAP): start keys come
-            # straight from the min-label doubling, grouped by length
+            # straight from the min-label pass, grouped by length
             midsel = (lens >= 3) & (lens <= _PURE_CYCLE_CAP)
             if midsel.any():
                 mk = keys[midsel]
@@ -455,53 +588,88 @@ def _pure_cycle_plan(links: Links, rule: int, clockwise: bool,
             hole_l = _is_fill_top_arr(fills[left], rule)
             direction = hole_l == clockwise
             d0 = 2 * left + np.where(direction, 0, 1)
-            # break each CHOSEN orientation's cycle just before d0 and
-            # measure distance-to-break by doubling (compact space); the
-            # reverse orientation stays unbroken and never reaches a -1
-            d0p = np.searchsorted(sv, d0)
-            pred = np.full(m, -1, dtype=np.int64)
-            svn = np.flatnonzero(jump0 >= 0)
-            pred[jump0[svn]] = svn
-            jump2 = jump0
-            jump2[pred[d0p]] = -1
-            dist = np.ones(m, dtype=np.int64)
-            for _ in range(rounds):
-                v = np.flatnonzero(jump2 >= 0)
-                if not len(v):
-                    break
-                t = jump2[v]
-                dist[v] += dist[t]
-                jump2[v] = jump2[t]
-            reached = on_cycle & (jump2 == -1)
-            red = np.flatnonzero(reached)
-            rk = mn_l[red]
-            o2 = np.argsort(rk, kind="stable")
-            red = red[o2]
-            rk = rk[o2]
-            bnd = np.flatnonzero(np.concatenate(([True],
-                                                 rk[1:] != rk[:-1])))
-            ends = np.concatenate((bnd, [len(red)]))
-            run_key = rk[bnd]
-            pos_of = np.searchsorted(run_key, starts_l)
-            for t_i in range(len(starts_l)):
-                p = pos_of[t_i]
-                if p >= len(run_key) or run_key[p] != starts_l[t_i]:
-                    continue    # leave to the sequential walk
-                eds = red[bnd[p]:ends[p + 1]]
-                L = int(lens[t_i])
-                if len(eds) != L:
-                    continue    # inconsistent: sequential walk handles
-                rank = L - dist[eds]
-                full_eds = sv[eds]
-                ll = full_eds >> 1
-                oo = full_eds & 1
-                P = np.empty((1, L, 2), dtype=np.int64)
-                M = np.empty((1, L), dtype=np.int64)
-                P[0, rank, 0] = np.where(oo == 1, ax[ll], bx[ll])
-                P[0, rank, 1] = np.where(oo == 1, ay[ll], by[ll])
-                M[0, rank] = ll
-                long_cycles.append((L, starts_l[t_i:t_i + 1],
-                                    hole_l[t_i:t_i + 1], P, M))
+            if layout_info is not None:
+                # permutation case: the walk already ranked every edge
+                # along its cycle, so the chosen orientation's contour
+                # is one roll of the cycle's layout slice to start at d0
+                cycv, rankv, cyc_len, layout, start_off = layout_info
+                if full_domain:
+                    d0p = d0
+                    d_ok = np.ones(len(d0), dtype=bool)
+                else:
+                    d0p = np.searchsorted(sv, d0)
+                    dpc = np.minimum(d0p, m - 1)
+                    d_ok = (d0p < m) & (sv[dpc] == d0)
+                    d0p = dpc
+                for t_i in range(len(starts_l)):
+                    if not d_ok[t_i]:
+                        continue    # leave to the sequential walk
+                    p = int(d0p[t_i])
+                    c2 = int(cycv[p])
+                    L = int(lens[t_i])
+                    if int(cyc_len[c2]) != L:
+                        continue    # inconsistent: sequential walk
+                    blk = layout[start_off[c2]:start_off[c2] + L]
+                    ordered = np.roll(blk, -int(rankv[p]))
+                    full_eds = ordered if full_domain else sv[ordered]
+                    ll = full_eds >> 1
+                    oo = full_eds & 1
+                    P = np.empty((1, L, 2), dtype=np.int64)
+                    M = np.empty((1, L), dtype=np.int64)
+                    P[0, :, 0] = np.where(oo == 1, ax[ll], bx[ll])
+                    P[0, :, 1] = np.where(oo == 1, ay[ll], by[ll])
+                    M[0, :] = ll
+                    long_cycles.append((L, starts_l[t_i:t_i + 1],
+                                        hole_l[t_i:t_i + 1], P, M))
+            else:
+                # break each CHOSEN orientation's cycle just before d0
+                # and measure distance-to-break by doubling (compact
+                # space); the reverse orientation stays unbroken and
+                # never reaches a -1
+                d0p = np.searchsorted(sv, d0)
+                pred = np.full(m, -1, dtype=np.int64)
+                svn = np.flatnonzero(jump0 >= 0)
+                pred[jump0[svn]] = svn
+                jump2 = jump0
+                jump2[pred[d0p]] = -1
+                dist = np.ones(m, dtype=np.int64)
+                for _ in range(rounds):
+                    v = np.flatnonzero(jump2 >= 0)
+                    if not len(v):
+                        break
+                    t = jump2[v]
+                    dist[v] += dist[t]
+                    jump2[v] = jump2[t]
+                reached = on_cycle & (jump2 == -1)
+                red = np.flatnonzero(reached)
+                rk = mn_l[red]
+                o2 = np.argsort(rk, kind="stable")
+                red = red[o2]
+                rk = rk[o2]
+                bnd = np.flatnonzero(np.concatenate(([True],
+                                                     rk[1:] != rk[:-1])))
+                ends = np.concatenate((bnd, [len(red)]))
+                run_key = rk[bnd]
+                pos_of = np.searchsorted(run_key, starts_l)
+                for t_i in range(len(starts_l)):
+                    p = pos_of[t_i]
+                    if p >= len(run_key) or run_key[p] != starts_l[t_i]:
+                        continue    # leave to the sequential walk
+                    eds = red[bnd[p]:ends[p + 1]]
+                    L = int(lens[t_i])
+                    if len(eds) != L:
+                        continue    # inconsistent: sequential walk
+                    rank = L - dist[eds]
+                    full_eds = sv[eds]
+                    ll = full_eds >> 1
+                    oo = full_eds & 1
+                    P = np.empty((1, L, 2), dtype=np.int64)
+                    M = np.empty((1, L), dtype=np.int64)
+                    P[0, rank, 0] = np.where(oo == 1, ax[ll], bx[ll])
+                    P[0, rank, 1] = np.where(oo == 1, ay[ll], by[ll])
+                    M[0, rank] = ll
+                    long_cycles.append((L, starts_l[t_i:t_i + 1],
+                                        hole_l[t_i:t_i + 1], P, M))
 
     if not groups and not long_cycles:
         return None
@@ -1022,7 +1190,6 @@ def extract_shapes(links: Links, rule: int, clockwise: bool = False,
     contour comes back top-level in discovery order, holes unbound.
     """
     n = len(links)
-    ensure_pair_tables(links)
     plan = _pure_cycle_plan(links, rule, clockwise,
                             preserve_output_collinear, min_output_area,
                             as_arrays=as_arrays)
@@ -1034,6 +1201,11 @@ def extract_shapes(links: Links, rule: int, clockwise: bool = False,
     else:
         p_starts = []
         visited = bytearray(n)
+    if not all_pure:
+        # pair tables feed _next_link only — when the plan covered
+        # every link the sequential walk never runs, and the 2x-tolist
+        # table build (~1.4 s on a 3M-edge component) is pure waste
+        ensure_pair_tables(links)
     shapes: List[list] = []
     holes: List[List[Point]] = []
     anchors: List[tuple] = []
@@ -1122,7 +1294,6 @@ def extract_stats(links: Links, rule: int, clockwise: bool = False,
     Signed area follows traversal direction: hulls positive, holes
     negative (clockwise=False)."""
     n = len(links)
-    ensure_pair_tables(links)
     plan = _pure_cycle_plan(links, rule, clockwise,
                             preserve_output_collinear, min_output_area,
                             materialize=False)
@@ -1133,6 +1304,8 @@ def extract_stats(links: Links, rule: int, clockwise: bool = False,
     if plan is not None:
         vis_init, g_starts, g_holes, g_P = plan
         all_pure = bool(vis_init.all())
+        if not all_pure:
+            ensure_pair_tables(links)
         visited = bytearray(vis_init.tobytes())
         for starts, hole, P in zip(g_starts, g_holes, g_P):
             x0 = P[:, :, 0]
@@ -1144,6 +1317,7 @@ def extract_stats(links: Links, rule: int, clockwise: bool = False,
             a2_parts.append(a2)
             hole_parts.append(hole)
     else:
+        ensure_pair_tables(links)
         visited = bytearray(n)
 
     sq_x = []
@@ -1286,11 +1460,12 @@ def extract_shapes_ogc(links: Links, rule: int, clockwise: bool = False,
     hole_count bookkeeping differ, which the flush pointers replicate.
     """
     n = len(links)
-    ensure_pair_tables(links)
     plan = _pure_cycle_plan(links, rule, clockwise,
                             preserve_output_collinear, min_output_area)
     if plan is not None:
         vis_init, p_starts, p_holes, p_points = plan
+        if not vis_init.all():
+            ensure_pair_tables(links)
         visited = bytearray(vis_init.tobytes())
         pure_mask = vis_init != 0
         hull_q = [(s, p) for s, h, p in zip(p_starts, p_holes, p_points)
@@ -1298,6 +1473,7 @@ def extract_shapes_ogc(links: Links, rule: int, clockwise: bool = False,
         hole_q = [(s, p) for s, h, p in zip(p_starts, p_holes, p_points)
                   if h]
     else:
+        ensure_pair_tables(links)
         visited = bytearray(n)
         pure_mask = None
         hull_q = []

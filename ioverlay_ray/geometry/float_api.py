@@ -215,7 +215,8 @@ def _contours_as_arrays(groups) -> list | None:
 
 def float_overlay(subj: Sequence, clip: Sequence, rule,
                   fill_rule="evenodd", scale: float | None = None,
-                  clean_result: bool = True, **options) -> List[list]:
+                  clean_result: bool = True,
+                  out_arrays: bool = False, **options) -> List[list]:
     """Boolean overlay on float contours (SingleFloatOverlay::overlay).
 
     ``clean_result`` mirrors OverlayOptions::clean_result (default true
@@ -263,7 +264,8 @@ def float_overlay(subj: Sequence, clip: Sequence, rule,
                 graph.extract(rule, as_arrays=True)
         return _dequantize_clean(
             adapter, shapes, clean_result,
-            options.get("preserve_output_collinear", False))
+            options.get("preserve_output_collinear", False),
+            as_arrays=out_arrays)
     adapter = FloatPointAdapter.from_contours(subj, clip, scale=scale)
     shapes = int_overlay(adapter.to_int(subj), adapter.to_int(clip),
                          rule, fill_rule, **options)
@@ -271,14 +273,23 @@ def float_overlay(subj: Sequence, clip: Sequence, rule,
     if clean_result:
         shapes = clean_float_shapes(
             shapes, options.get("preserve_output_collinear", False))
+    if out_arrays:
+        import numpy as np
+        shapes = [[np.asarray(c, dtype=np.float64).reshape(-1, 2)
+                   for c in shape] for shape in shapes]
     return shapes
 
 
 def _dequantize_clean(adapter: FloatPointAdapter, shapes: List[list],
-                      clean: bool, preserve_collinear: bool) -> List[list]:
+                      clean: bool, preserve_collinear: bool,
+                      as_arrays: bool = False) -> List[list]:
     """to_float_shapes + clean_float_shapes fused for mixed array/tuple
     contours: identical float math and drop semantics, but array
-    contours dequantize vectorized and materialize tuples once."""
+    contours dequantize vectorized and materialize tuples once.
+
+    ``as_arrays`` returns each contour as a float64 (n, 2) array
+    instead of a list of tuples — same values, no per-point Python
+    objects (the reference's Vec<P> output is equally columnar)."""
     import numpy as np
     out = []
     for shape in shapes:
@@ -292,15 +303,18 @@ def _dequantize_clean(adapter: FloatPointAdapter, shapes: List[list],
             if clean and len(xs) >= 16:
                 fa = np.column_stack((xs, ys))
                 if _contour_is_clean(fa, preserve_collinear):
-                    cleaned.append(list(zip(xs.tolist(), ys.tolist())))
+                    cleaned.append(fa if as_arrays else
+                                   list(zip(xs.tolist(), ys.tolist())))
                     continue
             pts = list(zip(xs.tolist(), ys.tolist()))
             if not clean:
-                cleaned.append(pts)
+                cleaned.append(np.column_stack((xs, ys)) if as_arrays
+                               else pts)
                 continue
             c = _clean_float_contour(pts, preserve_collinear)
             if len(c) >= 3:
-                cleaned.append(c)
+                cleaned.append(np.asarray(c, dtype=np.float64)
+                               if as_arrays else c)
             elif k == 0:
                 cleaned = None
                 break

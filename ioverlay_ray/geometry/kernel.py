@@ -647,7 +647,8 @@ def _pair_plan(segs: Segments):
     return "flat", 0
 
 
-def _candidate_pair_blocks(segs: Segments, band_range=None):
+def _candidate_pair_blocks(segs: Segments, band_range=None,
+                           banded_ctx=None):
     """Yield (i, j>i) candidate-pair blocks with x-overlap (sorted by a)
     and y-range overlap.
 
@@ -664,11 +665,21 @@ def _candidate_pair_blocks(segs: Segments, band_range=None):
     [lo, hi) — the sharded split's unit of work; pairs are emitted in
     the same order as the full enumeration restricted to those bands
     (bands are processed band-major either way). Only valid when
-    _pair_plan says "banded"."""
+    _pair_plan says "banded".
+
+    ``banded_ctx=(B, y0, h)`` forces the banded regime with the given
+    FULL-table band geometry: the sharded split passes each task only
+    the segments overlapping its band range, and the subset must band
+    identically to the full enumeration (band membership depends only
+    on (y0, h) and the segment's own y-extent, so it does)."""
     n = len(segs)
     if n == 0:
         return
-    mode, B = _pair_plan(segs)
+    if banded_ctx is not None:
+        mode = "banded"
+        B, y0, h = banded_ctx
+    else:
+        mode, B = _pair_plan(segs)
     if mode == "rect":
         assert band_range is None
         is_h = segs.ay == segs.by
@@ -684,9 +695,10 @@ def _candidate_pair_blocks(segs: Segments, band_range=None):
     if mode == "banded":
         ymin = np.minimum(segs.ay, segs.by)
         ymax = np.maximum(segs.ay, segs.by)
-        y0 = int(ymin.min())
-        y1 = int(ymax.max())
-        h = max(1, (y1 - y0 + B) // B)
+        if banded_ctx is None:
+            y0 = int(ymin.min())
+            y1 = int(ymax.max())
+            h = max(1, (y1 - y0 + B) // B)
         bmin = (ymin - y0) // h
         bmax = (ymax - y0) // h
         counts = (bmax - bmin + 1).astype(np.int64)
@@ -761,14 +773,17 @@ def _cat_marks(parts) -> np.ndarray:
     return np.concatenate(parts)
 
 
-def _find_marks(segs: Segments, radius: int, band_range=None):
+def _find_marks(segs: Segments, radius: int, band_range=None,
+                banded_ctx=None):
     """Classify all candidate pairs; return split marks and whether any
     rounding occurred (split/solver.rs:82-156).
 
     Marks are (seg_index, px, py) int64 arrays. Pairs are consumed in
     bounded-memory blocks (_candidate_pair_blocks). ``band_range``
     restricts enumeration+classification to a band range of the banded
-    regime (the sharded split's task unit)."""
+    regime (the sharded split's task unit); ``banded_ctx`` carries the
+    full-table band geometry when ``segs`` is a subset (see
+    _candidate_pair_blocks)."""
     if PARALLEL_MARKS is not None and band_range is None:
         res = PARALLEL_MARKS(segs, radius)
         if res is not None:
@@ -777,7 +792,7 @@ def _find_marks(segs: Segments, radius: int, band_range=None):
     m_px: list = []
     m_py: list = []
     any_round = False
-    for ii, jj in _candidate_pair_blocks(segs, band_range):
+    for ii, jj in _candidate_pair_blocks(segs, band_range, banded_ctx):
         r = _classify_pairs(segs, ii, jj, radius, m_idx, m_px, m_py)
         any_round |= r
     return _cat_marks(m_idx), _cat_marks(m_px), _cat_marks(m_py), any_round

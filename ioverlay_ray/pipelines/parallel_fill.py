@@ -42,9 +42,17 @@ PARALLEL_MIN_SEGS = 400_000
 
 
 @ray.remote
-def _fill_shard(arrs, lo: int, hi: int, with_clip: bool):
+def _fill_shard(arrs, c0: int, c1: int, extra, lo: int, hi: int,
+                with_clip: bool):
     ax, ay, bx, by, subj, clip, mx, my = arrs
-    segs = Segments(ax, ay, bx, by, subj, clip)
+    if extra is not None and len(extra):
+        idx = np.concatenate((extra, np.arange(c0, c1, dtype=np.int64)))
+        segs = Segments(ax[idx], ay[idx], bx[idx], by[idx],
+                        subj[idx], clip[idx])
+    else:
+        sl = slice(c0, c1)
+        segs = Segments(ax[sl], ay[sl], bx[sl], by[sl],
+                        subj[sl], clip[sl])
     q = np.arange(lo, hi, dtype=np.int64)
     return _stab_windings(segs, mx, my, q, with_clip=with_clip)
 
@@ -53,6 +61,16 @@ def bottom_windings_ray(segs: Segments, with_clip: bool = True,
                         shards: int | None = None):
     """Sharded bottom_windings: exact same values as the sequential
     kernel (pinned by tests), fill wall time divided by the task wave.
+
+    Each shard owns a contiguous run of ax-sorted queries, so only the
+    segments whose x-span can cover one of its query columns matter:
+    the driver ships per-shard windows ``[c0, c1)`` (plus the sparse
+    long-segment `extra` list reaching in from the left) and the task
+    slices them zero-copy out of the one shared ``ray.put``.  A
+    covering segment has ``tax2 <= qmx < tbx2``, hence ``tax2 <= qhi``
+    (inside ``c1``) and ``tbx2 > qlo`` (inside ``c0``'s span window or
+    in `extra`), so the filtered table answers every query exactly.
+
     Falls back to in-process evaluation when Ray is not initialised or
     the scene is too small to amortize a task wave."""
     n = len(segs)
@@ -61,7 +79,7 @@ def bottom_windings_ray(segs: Segments, with_clip: bool = True,
     if shards is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 1
-        shards = max(1, min(16, cpus // 2))
+        shards = max(1, min(32, cpus))
     if n < PARALLEL_MIN_SEGS or shards <= 1 or not ray.is_initialized():
         return _stab_windings(segs, mx, my,
                               np.arange(n, dtype=np.int64),
@@ -69,9 +87,28 @@ def bottom_windings_ray(segs: Segments, with_clip: bool = True,
     arrs_ref = ray.put((segs.ax, segs.ay, segs.bx, segs.by,
                         segs.subj, segs.clip, mx, my))
     bounds = np.linspace(0, n, shards + 1).astype(np.int64)
-    futs = [_fill_shard.remote(arrs_ref, int(bounds[i]),
-                               int(bounds[i + 1]), with_clip)
-            for i in range(shards) if bounds[i + 1] > bounds[i]]
+    tax2 = 2 * segs.ax
+    tbx2 = 2 * segs.bx
+    spans = tbx2 - tax2
+    thr = int(np.quantile(spans, 0.999)) if n > 64 else \
+        (int(spans.max()) if n else 0)
+    cummax = np.maximum.accumulate(tbx2)
+    futs = []
+    for i in range(shards):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if hi <= lo:
+            continue
+        qw = mx[lo:hi]
+        qlo = int(qw.min())
+        qhi = int(qw.max())
+        c1 = int(np.searchsorted(tax2, qhi, side="right"))
+        c0 = int(np.searchsorted(tax2, qlo - thr, side="left"))
+        c0 = min(c0, c1)
+        extra = None
+        if c0 > 0 and cummax[c0 - 1] > qlo:
+            extra = np.flatnonzero(tbx2[:c0] > qlo)
+        futs.append(_fill_shard.remote(arrs_ref, c0, c1, extra,
+                                       lo, hi, with_clip))
     parts = ray.get(futs)
     bot_subj = np.concatenate([p[0] for p in parts])
     bot_clip = np.concatenate([p[1] for p in parts])
@@ -120,11 +157,15 @@ def parallel_overlay(subj, clip, rule, fill_rule="nonzero",
 # ---------------------------------------------------------------------------
 
 @ray.remote
-def _marks_shard(arrs, radius: int, lo: int, hi: int):
+def _marks_shard(arrs, radius: int, lo: int, hi: int, idx,
+                 ctx):
     ax, ay, bx, by, subj, clip = arrs
     from ..geometry.kernel import _find_marks
-    segs = Segments(ax, ay, bx, by, subj, clip)
-    return _find_marks(segs, radius, band_range=(lo, hi))
+    segs = Segments(ax[idx], ay[idx], bx[idx], by[idx],
+                    subj[idx], clip[idx])
+    m_idx, m_px, m_py, any_round = _find_marks(
+        segs, radius, band_range=(lo, hi), banded_ctx=ctx)
+    return idx[m_idx], m_px, m_py, any_round
 
 
 def find_marks_ray(segs: Segments, radius: int, shards: int | None = None):
@@ -132,8 +173,15 @@ def find_marks_ray(segs: Segments, radius: int, shards: int | None = None):
     AND classifies its band range (bands are independent — a pair is
     emitted only in band max(bmin_i, bmin_j)); the driver concatenates
     marks in band order, which is exactly the full enumeration's
-    emission order. Returns None (fall through to the in-process path)
-    for non-banded plans or small scenes."""
+    emission order.
+
+    The driver pre-selects each shard's segment subset (any segment
+    whose y-extent overlaps a band in the range) and ships the
+    full-table band geometry, so a task's setup scales with its own
+    slice instead of the whole table; returned mark indices are mapped
+    back through the subset's original-index array.  Returns None
+    (fall through to the in-process path) for non-banded plans or
+    small scenes."""
     from ..geometry.kernel import _pair_plan
     n = len(segs)
     if n < PARALLEL_MIN_SEGS or not ray.is_initialized():
@@ -142,18 +190,35 @@ def find_marks_ray(segs: Segments, radius: int, shards: int | None = None):
     if mode != "banded":
         return None
     if shards is None:
-        shards = max(1, min(16,
-                            int(ray.cluster_resources().get("CPU", 8))
-                            // 2))
+        shards = max(1, min(32,
+                            int(ray.cluster_resources().get("CPU", 8))))
     if shards <= 1 or B < 2 * shards:
         return None
+    ymin = np.minimum(segs.ay, segs.by)
+    ymax = np.maximum(segs.ay, segs.by)
+    y0 = int(ymin.min())
+    y1 = int(ymax.max())
+    h = max(1, (y1 - y0 + B) // B)
+    bmin = (ymin - y0) // h
+    bmax = (ymax - y0) // h
+    ctx = (B, y0, h)
     arrs_ref = ray.put((segs.ax, segs.ay, segs.bx, segs.by,
                         segs.subj, segs.clip))
     bounds = np.linspace(0, B + 1, shards + 1).astype(np.int64)
-    futs = [_marks_shard.remote(arrs_ref, radius, int(bounds[i]),
-                                int(bounds[i + 1]))
-            for i in range(shards) if bounds[i + 1] > bounds[i]]
+    futs = []
+    for i in range(shards):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if hi <= lo:
+            continue
+        idx = np.flatnonzero((bmax >= lo) & (bmin < hi))
+        if not len(idx):
+            continue
+        futs.append(_marks_shard.remote(arrs_ref, radius, lo, hi,
+                                        idx, ctx))
     parts = ray.get(futs)
+    if not parts:
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), z.copy(), False
     m_idx = np.concatenate([p[0] for p in parts])
     m_px = np.concatenate([p[1] for p in parts])
     m_py = np.concatenate([p[2] for p in parts])

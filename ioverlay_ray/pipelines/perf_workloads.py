@@ -97,11 +97,16 @@ def lines_net_single(n: int) -> dict:
 
 
 def spiral_single(count: int) -> dict:
-    """Single-kernel Spiral subject-only overlay (float API)."""
+    """Single-kernel Spiral subject-only overlay (float API).
+
+    ``out_arrays=True``: contours come back as float64 (n, 2) arrays —
+    the columnar equivalent of the reference's Vec<P> output — instead
+    of per-point Python tuples (which cost ~1 s alone at n=524k)."""
     from ..geometry.float_api import float_overlay
-    path = spiral(count)
+    path = np.asarray(spiral(count))
     t0 = time.perf_counter()
-    shapes = float_overlay([path], [], "subject", "nonzero")
+    shapes = float_overlay([path], [], "subject", "nonzero",
+                           out_arrays=True)
     sec = time.perf_counter() - t0
     return {"sec": sec, "polygons": len(shapes),
             "polygons_per_sec": int(len(shapes) / sec)}
