@@ -92,12 +92,18 @@ def _bbox_components(shapes: List[list]) -> List[List[int]]:
     """Union-find over bbox overlap: shapes whose bboxes are disjoint
     cannot interact, so each component unions independently (the
     fragment-rect pruning idea, split/grid_layout.rs:17-249)."""
-    n = len(shapes)
     boxes = []
     for s in shapes:
         xs = [p[0] for c in s for p in c]
         ys = [p[1] for c in s for p in c]
         boxes.append((min(xs), min(ys), max(xs), max(ys)))
+    return _boxes_components(boxes)
+
+
+def _boxes_components(boxes: List[tuple]) -> List[List[int]]:
+    """Transitive bbox-overlap components of a list of (x0,y0,x1,y1)
+    boxes via an x-sweep union-find."""
+    n = len(boxes)
     parent = list(range(n))
 
     def find(i):
@@ -155,6 +161,91 @@ def _union_chunked(shapes: List[list], max_group_rows: int) -> List[list]:
         if len(shapes) >= before:
             break
     return _union_rows(shapes)
+
+
+# Above this many pre-root rows the driver-side bbox union-find is
+# skipped (the bbox table would be driver-resident) and the salted
+# pre-union + single root task handle the tail instead — the same
+# bounded-driver pattern as tiled_overlay.DRIVER_MARKS_CAP.
+DRIVER_COMPONENTS_CAP = 1 << 19
+
+
+def _batch_bboxes(batch: pa.Table):
+    """Per-row (x0, y0, x1, y1) straight off the RINGS Arrow buffers
+    (offsets are absolute indices into the flat value buffer, so sliced
+    arrays read correctly; every shape has >= 1 ring of >= 3 points)."""
+    col = batch.column("rings")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    outer = np.asarray(col.offsets, dtype=np.int64)
+    inner = col.values
+    ioff = np.asarray(inner.offsets, dtype=np.int64)
+    flat = np.asarray(inner.values, dtype=np.int64)
+    end_pt = int(ioff[outer[-1]]) // 2   # clip a sliced buffer's tail
+    xs = flat[0::2][:end_pt]
+    ys = flat[1::2][:end_pt]
+    # point-space start of each row's flat coordinate run
+    starts = ioff[outer[:-1]] // 2
+    x0 = np.minimum.reduceat(xs, starts)
+    y0 = np.minimum.reduceat(ys, starts)
+    x1 = np.maximum.reduceat(xs, starts)
+    y1 = np.maximum.reduceat(ys, starts)
+    return x0, y0, x1, y1
+
+
+def _component_root(current, finals, max_group_rows: int):
+    """Parallel root: group the pre-root rows by transitive
+    bbox-overlap component (driver union-find over the bounded bbox
+    table) and union each component in its own task — shapes that can
+    never interact skip the single-task global union entirely, and the
+    salted pre-round's extra shuffle barrier disappears."""
+    bb = current.map_batches(
+        lambda b: pa.table(dict(zip(("x0", "y0", "x1", "y1"),
+                                    [pa.array(a, pa.int64()) for a in
+                                     _batch_bboxes(b)]))),
+        batch_format="pyarrow").to_pandas()
+    boxes = list(zip(bb["x0"].tolist(), bb["y0"].tolist(),
+                     bb["x1"].tolist(), bb["y1"].tolist()))
+    uniq = sorted(set(boxes))
+    comps = _boxes_components(uniq)
+    comp_of = {}
+    for ci, members in enumerate(comps):
+        for m in members:
+            comp_of[uniq[m]] = ci
+    comp_ref = ray.put(comp_of)
+
+    def comp_key(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(comp_ref)
+        x0, y0, x1, y1 = _batch_bboxes(batch)
+        k = [lookup[(int(a), int(b), int(c), int(d))]
+             for a, b, c, d in zip(x0, y0, x1, y1)]
+        return batch.append_column("gkey", pa.array(k, pa.int64()))
+
+    def comp_union(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table({"level": pa.array([], pa.int64()),
+                             "cell": pa.array([], pa.int64()),
+                             "rings": pa.array([], RINGS)})
+        shapes = [rings_to_shape(r)
+                  for r in group.column("rings").to_pylist()]
+        merged = _union_chunked(shapes, max_group_rows) \
+            if len(shapes) > 1 else shapes
+        return pa.table({
+            "level": pa.array([-1] * len(merged), pa.int64()),
+            "cell": pa.array([0] * len(merged), pa.int64()),
+            "rings": pa.array([shape_to_rings(s) for s in merged],
+                              RINGS),
+        })
+
+    out = (current.map_batches(comp_key, batch_format="pyarrow")
+           .groupby("gkey")
+           .map_groups(comp_union, batch_format="pyarrow"))
+    for f in finals:
+        out = out.union(f)
+    return out
 
 
 def _union_group(group: pa.Table, next_level: int, next_cell: int,
@@ -327,10 +418,16 @@ def dissolve(ds: "ray.data.Dataset", base: int = 64, levels: int = 5,
         last = lev == levels - 1
         if lev not in present and not last:
             continue
-        if last and current.count() <= max_group_rows:
-            # leftover is one group's worth: the root union handles it
-            # directly, no salted pre-round needed
-            break
+        if last:
+            cnt = current.count()
+            if cnt <= max_group_rows:
+                # leftover is one group's worth: the root union handles
+                # it directly, no salted pre-round needed
+                break
+            if cnt <= DRIVER_COMPONENTS_CAP:
+                # parallel component root: skips BOTH the salted
+                # pre-union barrier and the single-task global union
+                return _component_root(current, finals, max_group_rows)
         # merged output of level lev lands on lev+1 (or the root)
         present.add(levels - 1 if lev + 1 == levels - 1 else lev + 1)
         # once every ORIGINAL input level has been absorbed, a merged

@@ -121,3 +121,42 @@ def test_root_crosser_unions_with_risen_shapes(ray_session):
     got = dissolve_area2(ds, base=base, levels=levels)
     # union area, not the sum: B is inside A = 300x80
     assert got == 2 * (300 * 80)
+
+
+def test_component_root_parity_randomized(ray_session):
+    # the parallel component root (bbox union-find + per-component
+    # union tasks) must produce the same union area as one big kernel
+    # union of the same rects
+    import numpy as np
+    import ray.data
+    from ioverlay_ray.geometry.overlay import simplify_shape
+    from ioverlay_ray.pipelines.dissolve import (dissolve_area2,
+                                                 shape_to_rings)
+    rng = np.random.default_rng(42)
+    rows = []
+    contours = []
+    for _ in range(600):
+        x0 = int(rng.integers(0, 980))
+        y0 = int(rng.integers(0, 980))
+        w = int(rng.integers(3, 40))
+        h = int(rng.integers(3, 40))
+        s = [[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]]
+        contours.extend(s)
+        rows.append({"rings": shape_to_rings(s),
+                     "x0": x0, "y0": y0,
+                     "x1": x0 + w + 1, "y1": y0 + h + 1})
+    shapes = simplify_shape(contours, "nonzero")
+    want = 0
+    for shape in shapes:
+        for ring in shape:
+            a2 = 0
+            for i in range(len(ring)):
+                p0 = ring[i - 1]
+                p1 = ring[i]
+                a2 += p0[0] * p1[1] - p1[0] * p0[1]
+            want += a2
+    # force the component-root branch: max_group_rows small so the
+    # pre-root row count exceeds it but stays under the driver cap
+    got = dissolve_area2(ray.data.from_items(rows), base=64, levels=3,
+                         max_group_rows=8)
+    assert got == abs(want)
