@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_sample_hash": rq.q_doc_sample_hash,
         "q_doc_sample_stratified": rq.q_doc_sample_stratified,
         "q_doc_token_stats": rq.q_doc_token_stats,
+        # benchmark n-gram decontamination (broadcast small side)
+        "q_doc_decontaminate": rq.q_doc_decontaminate,
         # distributed TF-IDF (integer idf surrogate; strict hash match)
         "q_doc_tfidf_terms": rq.q_doc_tfidf_terms,
         "q_doc_quality": rq.q_doc_quality,
@@ -426,6 +428,26 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
             ORDER BY doc_id
+        """,
+        "q_doc_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       array_to_string(
+                           t[CAST(i AS BIGINT):CAST(i AS BIGINT)+7],
+                           ' ') AS g
+                FROM toks, UNNEST(range(1, array_length(t) - 6)) AS u(i)
+                WHERE array_length(t) >= 8),
+            bench AS (
+                SELECT DISTINCT g AS bg FROM grams WHERE doc_id % 23 = 0)
+            SELECT gr.doc_id,
+                   COUNT(DISTINCT gr.g) AS n_contaminated
+            FROM grams gr JOIN bench b ON gr.g = b.bg
+            WHERE gr.doc_id % 23 <> 0
+            GROUP BY gr.doc_id
+            ORDER BY gr.doc_id
         """,
         "q_doc_token_stats": """
             SELECT doc_id,

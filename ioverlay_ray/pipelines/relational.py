@@ -248,6 +248,36 @@ def q_doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_doc_decontaminate(sf_dir: str, n: int = 8) -> pd.DataFrame:
+    """Benchmark n-gram decontamination: flag corpus documents sharing
+    any whitespace 8-gram with the benchmark subset (doc_id % 23 == 0
+    stands in for the held-out eval sets). Small side broadcast once
+    via ray.put + per-worker set (stages/dedup.DecontaminateStage);
+    the corpus side is one shuffle-free scan."""
+    from ..stages.dedup import DecontaminateStage, benchmark_grams
+    from ..stages.util import stage_fn
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        return batch.filter(pa.array((ids % 23) == 0))
+
+    bench_texts = [r["text"] for r in
+                   ds.map_batches(bench_rows,
+                                  batch_format="pyarrow").take_all()]
+    bench_ref = ray.put(benchmark_grams(bench_texts, n))
+
+    def corpus_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"))
+        return batch.filter(pa.array((ids % 23) != 0))
+
+    out = (ds.map_batches(corpus_rows, batch_format="pyarrow")
+           .map_batches(stage_fn(DecontaminateStage, bench_ref, n),
+                        batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_tfidf_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Distributed TF-IDF top-k terms per document (training-data
     keyword extraction / term-importance filter), 100-TB shaped:

@@ -350,3 +350,58 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+class DecontaminateStage:
+    """Benchmark n-gram decontamination (the GPT-2/GPT-3-style
+    held-out-overlap filter a training-data pipeline runs before
+    training): count, per corpus document, how many DISTINCT
+    whitespace n-grams also occur in a benchmark document set.
+
+    100-TB shape: the benchmark side (eval sets) is MBs, the corpus is
+    the 100 TB side — so the benchmark gram set is built once, shipped
+    once via ``ray.put`` and materialized once per worker (this stage's
+    ``__init__`` under stages.util.stage_fn); the corpus pass is one
+    shuffle-free ``map_batches`` scan. If the small side ever outgrew a
+    broadcast, the fallback is a gram-hash join (the q_jaccard_verify
+    exchange pattern), not a bigger broadcast.
+
+    Tokenization is a plain ``' '`` split so a SQL oracle (DuckDB
+    string_split + list slicing) reproduces the gram strings exactly.
+    """
+
+    def __init__(self, bench_ref, n: int = 8):
+        import ray
+        bench = ray.get(bench_ref)
+        self.bench = bench if isinstance(bench, set) else set(bench)
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        ids = batch.column("doc_id").to_pylist()
+        out_id = []
+        out_cnt = []
+        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
+            toks = text.split(" ")
+            if len(toks) < n:
+                continue
+            grams = {" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)}
+            hits = len(grams & self.bench)
+            if hits:
+                out_id.append(doc_id)
+                out_cnt.append(hits)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_contaminated": pa.array(out_cnt, pa.int64()),
+        })
+
+
+def benchmark_grams(texts, n: int = 8) -> set:
+    """Distinct whitespace n-grams of the benchmark documents."""
+    grams = set()
+    for text in texts:
+        toks = text.split(" ")
+        for i in range(len(toks) - n + 1):
+            grams.add(" ".join(toks[i:i + n]))
+    return grams

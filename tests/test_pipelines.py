@@ -398,3 +398,31 @@ def test_new_relational_ops_vs_duckdb(ray_session):
     assert len(tfidf) == len(exp)
     assert list(tfidf["term"]) == list(exp["term"])
     assert list(tfidf["score"]) == list(exp["score"])
+
+
+def test_decontaminate_stage_counts(ray_session):
+    # distinct-gram collision counts against a broadcast benchmark set
+    import pyarrow as pa
+    import ray
+
+    from ioverlay_ray.stages.dedup import (DecontaminateStage,
+                                           benchmark_grams)
+
+    bench_texts = ["the quick brown fox jumps over the lazy dog today"]
+    grams = benchmark_grams(bench_texts, n=4)
+    ref = ray.put(grams)
+    st = DecontaminateStage(ref, n=4)
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            # two distinct colliding 4-grams ('quick brown fox jumps',
+            # 'the lazy dog today'); the repeat counts once
+            "x quick brown fox jumps y the lazy dog today "
+            "quick brown fox jumps",
+            "completely different words here with no overlap at all",
+            "short text",
+        ]),
+    })
+    out = st(batch)
+    assert out.column("doc_id").to_pylist() == [1]
+    assert out.column("n_contaminated").to_pylist() == [2]
