@@ -323,6 +323,69 @@ def _build_succ2(links: Links) -> np.ndarray:
     return succ
 
 
+# Pipeline-injected distributed walk wave for giant components:
+# fn(jump, link_of, cand, base, label, off, anchor_id) -> (nxt_a,
+# alen, amin) or None (None = caller runs the in-process walk).
+# Installed by pipelines/parallel_fill.parallel_fill; the kernel
+# itself stays numpy-pure.
+PARALLEL_LAYOUT = None
+
+
+def _walk_wave(jump: np.ndarray, link_of: np.ndarray, cand: np.ndarray,
+               base: int, label: np.ndarray, off: np.ndarray,
+               anchor_id: np.ndarray, record: bool = False):
+    """One lockstep walk wave: every anchor in ``cand`` walks forward
+    until it reaches the next anchor.  Writes each visited non-anchor
+    edge's owning walker + step offset into ``label``/``off`` (or
+    returns them as arrays when ``record`` — the task-shard form, which
+    must not mutate shared object-store buffers) and returns per-walker
+    (next anchor id, arc length, arc min label)."""
+    k = len(cand)
+    nxt_a = np.full(k, -1, dtype=np.int64)
+    alen = np.zeros(k, dtype=np.int64)
+    amin = link_of[cand].copy()
+    wmin = amin.copy()
+    cur = jump[cand]
+    wid = np.arange(k, dtype=np.int64)
+    step = 1
+    rec_e = []
+    rec_w = []
+    rec_o = []
+    while len(cur):
+        hit_a = anchor_id[cur]
+        hit = hit_a >= 0
+        if hit.any():
+            hw = wid[hit]
+            nxt_a[hw] = hit_a[hit]
+            alen[hw] = step
+            amin[hw] = wmin[hit]
+            keep = ~hit
+            cur = cur[keep]
+            wid = wid[keep]
+            wmin = wmin[keep]
+            if not len(cur):
+                break
+        if record:
+            rec_e.append(cur.copy())
+            rec_w.append(base + wid)
+            rec_o.append(np.full(len(cur), step, dtype=np.int64))
+        else:
+            label[cur] = base + wid
+            off[cur] = step
+        np.minimum(wmin, link_of[cur], out=wmin)
+        step += 1
+        cur = jump[cur]
+    if record:
+        cat = (np.concatenate(rec_e) if rec_e else
+               np.zeros(0, np.int64),
+               np.concatenate(rec_w) if rec_w else
+               np.zeros(0, np.int64),
+               np.concatenate(rec_o) if rec_o else
+               np.zeros(0, np.int64))
+        return nxt_a, alen, amin, cat
+    return nxt_a, alen, amin
+
+
 def _perm_cycle_layout(jump: np.ndarray, link_of: np.ndarray,
                        stride: int | None = None):
     """Cycle decomposition of a permutation by a blocked anchor walk.
@@ -370,32 +433,18 @@ def _perm_cycle_layout(jump: np.ndarray, link_of: np.ndarray,
         label[cand] = aid
         off[cand] = 0
         anchor_id[cand] = aid
-        nxt_a = np.full(k, -1, dtype=np.int64)
-        alen = np.zeros(k, dtype=np.int64)
-        amin = link_of[cand].copy()
-        wmin = amin.copy()
-        cur = jump[cand]
-        wid = np.arange(k, dtype=np.int64)
-        step = 1
-        while len(cur):
-            hit_a = anchor_id[cur]
-            hit = hit_a >= 0
-            if hit.any():
-                hw = wid[hit]
-                nxt_a[hw] = hit_a[hit]
-                alen[hw] = step
-                amin[hw] = wmin[hit]
-                keep = ~hit
-                cur = cur[keep]
-                wid = wid[keep]
-                wmin = wmin[keep]
-                if not len(cur):
-                    break
-            label[cur] = base + wid
-            off[cur] = step
-            np.minimum(wmin, link_of[cur], out=wmin)
-            step += 1
-            cur = jump[cur]
+        res = None
+        if PARALLEL_LAYOUT is not None:
+            # pipeline-injected task wave (pipelines/parallel_fill.py):
+            # anchor_id is fully set BEFORE any walker moves, so
+            # walkers are independent (each non-anchor edge belongs to
+            # exactly one arc) and shard merging is a disjoint scatter
+            res = PARALLEL_LAYOUT(jump, link_of, cand, base,
+                                  label, off, anchor_id)
+        if res is None:
+            res = _walk_wave(jump, link_of, cand, base,
+                             label, off, anchor_id)
+        nxt_a, alen, amin = res
         next_parts.append(nxt_a)
         alen_parts.append(alen)
         amin_parts.append(amin)

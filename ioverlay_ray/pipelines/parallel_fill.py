@@ -115,6 +115,57 @@ def bottom_windings_ray(segs: Segments, with_clip: bool = True,
     return bot_subj, bot_clip
 
 
+# below this many directed edges the in-process Theta(m) walk beats a
+# task wave (put + shard returns); the wave exists for the
+# country-border / coastline regime where one component's edge count
+# outgrows a single process
+PARALLEL_LAYOUT_MIN = 6_000_000
+
+
+@ray.remote
+def _layout_shard(refs, cand, base: int):
+    jump, link_of, anchor_id = refs
+    from ..geometry.extract import _walk_wave
+    nxt_a, alen, amin, rec = _walk_wave(
+        jump, link_of, cand, base, None, None, anchor_id, record=True)
+    return nxt_a, alen, amin, rec
+
+
+def layout_waves(jump, link_of, cand, base, label, off, anchor_id,
+                 shards: int | None = None,
+                 min_edges: int | None = None):
+    """Sharded anchor walk for giant single components: anchors are
+    independent walkers once ``anchor_id`` is fully assigned (each
+    non-anchor edge lies on exactly one anchor-to-anchor arc), so the
+    wave shards the anchor set; each task replays the same lockstep walk
+    read-only against the shared (jump, link_of, anchor_id) buffers
+    and returns its disjoint (edge, walker, offset) writes; the driver
+    scatters them into label/off. Bit-identical to the in-process walk
+    by construction."""
+    lim = PARALLEL_LAYOUT_MIN if min_edges is None else min_edges
+    if len(jump) < lim or not ray.is_initialized():
+        return None
+    if shards is None:
+        shards = max(1, min(32,
+                            int(ray.cluster_resources().get("CPU", 8))))
+    if shards <= 1 or len(cand) < 4 * shards:
+        return None
+    refs = ray.put((jump, link_of, anchor_id))
+    bounds = np.linspace(0, len(cand), shards + 1).astype(np.int64)
+    futs = [_layout_shard.remote(refs, cand[int(bounds[i]):
+                                            int(bounds[i + 1])],
+                                 base + int(bounds[i]))
+            for i in range(shards) if bounds[i + 1] > bounds[i]]
+    parts = ray.get(futs)
+    nxt_a = np.concatenate([p[0] for p in parts])
+    alen = np.concatenate([p[1] for p in parts])
+    amin = np.concatenate([p[2] for p in parts])
+    for _, _, _, (edges, wids, offs) in parts:
+        label[edges] = wids
+        off[edges] = offs
+    return nxt_a, alen, amin
+
+
 @contextlib.contextmanager
 def parallel_fill(shards: int | None = None):
     """Install the sharded fill for the enclosed kernel calls:
@@ -123,22 +174,28 @@ def parallel_fill(shards: int | None = None):
             shapes = float_overlay([spiral_path], [], "subject",
                                    "nonzero")
 
-    Everything else (split, extraction, the float facade) is untouched
-    — the hook only replaces bottom_windings' in-process stab with the
-    task wave, so results are pinned identical by the kernel tests."""
-    from ..geometry import kernel
+    The float facade is untouched — the hooks replace bottom_windings'
+    in-process stab, _find_marks' banded enumeration and the extraction
+    walk's first anchor wave with task waves (each gated by its own
+    size threshold), so results are pinned identical by the kernel and
+    parity tests."""
+    from ..geometry import extract, kernel
     prev = kernel.PARALLEL_FILL
     prev_m = kernel.PARALLEL_MARKS
+    prev_l = extract.PARALLEL_LAYOUT
     kernel.PARALLEL_FILL = \
         lambda segs, with_clip: bottom_windings_ray(segs, with_clip,
                                                     shards)
     kernel.PARALLEL_MARKS = \
         lambda segs, radius: find_marks_ray(segs, radius, shards)
+    extract.PARALLEL_LAYOUT = \
+        lambda *a: layout_waves(*a, shards=shards)
     try:
         yield
     finally:
         kernel.PARALLEL_FILL = prev
         kernel.PARALLEL_MARKS = prev_m
+        extract.PARALLEL_LAYOUT = prev_l
 
 
 def parallel_overlay(subj, clip, rule, fill_rule="nonzero",

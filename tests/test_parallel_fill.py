@@ -92,3 +92,25 @@ def test_sharded_marks_identical(ray_session, monkeypatch):
         a = float_overlay(subj, clip, rule, "nonzero")
         b = pf.parallel_overlay(subj, clip, rule, "nonzero", shards=5)
         assert a == b, rule
+
+
+def test_layout_wave_parity(ray_session):
+    # the sharded anchor walk must produce the identical extraction as
+    # the in-process walk (disjoint-arc merge is exact by construction)
+    import numpy as np
+
+    import ioverlay_ray.pipelines.parallel_fill as PF
+    from ioverlay_ray.geometry import extract
+    from ioverlay_ray.geometry.float_api import float_overlay
+    from ioverlay_ray.pipelines.perf_workloads import spiral
+
+    path = np.asarray(spiral(4096))
+    want = float_overlay([path], [], "subject", "nonzero")
+    prev = extract.PARALLEL_LAYOUT
+    extract.PARALLEL_LAYOUT = \
+        lambda *a: PF.layout_waves(*a, shards=4, min_edges=0)
+    try:
+        got = float_overlay([path], [], "subject", "nonzero")
+    finally:
+        extract.PARALLEL_LAYOUT = prev
+    assert got == want
