@@ -114,3 +114,48 @@ def test_layout_wave_parity(ray_session):
     finally:
         extract.PARALLEL_LAYOUT = prev
     assert got == want
+
+
+def test_perm_cycle_layout_bruteforce():
+    # crafted permutations (incl. cycles shorter than the anchor
+    # stride, which exercise the re-walk recursion down to stride 1)
+    import numpy as np
+
+    from ioverlay_ray.geometry.extract import _perm_cycle_layout
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        sizes = rng.integers(1, 60, size=rng.integers(2, 40))
+        m = int(sizes.sum())
+        perm = rng.permutation(m)
+        jump = np.empty(m, dtype=np.int64)
+        pos = 0
+        want_cycles = []
+        for s in sizes:
+            cyc = perm[pos:pos + s]
+            jump[cyc] = np.roll(cyc, -1)   # cyc[i] -> cyc[i+1]
+            want_cycles.append(cyc)
+            pos += s
+        link_of = rng.integers(0, 1 << 40, size=m)
+        stride = int(rng.integers(1, m + 1))
+        cyc_id, rank, cyc_len, cyc_min, layout, start_off = \
+            _perm_cycle_layout(jump, link_of, stride=stride)
+        # every ground-truth cycle maps to exactly one layout cycle
+        seen = set()
+        for cyc in want_cycles:
+            cids = set(cyc_id[cyc].tolist())
+            assert len(cids) == 1, (trial, stride)
+            c = cids.pop()
+            assert c not in seen
+            seen.add(c)
+            L = len(cyc)
+            assert cyc_len[c] == L
+            assert cyc_min[c] == link_of[cyc].min()
+            # ranks are a rotation of the traversal order
+            blk = layout[start_off[c]:start_off[c] + L]
+            r0 = int(np.flatnonzero(blk == cyc[0])[0])
+            assert np.array_equal(np.roll(blk, -r0), cyc)
+            # rank[e] consistent with layout position
+            assert np.array_equal(blk, np.asarray(
+                sorted(cyc.tolist(), key=lambda e: rank[e])))
+        assert len(seen) == len(cyc_len)
