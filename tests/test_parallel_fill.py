@@ -159,3 +159,32 @@ def test_perm_cycle_layout_bruteforce():
             assert np.array_equal(blk, np.asarray(
                 sorted(cyc.tolist(), key=lambda e: rank[e])))
         assert len(seen) == len(cyc_len)
+
+
+def test_windowed_fill_long_segment_extras(ray_session, monkeypatch):
+    # adversarial for the driver windowing: a few full-extent segments
+    # must reach EVERY shard through the `extra` long-segment list
+    # (their span exceeds the 99.9% threshold window)
+    import numpy as np
+
+    from ioverlay_ray.geometry.float_api import float_overlay
+    from ioverlay_ray.pipelines import parallel_fill as pf
+
+    monkeypatch.setattr(pf, "PARALLEL_MIN_SEGS", 1)
+    rng = np.random.default_rng(99)
+    subj = []
+    for _ in range(300):
+        x0, y0 = (int(v) for v in rng.integers(0, 5000, 2))
+        w, h = (int(v) for v in rng.integers(1, 12, 2))
+        subj.append([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                     (x0, y0 + h)])
+    # five huge thin slabs spanning the whole extent (skewed edges so
+    # the rectilinear engines don't absorb them)
+    for k in range(5):
+        y = 900 * k + 7
+        subj.append([(0, y), (5003, y + 3), (5003, y + 211),
+                     (0, y + 208)])
+    for rule, fr in (("subject", "nonzero"), ("subject", "evenodd")):
+        seq = float_overlay(subj, [], rule, fr)
+        par = pf.parallel_overlay(subj, [], rule, fr, shards=9)
+        assert seq == par, (rule, fr)
