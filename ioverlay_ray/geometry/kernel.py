@@ -286,6 +286,13 @@ def sort_merge(segs: Segments, string_clip: bool = False) -> Segments:
     n = len(segs)
     if n == 0:
         return segs
+    if PARALLEL_SORT is not None:
+        # pipeline-injected sharded sort (pipelines/parallel_fill.py):
+        # key-range partitions co-locate equal rows, so per-shard
+        # sort_merge + ordered concat is the identical table
+        res = PARALLEL_SORT(segs, string_clip)
+        if res is not None:
+            return res
     # |c| <= MAX_COORD (< 2^30, enforced at the API boundary), so each
     # biased point packs into 62 bits: one int64 key per endpoint
     # halves the lexsort passes
@@ -417,8 +424,11 @@ PAIR_BLOCK = 4_000_000  # max candidate pairs materialized at once
 # PARALLEL_MARKS: fn(segs, radius) -> marks tuple or None (None = caller
 # falls through to the in-process path) shards the split's banded
 # candidate enumeration by band range.
+# PARALLEL_SORT: fn(segs, string_clip) -> Segments or None shards the
+# sort_merge exchange by akey ranges (equal keys co-locate).
 PARALLEL_FILL = None
 PARALLEL_MARKS = None
+PARALLEL_SORT = None
 
 _TREE_LEAF_MAX = 256    # widest leaf the tree cost model considers
 _RECT_FAST = True       # rectilinear perpendicular classify fast path

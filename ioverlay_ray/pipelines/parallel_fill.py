@@ -121,6 +121,10 @@ def bottom_windings_ray(segs: Segments, with_clip: bool = True,
 # outgrows a single process
 PARALLEL_LAYOUT_MIN = 6_000_000
 
+# sharded sort_merge engages only beyond-one-process tables (A/B at
+# 3.1M rows measured a wash; see sort_merge_ray)
+PARALLEL_SORT_MIN = 8_000_000
+
 
 @ray.remote
 def _layout_shard(refs, cand, base: int):
@@ -166,6 +170,60 @@ def layout_waves(jump, link_of, cand, base, label, off, anchor_id,
     return nxt_a, alen, amin
 
 
+@ray.remote
+def _sort_shard(arrs, idx, string_clip: bool):
+    from ..geometry.kernel import sort_merge
+    ax, ay, bx, by, subj, clip = arrs
+    segs = Segments(ax[idx], ay[idx], bx[idx], by[idx],
+                    subj[idx], clip[idx])
+    out = sort_merge(segs, string_clip)
+    return (out.ax, out.ay, out.bx, out.by, out.subj, out.clip)
+
+
+def sort_merge_ray(segs: Segments, string_clip: bool = False,
+                   shards: int | None = None):
+    """Sharded sort_merge: partition rows by a-endpoint key range
+    (sampled splitters; ``searchsorted(side="right")`` sends every copy
+    of an equal key to the same shard, so the per-shard merge sees all
+    its duplicates), sort+merge each shard in a task, concatenate in
+    shard order. The result table and row order are identical to the
+    global sort_merge — both are (akey, bkey)-sorted with duplicates
+    summed — because the shard ranges tile the key space in order.
+
+    Threshold: an interleaved A/B at 3.1M rows measured a wash (the
+    in-process lexsort ~0.8 s vs put + slice + gather overhead), so
+    the wave only engages for tables beyond what one process sorts
+    comfortably — the same beyond-one-node rationale as the layout
+    wave. Returns None below the threshold."""
+    n = len(segs)
+    if n < PARALLEL_SORT_MIN or not ray.is_initialized():
+        return None
+    if shards is None:
+        shards = max(1, min(32,
+                            int(ray.cluster_resources().get("CPU", 8))))
+    if shards <= 1:
+        return None
+    B = np.int64(1 << 30)
+    akey = ((segs.ax + B) << np.int64(31)) | (segs.ay + B)
+    step = max(1, n // 65536)
+    samp = np.sort(akey[::step])
+    cut = np.linspace(0, len(samp) - 1, shards + 1).astype(np.int64)
+    splitters = np.unique(samp[cut][1:-1])
+    if not len(splitters):
+        return None
+    part = np.searchsorted(splitters, akey, side="right")
+    arrs_ref = ray.put((segs.ax, segs.ay, segs.bx, segs.by,
+                        segs.subj, segs.clip))
+    futs = []
+    for p in range(len(splitters) + 1):
+        idx = np.flatnonzero(part == p)
+        if len(idx):
+            futs.append(_sort_shard.remote(arrs_ref, idx, string_clip))
+    parts = ray.get(futs)
+    return Segments(*[np.concatenate([p[i] for p in parts])
+                      for i in range(6)])
+
+
 @contextlib.contextmanager
 def parallel_fill(shards: int | None = None):
     """Install the sharded fill for the enclosed kernel calls:
@@ -190,12 +248,16 @@ def parallel_fill(shards: int | None = None):
         lambda segs, radius: find_marks_ray(segs, radius, shards)
     extract.PARALLEL_LAYOUT = \
         lambda *a: layout_waves(*a, shards=shards)
+    prev_s = kernel.PARALLEL_SORT
+    kernel.PARALLEL_SORT = \
+        lambda segs, sc: sort_merge_ray(segs, sc, shards)
     try:
         yield
     finally:
         kernel.PARALLEL_FILL = prev
         kernel.PARALLEL_MARKS = prev_m
         extract.PARALLEL_LAYOUT = prev_l
+        kernel.PARALLEL_SORT = prev_s
 
 
 def parallel_overlay(subj, clip, rule, fill_rule="nonzero",

@@ -188,3 +188,37 @@ def test_windowed_fill_long_segment_extras(ray_session, monkeypatch):
         seq = float_overlay(subj, [], rule, fr)
         par = pf.parallel_overlay(subj, [], rule, fr, shards=9)
         assert seq == par, (rule, fr)
+
+
+def test_sort_merge_ray_identical(ray_session):
+    # sharded sort_merge must equal the global one row-for-row,
+    # including duplicate merging across shard borders
+    import numpy as np
+
+    import ioverlay_ray.pipelines.parallel_fill as pf
+    from ioverlay_ray.geometry.kernel import Segments, sort_merge
+
+    rng = np.random.default_rng(5)
+    n = 20000
+    # coordinates drawn from a SMALL range so duplicate rows are common
+    ax = rng.integers(0, 50, n)
+    ay = rng.integers(0, 50, n)
+    bx = ax + rng.integers(1, 10, n)
+    by = ay + rng.integers(-9, 10, n)
+    subj = rng.choice([-2, -1, 1, 2], n)
+    clip = rng.choice([-1, 0, 1], n)
+    segs = Segments(ax, ay, bx, by, subj, clip)
+    want = sort_merge(segs)
+    got = pf.sort_merge_ray(Segments(ax, ay, bx, by, subj, clip),
+                            False, shards=6)
+    # force the wave regardless of threshold for the test
+    if got is None:
+        prev = pf.PARALLEL_SORT_MIN
+        pf.PARALLEL_SORT_MIN = 1
+        try:
+            got = pf.sort_merge_ray(Segments(ax, ay, bx, by, subj, clip),
+                                    False, shards=6)
+        finally:
+            pf.PARALLEL_SORT_MIN = prev
+    for f in Segments.__slots__:
+        assert np.array_equal(getattr(want, f), getattr(got, f)), f
