@@ -160,3 +160,30 @@ def test_component_root_parity_randomized(ray_session):
     got = dissolve_area2(ray.data.from_items(rows), base=64, levels=3,
                          max_group_rows=8)
     assert got == abs(want)
+
+
+def test_salted_root_fallback_above_cap(ray_session, monkeypatch):
+    # above DRIVER_COMPONENTS_CAP the pre-r4 salted+single-root path
+    # must still produce the same union area
+    import numpy as np
+    import ray.data
+    from ioverlay_ray.pipelines import dissolve as D
+    from ioverlay_ray.pipelines.dissolve import (dissolve_area2,
+                                                 shape_to_rings)
+    rng = np.random.default_rng(11)
+    rows = []
+    for _ in range(300):
+        x0 = int(rng.integers(0, 980))
+        y0 = int(rng.integers(0, 980))
+        w = int(rng.integers(3, 30))
+        h = int(rng.integers(3, 30))
+        s = [[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]]
+        rows.append({"rings": shape_to_rings(s),
+                     "x0": x0, "y0": y0,
+                     "x1": x0 + w + 1, "y1": y0 + h + 1})
+    ds = ray.data.from_items(rows)
+    want = dissolve_area2(ds, base=64, levels=3, max_group_rows=8)
+    monkeypatch.setattr(D, "DRIVER_COMPONENTS_CAP", 4)
+    got = dissolve_area2(ray.data.from_items(rows), base=64, levels=3,
+                         max_group_rows=8)
+    assert got == want
