@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_token_stats": rq.q_doc_token_stats,
         # benchmark n-gram decontamination (broadcast small side)
         "q_doc_decontaminate": rq.q_doc_decontaminate,
+        # token repetition filter features (shuffle-free scan)
+        "q_doc_repetition": rq.q_doc_repetition,
         # distributed TF-IDF (integer idf surrogate; strict hash match)
         "q_doc_tfidf_terms": rq.q_doc_tfidf_terms,
         "q_doc_quality": rq.q_doc_quality,
@@ -448,6 +450,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE gr.doc_id % 23 <> 0
             GROUP BY gr.doc_id
             ORDER BY gr.doc_id
+        """,
+        "q_doc_repetition": """
+            WITH tok AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+                FROM documents),
+            cnt AS (
+                SELECT doc_id, t, COUNT(*) AS c
+                FROM tok GROUP BY doc_id, t)
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(MAX(c) AS BIGINT) AS top_count
+            FROM cnt GROUP BY doc_id ORDER BY doc_id
         """,
         "q_doc_token_stats": """
             SELECT doc_id,

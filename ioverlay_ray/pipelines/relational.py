@@ -347,6 +347,16 @@ def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(token_stats, batch_format="pyarrow").to_pandas()
 
 
+def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Per-doc token repetition features (the repetition filter):
+    shuffle-free map_batches scan."""
+    from ..stages.text import repetition_stats
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               num_blocks=8)
+    return ds.map_batches(repetition_stats,
+                          batch_format="pyarrow").to_pandas()
+
+
 def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import quality_features
     ds = _read(sf_dir, "documents", ["doc_id", "text"],

@@ -43,6 +43,31 @@ def token_stats(batch: pa.Table) -> pa.Table:
     })
 
 
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Token-repetition features per document (the C4/RefinedWeb-style
+    repetition filter a training-data pipeline applies before mixing):
+    total tokens, distinct tokens, and the most-frequent token's count
+    — ``top_count / n_tokens`` is the repetition ratio a downstream
+    filter thresholds. Single-space tokenization matches DuckDB
+    string_split so the SQL oracle reproduces the values exactly."""
+    from collections import Counter
+    texts = batch.column("text").to_pylist()
+    n_tokens = []
+    n_distinct = []
+    top_count = []
+    for t in texts:
+        c = Counter(t.split(" "))
+        n_tokens.append(sum(c.values()))
+        n_distinct.append(len(c))
+        top_count.append(max(c.values()) if c else 0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_distinct": pa.array(n_distinct, pa.int64()),
+        "top_count": pa.array(top_count, pa.int64()),
+    })
+
+
 def quality_features(batch: pa.Table) -> pa.Table:
     """ASCII punctuation / uppercase / digit counts per document."""
     texts = batch.column("text").to_pylist()
