@@ -431,6 +431,12 @@ PARALLEL_MARKS = None
 PARALLEL_SORT = None
 
 _TREE_LEAF_MAX = 256    # widest leaf the tree cost model considers
+# NOTE (r4): a direct-pair "mid band" (accept up to ~96M pairs when
+# under ~384 pairs/row) was tried for the Spiral-32k fill and REVERTED:
+# an interleaved A/B measured the chunked pair engine 3x SLOWER than
+# the tree there (1.81 s vs 0.66 s median over 6 alternating runs);
+# the apparent pair win in a one-shot measurement was a cold-window
+# artifact. Keep the classic budget.
 _RECT_FAST = True       # rectilinear perpendicular classify fast path
 
 
