@@ -80,6 +80,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_daily": rq.q_events_daily,
         # exact COUNT(DISTINCT) per group (pair-hash exchange)
         "q_events_distinct_users": rq.q_events_distinct_users,
+        # sketch scans (stages/sketch.py): one shuffle-free pass each;
+        # the oracles replay the 64-bit multiplicative hash / integer
+        # threshold math in HUGEINT so results hash-match bit-for-bit
+        "q_events_kmv_distinct": rq.q_events_kmv_distinct,
+        "q_events_heavy_users": rq.q_events_heavy_users,
+        # Bloom-prefiltered exact semi-join (broadcast 128 KB bitmap)
+        "q_lineitem_bloom_revenue": rq.q_lineitem_bloom_revenue,
         "q_event_sessions": rq.q_event_sessions,
         # training-data ops
         "q_event_asof_order": rq.q_event_asof_order,
@@ -1046,6 +1053,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # KMV sketch replay: the multiplicative hash is a bijection mod
+        # 2^64, so DISTINCT user_id -> DISTINCT hashes; the estimator is
+        # exact integer floor division in HUGEINT (stages/sketch.py
+        # mix64 / kmv_distinct use the identical constants).
+        "q_events_kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT
+                       (CAST(user_id AS HUGEINT) * 11400714819323198485)
+                       % 18446744073709551616 AS hv
+                FROM events
+            ), r AS (
+                SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+                       count(*) OVER () AS nd
+                FROM h
+            )
+            SELECT CAST(64 AS BIGINT) AS k,
+                   CAST(LEAST(nd, 64) AS BIGINT) AS n_kept,
+                   CAST(CASE WHEN hv >= 9223372036854775808
+                             THEN hv - 18446744073709551616
+                             ELSE hv END AS BIGINT) AS kth_hash,
+                   CAST(CASE WHEN nd < 64 THEN nd
+                             ELSE (63 * 18446744073709551616::HUGEINT)
+                                  // hv END AS BIGINT) AS est_distinct
+            FROM r WHERE rn = LEAST(nd, 64)
+        """,
+        # the Misra-Gries pass only PRUNES candidates (no false
+        # negatives above N/(m+1) < phi*N) and the second pass is an
+        # exact count, so the oracle is the plain exact-threshold query
+        # with the same ceil(phi*N) integer arithmetic.
+        "q_events_heavy_users": """
+            WITH tot AS (SELECT count(*) AS n FROM events),
+                 g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY user_id)
+            SELECT g.user_id, g.n FROM g, tot t
+            WHERE g.n >= (8 * t.n + 999) // 1000
+            ORDER BY g.user_id
+        """,
+        # the Bloom prefilter is a superset pass whose false positives
+        # are removed by the exact hash semi-join, so the oracle is the
+        # plain exact join aggregate.
+        "q_lineitem_bloom_revenue": """
+            SELECT l_returnflag,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))
+                              * 100) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "q_doc_tfidf_terms": """
             WITH toks AS (

@@ -1029,3 +1029,125 @@ def q_doc_sample_stratified(sf_dir: str) -> pd.DataFrame:
 
     out = langs.groupby("pred_lang").map_groups(pick).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based scan primitives (stages/sketch.py)
+# ---------------------------------------------------------------------------
+
+def q_events_kmv_distinct(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT user_id) via a KMV sketch: one
+    shuffle-free pass, k*8 bytes per block, tiny driver merge — the
+    100-TB shape for cardinality estimation (vs the exact pair-hash
+    exchange of q_events_distinct_users). Deterministic: the oracle
+    replays the multiplicative hash and the floor-division estimator
+    in HUGEINT, so the estimate hash-matches bit-for-bit."""
+    from ..stages.sketch import kmv_distinct
+    ds = _read(sf_dir, "events", ["user_id"])
+    return kmv_distinct(ds, "user_id", k=64)
+
+
+def q_events_heavy_users(sf_dir: str) -> pd.DataFrame:
+    """EXACT phi-heavy hitters (users with >= ceil(0.8% of all events))
+    without ever exchanging raw rows: per-block Misra-Gries summaries
+    (mergeable, no false negatives above N/(m+1)) -> driver candidate
+    merge -> second pass exact-counts ONLY the <= m candidates against
+    a broadcast sorted key array. At 10^9 users this replaces the full
+    groupby exchange with two scans + an m-row driver table."""
+    from ..stages.sketch import heavy_hitters
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", phi_num=8, phi_den=1000)
+
+
+def q_lineitem_bloom_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue by return flag for lineitems of URGENT orders, shaped as
+    a Bloom-prefiltered exact semi-join: the build side (urgent order
+    keys) becomes a 2^20-bit Bloom filter (per-block partial bitmaps,
+    task-tree OR, ~128 KB broadcast once), the probe side drops
+    non-members batch-locally and partial-aggregates survivors per
+    (orderkey, flag), and ONE co-partitioned hash exchange verifies
+    survivors against the true key set — false positives are removed
+    there, so the result is exact while the exchange carries only
+    bloom-surviving groups (~|semi-join| rows, not |lineitem|)."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg import _part_of, hash_aggregate
+    from ..stages.sketch import bloom_mask, build_bloom
+    from ..stages.util import stage_fn
+
+    LOG2_M, K, P = 20, 4, 32
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def okeys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("o_orderpriority"),
+                                  "1-URGENT"))
+        return pa.table({"key": t.column("o_orderkey")})
+
+    build = orders.map_batches(okeys, batch_format="pyarrow")
+    words_ref = ray.put(build_bloom(build, "key", LOG2_M, K))
+
+    class ProbeStage:
+        def __init__(self, ref):
+            self.words = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            keep = bloom_mask(df["l_orderkey"].to_numpy(), self.words,
+                              LOG2_M, K)
+            d = df[keep].copy()
+            d["rev"] = d["l_extendedprice"] * (1.0 - d["l_discount"])
+            g = d.groupby(["l_orderkey", "l_returnflag"], as_index=False) \
+                .agg(rev=("rev", "sum"), n=("rev", "size"))
+            out = pd.DataFrame({
+                "key": g["l_orderkey"].astype(np.int64),
+                "flag": g["l_returnflag"],
+                "rev": g["rev"],
+                "n": g["n"].astype(np.int64),
+                "side": np.int64(0),
+            })
+            out["part"] = _part_of(out, ["key"], P)
+            return pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
+
+    def btag(batch: pa.Table) -> pa.Table:
+        out = pd.DataFrame({
+            "key": batch.column("key").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "flag": "",
+            "rev": 0.0,
+            "n": np.int64(0),
+            "side": np.int64(1),
+        })
+        out["part"] = _part_of(out, ["key"], P)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    survivors = _read(sf_dir, "lineitem",
+                      ["l_orderkey", "l_returnflag", "l_extendedprice",
+                       "l_discount"]) \
+        .map_batches(stage_fn(ProbeStage, words_ref),
+                     batch_format="pyarrow")
+    both = survivors.union(build.map_batches(btag, batch_format="pyarrow"))
+
+    def verify(group: pa.Table) -> pa.Table:
+        g = group.to_pandas()
+        true_keys = g.loc[g["side"] == 1, "key"].to_numpy(np.int64)
+        left = g[g["side"] == 0]
+        ok = left["key"].isin(true_keys)
+        keep = left[ok]
+        return pa.Table.from_pandas(
+            keep[["flag", "rev", "n"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    joined = both.groupby("part").map_groups(verify,
+                                             batch_format="pyarrow")
+    agg = hash_aggregate(joined, ["flag"],
+                         {"revenue": ("rev", "sum"),
+                          "n_items": ("n", "sum")},
+                         num_partitions=4).to_pandas()
+    agg["revenue_cents"] = (agg["revenue"] * 100).round().astype(np.int64)
+    out = agg.rename(columns={"flag": "l_returnflag"})
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return out[["l_returnflag", "revenue_cents", "n_items"]] \
+        .sort_values("l_returnflag").reset_index(drop=True)

@@ -1,0 +1,240 @@
+"""Sketch primitives for 100-TB-shaped scans: KMV distinct-count,
+mergeable Misra-Gries heavy hitters, and Bloom-filter broadcast
+semi-join prefilters.
+
+All three share the same scale shape: ONE shuffle-free pass over the
+big table producing a tiny per-block partial (k hashes / m counters /
+an m-bit bitmap), merged on the driver or by a small task tree — never
+an all-to-all exchange on the raw rows. Exactness is restored where it
+matters: heavy hitters get a second exact-count pass restricted to the
+candidate set, and the Bloom prefilter is followed by an exact hash
+semi-join on the (much smaller) survivor set, so query results are
+exact even though the sketches are approximate.
+
+Hashing uses a single 64-bit multiplicative mix (odd constant, a
+bijection mod 2^64) so the DuckDB oracles can replay the identical
+hash in HUGEINT arithmetic — same trick as the LSH band key
+(`stages/dedup.band_key_sql_expr`).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+#: odd 64-bit multiplier (2^64 / golden ratio): a bijection mod 2^64,
+#: so distinct keys always map to distinct hashes (KMV never undercounts
+#: from hash collisions) while the high bits are well mixed.
+MIX_MULT = 0x9E3779B97F4A7C15  # 11400714819323198485
+
+_U64 = np.uint64(2**64 - 1)  # noqa: F841  (documentation of the domain)
+
+
+def mix64(vals: np.ndarray) -> np.ndarray:
+    """uint64 multiplicative mix; wraps mod 2^64 like the SQL replay
+    ``(CAST(v AS HUGEINT) * 11400714819323198485) % 2^64``."""
+    return vals.astype(np.uint64) * np.uint64(MIX_MULT)
+
+
+def mix64_sql_expr(col: str) -> str:
+    """DuckDB expression reproducing :func:`mix64` as unsigned HUGEINT."""
+    return (f"(CAST({col} AS HUGEINT) * {MIX_MULT})"
+            " % 18446744073709551616")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) distinct-count sketch
+# ---------------------------------------------------------------------------
+
+def kmv_distinct(ds, col: str, k: int = 64) -> pd.DataFrame:
+    """Estimate COUNT(DISTINCT col) with a k-minimum-values sketch in
+    ONE shuffle-free pass: each block keeps its k smallest distinct
+    hashes (k * 8 bytes), the driver merges k x num_blocks values.
+
+    The kth smallest global distinct hash necessarily lies within some
+    block's local k smallest, so the merged sketch is exact-by-
+    construction; with fewer than k distinct hashes overall the sketch
+    degenerates to the exact distinct count. Estimator (uniform order
+    statistics): est = (k-1) * 2^64 / h_(k), floor division so the
+    DuckDB HUGEINT replay is bit-identical.
+
+    Returns one row: {k, n_kept, kth_hash, est_distinct} (kth_hash is
+    the uint64 value wrapped to signed int64 for Arrow/pandas).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        h = np.unique(mix64(np.asarray(v, dtype=np.int64)))
+        return pa.table({"h": pa.array(h[:k].view(np.int64), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = np.unique(
+        np.asarray([r["h"] for r in parts], dtype=np.int64)
+        .view(np.uint64)) if parts else np.empty(0, np.uint64)
+    n_kept = min(k, len(merged))
+    if len(merged) == 0:
+        kth, est = 0, 0
+    elif len(merged) < k:
+        kth = int(merged[-1])
+        est = int(len(merged))
+    else:
+        kth = int(merged[k - 1])
+        est = ((k - 1) * (1 << 64)) // kth
+    return pd.DataFrame({
+        "k": np.array([k], np.int64),
+        "n_kept": np.array([n_kept], np.int64),
+        "kth_hash": np.array([kth], np.uint64).view(np.int64),
+        "est_distinct": np.array([est], np.int64),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Misra-Gries heavy hitters (exact via a second pass)
+# ---------------------------------------------------------------------------
+
+def _mg_trim(keys: np.ndarray, counts: np.ndarray,
+             m: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries trim: subtract the (m+1)-th largest count from all
+    counters and keep the positive ones (<= m survive). Applying this
+    to EXACT per-block counts yields that block's MG(m) summary, and
+    re-applying it to summed summaries is the standard mergeable-
+    summaries merge (total undercount <= N/(m+1))."""
+    if len(keys) <= m:
+        return keys, counts
+    kth = np.partition(counts, len(counts) - (m + 1))[len(counts) - (m + 1)]
+    adj = counts - kth
+    keep = adj > 0
+    return keys[keep], adj[keep]
+
+
+def heavy_hitters(ds, col: str, phi_num: int, phi_den: int,
+                  safety: int = 4) -> pd.DataFrame:
+    """Exact phi-heavy hitters (keys with count >= ceil(phi * N),
+    phi = phi_num/phi_den as EXACT integer arithmetic so a SQL oracle
+    reproduces the threshold bit-for-bit) in two shuffle-free passes:
+    (1) per-block Misra-Gries summaries of capacity
+    m = ceil(safety/phi) merged on the driver -- every key with true
+    count > N/(m+1) < phi*N survives as a candidate, so the candidate
+    set (<= m keys) has NO false negatives; (2) exact counts for
+    candidates only (broadcast set, per-block filtered partial counts,
+    tiny driver merge). Neither pass exchanges raw rows.
+
+    Returns {col, n} for qualifying keys, exact counts.
+    """
+    m = (safety * phi_den + phi_num - 1) // phi_num
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        keys, counts = np.unique(v, return_counts=True)
+        keys, counts = _mg_trim(keys, counts.astype(np.int64), m)
+        return pa.table({"key": pa.array(keys, pa.int64()),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    parts = pd.DataFrame(
+        ds.map_batches(mg_partial, batch_format="pyarrow").take_all())
+    if len(parts) == 0:
+        return pd.DataFrame({col: pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64)})
+    g = parts.groupby("key", as_index=False)["cnt"].sum()
+    keys, counts = _mg_trim(g["key"].to_numpy(), g["cnt"].to_numpy(), m)
+    cand = set(int(x) for x in keys)
+    n_total = int(ds.count())
+    thresh = (phi_num * n_total + phi_den - 1) // phi_den
+    cand_ref = ray.put(np.array(sorted(cand), dtype=np.int64))
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        cand_arr = ray.get(cand_ref)
+        v = np.asarray(batch.column(col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        pos = np.searchsorted(cand_arr, v)
+        pos_c = np.minimum(pos, len(cand_arr) - 1) if len(cand_arr) \
+            else pos
+        hit = np.zeros(len(v), bool) if not len(cand_arr) else \
+            cand_arr[pos_c] == v
+        keys, counts = np.unique(v[hit], return_counts=True)
+        return pa.table({"key": pa.array(keys, pa.int64()),
+                         "cnt": pa.array(counts.astype(np.int64),
+                                         pa.int64())})
+
+    ex = pd.DataFrame(
+        ds.map_batches(exact_partial, batch_format="pyarrow").take_all())
+    if len(ex) == 0:
+        return pd.DataFrame({col: pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64)})
+    g = ex.groupby("key", as_index=False)["cnt"].sum()
+    g = g[g["cnt"] >= thresh]
+    out = pd.DataFrame({col: g["key"].astype(np.int64),
+                        "n": g["cnt"].astype(np.int64)})
+    return out.sort_values(col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: build (tree-OR of per-block bitmaps) + probe
+# ---------------------------------------------------------------------------
+
+#: probe multipliers: distinct odd constants (odd + 2i*odd stays odd)
+def _bloom_mults(k: int) -> List[int]:
+    return [(MIX_MULT + 2 * i * 0xC2B2AE3D27D4EB4F) % (1 << 64) | 1
+            for i in range(k)]
+
+
+def _bloom_positions(vals: np.ndarray, log2_m: int,
+                     mults: List[int]) -> List[np.ndarray]:
+    shift = np.uint64(64 - log2_m)
+    u = vals.astype(np.uint64)
+    return [(u * np.uint64(c)) >> shift for c in mults]
+
+
+@ray.remote
+def _or_words(*parts: bytes) -> bytes:
+    acc = np.frombuffer(parts[0], dtype=np.uint64).copy()
+    for p in parts[1:]:
+        acc |= np.frombuffer(p, dtype=np.uint64)
+    return acc.tobytes()
+
+
+def build_bloom(ds, col: str, log2_m: int = 20, k: int = 4,
+                fanout: int = 8) -> np.ndarray:
+    """Build an m = 2^log2_m - bit Bloom filter over ``ds[col]`` as
+    per-block partial bitmaps OR-reduced by a task tree (fanout-ary),
+    so no single process touches more than fanout bitmaps at once --
+    the merge is O(log B) deep at B blocks regardless of table size.
+    Returns the filter as a uint64 word array (m/64 words)."""
+    mults = _bloom_mults(k)
+    n_words = (1 << log2_m) // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, np.uint64)
+        v = np.asarray(batch.column(col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        for pos in _bloom_positions(v, log2_m, mults):
+            np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bm": pa.array([words.tobytes()], pa.binary())})
+
+    blobs = [r["bm"] for r in
+             ds.map_batches(partial, batch_format="pyarrow").take_all()]
+    if not blobs:
+        return np.zeros(n_words, np.uint64)
+    refs = [ray.put(b) for b in blobs]
+    while len(refs) > 1:
+        refs = [_or_words.remote(*refs[i:i + fanout])
+                for i in range(0, len(refs), fanout)]
+    return np.frombuffer(ray.get(refs[0]), dtype=np.uint64).copy()
+
+
+def bloom_mask(vals: np.ndarray, words: np.ndarray, log2_m: int,
+               k: int) -> np.ndarray:
+    """Vectorized membership probe: True where ALL k bits are set
+    (supersets the true membership -- no false negatives)."""
+    ok = np.ones(len(vals), bool)
+    for pos in _bloom_positions(np.asarray(vals, dtype=np.int64),
+                                log2_m, _bloom_mults(k)):
+        w = words[(pos >> np.uint64(6)).astype(np.int64)]
+        ok &= (w >> (pos & np.uint64(63))) & np.uint64(1) != 0
+    return ok
