@@ -62,13 +62,15 @@ def _init_ray(num_cpus: int):
         .map_batches(_warm).materialize()
 
 
-def run_flagship(n_images: int, concurrency=None) -> dict:
+def run_flagship(n_images: int, concurrency=None, repeat: int = 3) -> dict:
     """Headline: H3-partitioned boolean-overlay spatial join
-    (best of 2 runs; the first also absorbs any residual pool spin-up)."""
+    (warm best-of; the first run also absorbs any residual pool
+    spin-up — measured decay is ~2.0/1.5/1.2/0.95 s over four runs on
+    this host, so best-of-3 sits much closer to the warm floor)."""
     from ioverlay_ray.pipelines import flagship
     ds = flagship.images_dataset(n_images)
     best = None
-    for _ in range(2):
+    for _ in range(max(2, repeat)):
         t0 = time.time()
         res = flagship.overlay_join_stats(ds, "intersect", batch_size=128)
         summary = flagship.tile_summary(res).to_pandas()
@@ -93,7 +95,7 @@ def run_queries(sf_dir: str) -> dict:
              "q_pip_count", "q_knn_centers", "q_overlay_fixture_corpus",
              "q_rect_relate", "q_clip_segments", "q_dissolve_area",
              "q_image_decode_stats", "q_event_sessions", "q_giant_pip"]
-    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "3"))
     out = {}
     for name in names:
         best = None
@@ -184,7 +186,7 @@ def run_spiral_parallel(count: int) -> dict:
 
 def bench_once(sf_dir: str, num_cpus: int, n_images: int) -> dict:
     _init_ray(num_cpus)
-    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "3"))
 
     def best_of(fn, *args):
         best = None

@@ -52,29 +52,36 @@ def mix64_sql_expr(col: str) -> str:
 
 def kmv_distinct(ds, col: str, k: int = 64) -> pd.DataFrame:
     """Estimate COUNT(DISTINCT col) with a k-minimum-values sketch in
-    ONE shuffle-free pass: each block keeps its k smallest distinct
-    hashes (k * 8 bytes), the driver merges k x num_blocks values.
+    ONE shuffle-free pass, expressed as a Ray Data ``AggregateFn``:
+    each block accumulates into a k-value sketch (k * 8 bytes) and
+    sketches MERGE pairwise (union -> k smallest), so driver state is
+    O(k) — never a take_all of per-block partial rows (at 10^6 blocks
+    that would be 10^6 * k rows driver-side).
 
     The kth smallest global distinct hash necessarily lies within some
     block's local k smallest, so the merged sketch is exact-by-
-    construction; with fewer than k distinct hashes overall the sketch
-    degenerates to the exact distinct count. Estimator (uniform order
-    statistics): est = (k-1) * 2^64 / h_(k), floor division so the
-    DuckDB HUGEINT replay is bit-identical.
+    construction (k-min-set union is associative); with fewer than k
+    distinct hashes overall the sketch degenerates to the exact
+    distinct count. Estimator (uniform order statistics):
+    est = (k-1) * 2^64 / h_(k), floor division so the DuckDB HUGEINT
+    replay is bit-identical.
 
     Returns one row: {k, n_kept, kth_hash, est_distinct} (kth_hash is
     the uint64 value wrapped to signed int64 for Arrow/pandas).
     """
+    from ray.data.aggregate import AggregateFn
 
-    def partial(batch: pa.Table) -> pa.Table:
-        v = batch.column(col).to_numpy(zero_copy_only=False)
-        h = np.unique(mix64(np.asarray(v, dtype=np.int64)))
-        return pa.table({"h": pa.array(h[:k].view(np.int64), pa.int64())})
+    def acc_block(state: np.ndarray, block) -> np.ndarray:
+        v = block.column(col).to_numpy(zero_copy_only=False)
+        h = np.unique(mix64(np.asarray(v, dtype=np.int64)))[:k]
+        return np.unique(np.concatenate([state, h]))[:k]
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    merged = np.unique(
-        np.asarray([r["h"] for r in parts], dtype=np.int64)
-        .view(np.uint64)) if parts else np.empty(0, np.uint64)
+    fn = AggregateFn(
+        init=lambda key: np.empty(0, np.uint64),
+        merge=lambda a, b: np.unique(np.concatenate([a, b]))[:k],
+        accumulate_block=acc_block, name="kmv")
+    res = ds.aggregate(fn)
+    merged = res["kmv"] if res else np.empty(0, np.uint64)
     n_kept = min(k, len(merged))
     if len(merged) == 0:
         kth, est = 0, 0
@@ -115,62 +122,72 @@ def heavy_hitters(ds, col: str, phi_num: int, phi_den: int,
                   safety: int = 4) -> pd.DataFrame:
     """Exact phi-heavy hitters (keys with count >= ceil(phi * N),
     phi = phi_num/phi_den as EXACT integer arithmetic so a SQL oracle
-    reproduces the threshold bit-for-bit) in two shuffle-free passes:
-    (1) per-block Misra-Gries summaries of capacity
-    m = ceil(safety/phi) merged on the driver -- every key with true
-    count > N/(m+1) < phi*N survives as a candidate, so the candidate
-    set (<= m keys) has NO false negatives; (2) exact counts for
-    candidates only (broadcast set, per-block filtered partial counts,
-    tiny driver merge). Neither pass exchanges raw rows.
+    reproduces the threshold bit-for-bit) in two shuffle-free passes,
+    each a Ray Data ``AggregateFn`` whose state is O(m):
+    (1) per-block exact counts trimmed to Misra-Gries summaries of
+    capacity m = ceil(safety/phi), merged PAIRWISE (sum + trim — the
+    standard mergeable-summaries merge, total undercount <= N/(m+1)
+    for any merge tree) with the row count folded into the same state,
+    so every key with true count > N/(m+1) < phi*N survives as a
+    candidate with NO false negatives; (2) exact counts for the <= m
+    candidates only (broadcast sorted key array, per-block filtered
+    bincount, pairwise vector adds). Neither pass exchanges raw rows
+    or materializes per-block partials on the driver.
 
     Returns {col, n} for qualifying keys, exact counts.
     """
+    from ray.data.aggregate import AggregateFn
+
     m = (safety * phi_den + phi_num - 1) // phi_num
+    empty = np.empty(0, np.int64)
 
-    def mg_partial(batch: pa.Table) -> pa.Table:
-        v = np.asarray(batch.column(col).to_numpy(zero_copy_only=False),
+    def mg_acc(state, block):
+        keys, counts, n = state
+        v = np.asarray(block.column(col).to_numpy(zero_copy_only=False),
                        dtype=np.int64)
-        keys, counts = np.unique(v, return_counts=True)
-        keys, counts = _mg_trim(keys, counts.astype(np.int64), m)
-        return pa.table({"key": pa.array(keys, pa.int64()),
-                         "cnt": pa.array(counts, pa.int64())})
+        bk, bc = np.unique(v, return_counts=True)
+        return mg_merge((keys, counts, n),
+                        (bk, bc.astype(np.int64), len(v)))
 
-    parts = pd.DataFrame(
-        ds.map_batches(mg_partial, batch_format="pyarrow").take_all())
-    if len(parts) == 0:
+    def mg_merge(a, b):
+        uk, inv = np.unique(np.concatenate([a[0], b[0]]),
+                            return_inverse=True)
+        uc = np.bincount(inv, weights=np.concatenate([a[1], b[1]]),
+                         minlength=len(uk)).astype(np.int64)
+        tk, tc = _mg_trim(uk, uc, m)
+        return (tk, tc, a[2] + b[2])
+
+    fn1 = AggregateFn(init=lambda key: (empty, empty, 0),
+                      merge=mg_merge, accumulate_block=mg_acc, name="mg")
+    res = ds.aggregate(fn1)
+    if not res:
         return pd.DataFrame({col: pd.Series([], dtype=np.int64),
                              "n": pd.Series([], dtype=np.int64)})
-    g = parts.groupby("key", as_index=False)["cnt"].sum()
-    keys, counts = _mg_trim(g["key"].to_numpy(), g["cnt"].to_numpy(), m)
-    cand = set(int(x) for x in keys)
-    n_total = int(ds.count())
+    cand_keys, _, n_total = res["mg"]
     thresh = (phi_num * n_total + phi_den - 1) // phi_den
-    cand_ref = ray.put(np.array(sorted(cand), dtype=np.int64))
+    cand_arr = np.sort(np.asarray(cand_keys, dtype=np.int64))
+    cand_ref = ray.put(cand_arr)
+    nc = len(cand_arr)
 
-    def exact_partial(batch: pa.Table) -> pa.Table:
-        cand_arr = ray.get(cand_ref)
-        v = np.asarray(batch.column(col).to_numpy(zero_copy_only=False),
+    def exact_acc(state, block):
+        cand = ray.get(cand_ref)
+        if not len(cand):
+            return state
+        v = np.asarray(block.column(col).to_numpy(zero_copy_only=False),
                        dtype=np.int64)
-        pos = np.searchsorted(cand_arr, v)
-        pos_c = np.minimum(pos, len(cand_arr) - 1) if len(cand_arr) \
-            else pos
-        hit = np.zeros(len(v), bool) if not len(cand_arr) else \
-            cand_arr[pos_c] == v
-        keys, counts = np.unique(v[hit], return_counts=True)
-        return pa.table({"key": pa.array(keys, pa.int64()),
-                         "cnt": pa.array(counts.astype(np.int64),
-                                         pa.int64())})
+        pos = np.searchsorted(cand, v)
+        pos_c = np.minimum(pos, len(cand) - 1)
+        hit = cand[pos_c] == v
+        return state + np.bincount(pos_c[hit], minlength=len(cand)) \
+            .astype(np.int64)
 
-    ex = pd.DataFrame(
-        ds.map_batches(exact_partial, batch_format="pyarrow").take_all())
-    if len(ex) == 0:
-        return pd.DataFrame({col: pd.Series([], dtype=np.int64),
-                             "n": pd.Series([], dtype=np.int64)})
-    g = ex.groupby("key", as_index=False)["cnt"].sum()
-    g = g[g["cnt"] >= thresh]
-    out = pd.DataFrame({col: g["key"].astype(np.int64),
-                        "n": g["cnt"].astype(np.int64)})
-    return out.sort_values(col).reset_index(drop=True)
+    fn2 = AggregateFn(init=lambda key: np.zeros(nc, np.int64),
+                      merge=lambda a, b: a + b,
+                      accumulate_block=exact_acc, name="hh")
+    counts = ds.aggregate(fn2)["hh"]
+    ok = counts >= thresh
+    return pd.DataFrame({col: cand_arr[ok],
+                         "n": counts[ok]}).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
