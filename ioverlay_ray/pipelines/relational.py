@@ -1063,7 +1063,7 @@ def q_lineitem_bloom_revenue(sf_dir: str) -> pd.DataFrame:
     """Revenue by return flag for lineitems of URGENT orders, shaped as
     a Bloom-prefiltered exact semi-join: the build side (urgent order
     keys) becomes a 2^20-bit Bloom filter (per-block partial bitmaps,
-    task-tree OR, ~128 KB broadcast once), the probe side drops
+    AggregateFn OR-reduction, ~128 KB broadcast once), the probe side drops
     non-members batch-locally and partial-aggregates survivors per
     (orderkey, flag), and ONE co-partitioned hash exchange verifies
     survivors against the true key set — false positives are removed

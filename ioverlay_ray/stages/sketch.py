@@ -4,7 +4,7 @@ semi-join prefilters.
 
 All three share the same scale shape: ONE shuffle-free pass over the
 big table producing a tiny per-block partial (k hashes / m counters /
-an m-bit bitmap), merged on the driver or by a small task tree — never
+an m-bit bitmap) reduced through Ray Data AggregateFn merges — never
 an all-to-all exchange on the raw rows. Exactness is restored where it
 matters: heavy hitters get a second exact-count pass restricted to the
 candidate set, and the Bloom prefilter is followed by an exact hash
@@ -191,7 +191,7 @@ def heavy_hitters(ds, col: str, phi_num: int, phi_den: int,
 
 
 # ---------------------------------------------------------------------------
-# Bloom filter: build (tree-OR of per-block bitmaps) + probe
+# Bloom filter: build (AggregateFn OR-reduction) + probe
 # ---------------------------------------------------------------------------
 
 #: probe multipliers: distinct odd constants (odd + 2i*odd stays odd)
@@ -207,42 +207,32 @@ def _bloom_positions(vals: np.ndarray, log2_m: int,
     return [(u * np.uint64(c)) >> shift for c in mults]
 
 
-@ray.remote
-def _or_words(*parts: bytes) -> bytes:
-    acc = np.frombuffer(parts[0], dtype=np.uint64).copy()
-    for p in parts[1:]:
-        acc |= np.frombuffer(p, dtype=np.uint64)
-    return acc.tobytes()
-
-
-def build_bloom(ds, col: str, log2_m: int = 20, k: int = 4,
-                fanout: int = 8) -> np.ndarray:
-    """Build an m = 2^log2_m - bit Bloom filter over ``ds[col]`` as
-    per-block partial bitmaps OR-reduced by a task tree (fanout-ary),
-    so no single process touches more than fanout bitmaps at once --
-    the merge is O(log B) deep at B blocks regardless of table size.
+def build_bloom(ds, col: str, log2_m: int = 20, k: int = 4) -> np.ndarray:
+    """Build an m = 2^log2_m - bit Bloom filter over ``ds[col]`` as a
+    Ray Data ``AggregateFn`` whose state is ONE m-bit word array
+    (m/8 bytes, e.g. 128 KB at 2^20 bits): blocks OR their key bits
+    into the accumulator in place and partial states OR pairwise, so
+    no process (driver included) ever holds more than O(m) bitmap
+    bytes at once, regardless of the number of blocks.
     Returns the filter as a uint64 word array (m/64 words)."""
+    from ray.data.aggregate import AggregateFn
+
     mults = _bloom_mults(k)
     n_words = (1 << log2_m) // 64
 
-    def partial(batch: pa.Table) -> pa.Table:
-        words = np.zeros(n_words, np.uint64)
-        v = np.asarray(batch.column(col).to_numpy(zero_copy_only=False),
+    def acc_block(words: np.ndarray, block) -> np.ndarray:
+        v = np.asarray(block.column(col).to_numpy(zero_copy_only=False),
                        dtype=np.int64)
         for pos in _bloom_positions(v, log2_m, mults):
             np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
                              np.uint64(1) << (pos & np.uint64(63)))
-        return pa.table({"bm": pa.array([words.tobytes()], pa.binary())})
+        return words
 
-    blobs = [r["bm"] for r in
-             ds.map_batches(partial, batch_format="pyarrow").take_all()]
-    if not blobs:
-        return np.zeros(n_words, np.uint64)
-    refs = [ray.put(b) for b in blobs]
-    while len(refs) > 1:
-        refs = [_or_words.remote(*refs[i:i + fanout])
-                for i in range(0, len(refs), fanout)]
-    return np.frombuffer(ray.get(refs[0]), dtype=np.uint64).copy()
+    fn = AggregateFn(init=lambda key: np.zeros(n_words, np.uint64),
+                     merge=lambda a, b: a | b,
+                     accumulate_block=acc_block, name="bloom")
+    res = ds.aggregate(fn)
+    return res["bloom"] if res else np.zeros(n_words, np.uint64)
 
 
 def bloom_mask(vals: np.ndarray, words: np.ndarray, log2_m: int,
