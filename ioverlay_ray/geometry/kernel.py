@@ -426,9 +426,14 @@ PAIR_BLOCK = 4_000_000  # max candidate pairs materialized at once
 # candidate enumeration by band range.
 # PARALLEL_SORT: fn(segs, string_clip) -> Segments or None shards the
 # sort_merge exchange by akey ranges (equal keys co-locate).
+# PARALLEL_APPLY: fn(segs, idx, px, py, string_clip) -> Segments or None
+# shards the split's mark-application (subdivision) by segment-index
+# ranges — all marks of one segment co-locate, so per-shard subdivision
+# is exact and the trailing global sort_merge canonicalizes order.
 PARALLEL_FILL = None
 PARALLEL_MARKS = None
 PARALLEL_SORT = None
+PARALLEL_APPLY = None
 
 _TREE_LEAF_MAX = 256    # widest leaf the tree cost model considers
 # NOTE (r4): a direct-pair "mid band" (accept up to ~96M pairs when
@@ -1088,14 +1093,34 @@ def _apply_marks(segs: Segments, m_idx, m_px, m_py,
                  string_clip: bool = False) -> Segments:
     """Subdivide marked segments at their split points, preserving winding
     counts; re-normalize direction; re-sort + merge
-    (split/solver.rs:158-251). Fully vectorized (round-2): marks are
-    ordered along each segment with one lexsort (runs of equal x follow
-    the segment's y direction — the _order_sub_marks semantics for
-    strictly-interior marks), sub-segments are built with offset
-    scatter, and direction re-normalization is a masked swap."""
+    (split/solver.rs:158-251). Fully vectorized (round-2); the
+    subdivision core lives in :func:`_subdivide_marks` so the
+    PARALLEL_APPLY hook can run it as a Ray task wave over
+    segment-index shards."""
     idx = np.asarray(m_idx, dtype=np.int64)
     px = np.asarray(m_px, dtype=np.int64)
     py = np.asarray(m_py, dtype=np.int64)
+    if PARALLEL_APPLY is not None:
+        res = PARALLEL_APPLY(segs, idx, px, py, string_clip)
+        if res is not None:
+            return res
+    new = Segments(*_subdivide_marks(segs, idx, px, py, string_clip))
+    marked_set_mask = np.zeros(len(segs), dtype=bool)
+    marked_set_mask[idx] = True
+    untouched_segs = segs.take(~marked_set_mask)
+    return sort_merge(Segments.concat([untouched_segs, new]), string_clip)
+
+
+def _subdivide_marks(segs: Segments, idx, px, py,
+                     string_clip: bool = False):
+    """Build the subdivided (new) sub-segment arrays for raw mark
+    triples: lexsort marks along each segment (runs of equal x follow
+    the segment's y direction — the _order_sub_marks semantics for
+    strictly-interior marks), dedup identical (index, point) pairs,
+    scatter-build sub-segments, re-normalize direction with a masked
+    swap. Requires ONLY that every mark of a given segment is present
+    in ``idx`` (a segment's marks must not be split across calls);
+    returns the six new-segment arrays, pre-sort_merge."""
     # pack the (px, py) mark point into one 62-bit key (|c| < 2^30)
     B = np.int64(1 << 30)
     pkey = ((px + B) << np.int64(31)) | (py + B)
@@ -1107,9 +1132,6 @@ def _apply_marks(segs: Segments, m_idx, m_px, m_py,
         dup = (idx[1:] == idx[:-1]) & (pkey[1:] == pkey[:-1])
         keep = np.concatenate(([True], ~dup))
         idx, px, py = idx[keep], px[keep], py[keep]
-
-    marked_set_mask = np.zeros(len(segs), dtype=bool)
-    marked_set_mask[idx] = True
 
     # order marks ALONG each segment. Base order (x, y) is already
     # correct except for runs of equal x on NON-vertical segments,
@@ -1178,9 +1200,7 @@ def _apply_marks(segs: Segments, m_idx, m_px, m_py,
     else:
         n_cl = np.where(flip, -cl, cl)
 
-    untouched_segs = segs.take(~marked_set_mask)
-    new = Segments(n_ax, n_ay, n_bx, n_by, n_su, n_cl)
-    return sort_merge(Segments.concat([untouched_segs, new]), string_clip)
+    return n_ax, n_ay, n_bx, n_by, n_su, n_cl
 
 
 def _order_sub_marks(pts, a, b):

@@ -125,6 +125,67 @@ PARALLEL_LAYOUT_MIN = 6_000_000
 # 3.1M rows measured a wash; see sort_merge_ray)
 PARALLEL_SORT_MIN = 8_000_000
 
+# sharded mark application engages above this many marks: below it the
+# in-process lexsort+scatter beats put + shard-gather overhead
+PARALLEL_APPLY_MIN = 2_000_000
+
+
+@ray.remote
+def _apply_shard(arrs, marks, sel, string_clip: bool):
+    ax, ay, bx, by, subj, clip = arrs
+    m_idx, m_px, m_py = marks
+    from ..geometry.kernel import _subdivide_marks
+    segs = Segments(ax, ay, bx, by, subj, clip)
+    return _subdivide_marks(segs, m_idx[sel], m_px[sel], m_py[sel],
+                            string_clip)
+
+
+def apply_marks_ray(segs: Segments, m_idx, m_px, m_py,
+                    string_clip: bool = False,
+                    shards: int | None = None):
+    """Sharded _apply_marks: partition MARKS by segment-index value
+    ranges (sampled splitters; ``side="right"`` keeps every mark of one
+    segment in one shard, the only correctness requirement of
+    _subdivide_marks), subdivide each shard's segments in a task, then
+    concatenate with the untouched rows and run the one global
+    sort_merge — which canonicalizes row order, so the result is
+    identical to the in-process path by construction. The wave turns
+    the split phase's last single-process step (the per-round
+    lexsort + scatter over O(crossings) marks) into S independent
+    lexsorts of ~1/S the size."""
+    n_marks = len(m_idx)
+    if n_marks < PARALLEL_APPLY_MIN or not ray.is_initialized():
+        return None
+    if shards is None:
+        shards = max(1, min(32,
+                            int(ray.cluster_resources().get("CPU", 8))))
+    if shards <= 1:
+        return None
+    from ..geometry.kernel import sort_merge
+    step = max(1, n_marks // 65536)
+    samp = np.sort(m_idx[::step])
+    cut = np.linspace(0, len(samp) - 1, shards + 1).astype(np.int64)
+    splitters = np.unique(samp[cut][1:-1])
+    if not len(splitters):
+        return None
+    arrs_ref = ray.put((segs.ax, segs.ay, segs.bx, segs.by,
+                        segs.subj, segs.clip))
+    marks_ref = ray.put((m_idx, m_px, m_py))
+    part = np.searchsorted(splitters, m_idx, side="right")
+    futs = []
+    for p in range(len(splitters) + 1):
+        sel = np.flatnonzero(part == p)
+        if len(sel):
+            futs.append(_apply_shard.remote(arrs_ref, marks_ref, sel,
+                                            string_clip))
+    parts = ray.get(futs)
+    new = Segments(*[np.concatenate([pt[i] for pt in parts])
+                     for i in range(6)])
+    marked = np.zeros(len(segs), dtype=bool)
+    marked[np.asarray(m_idx, dtype=np.int64)] = True
+    untouched = segs.take(~marked)
+    return sort_merge(Segments.concat([untouched, new]), string_clip)
+
 
 @ray.remote
 def _layout_shard(refs, cand, base: int):
@@ -233,10 +294,10 @@ def parallel_fill(shards: int | None = None):
                                    "nonzero")
 
     The float facade is untouched — the hooks replace bottom_windings'
-    in-process stab, _find_marks' banded enumeration and the extraction
-    walk's first anchor wave with task waves (each gated by its own
-    size threshold), so results are pinned identical by the kernel and
-    parity tests."""
+    in-process stab, _find_marks' banded enumeration, _apply_marks'
+    subdivision, sort_merge's exchange and the extraction walk's first
+    anchor wave with task waves (each gated by its own size threshold),
+    so results are pinned identical by the kernel and parity tests."""
     from ..geometry import extract, kernel
     prev = kernel.PARALLEL_FILL
     prev_m = kernel.PARALLEL_MARKS
@@ -251,6 +312,10 @@ def parallel_fill(shards: int | None = None):
     prev_s = kernel.PARALLEL_SORT
     kernel.PARALLEL_SORT = \
         lambda segs, sc: sort_merge_ray(segs, sc, shards)
+    prev_a = kernel.PARALLEL_APPLY
+    kernel.PARALLEL_APPLY = \
+        lambda segs, i, x, y, sc: apply_marks_ray(segs, i, x, y, sc,
+                                                  shards)
     try:
         yield
     finally:
@@ -258,6 +323,7 @@ def parallel_fill(shards: int | None = None):
         kernel.PARALLEL_MARKS = prev_m
         extract.PARALLEL_LAYOUT = prev_l
         kernel.PARALLEL_SORT = prev_s
+        kernel.PARALLEL_APPLY = prev_a
 
 
 def parallel_overlay(subj, clip, rule, fill_rule="nonzero",

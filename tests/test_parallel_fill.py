@@ -222,3 +222,55 @@ def test_sort_merge_ray_identical(ray_session):
             pf.PARALLEL_SORT_MIN = prev
     for f in Segments.__slots__:
         assert np.array_equal(getattr(want, f), getattr(got, f)), f
+
+
+def test_sharded_apply_identical(ray_session, monkeypatch):
+    """apply_marks_ray == in-process _apply_marks (exact table
+    equality: the trailing global sort_merge canonicalizes row order),
+    plus whole-overlay parity with the wave engaged on dense crossing
+    scenes across all rules."""
+    import numpy as np
+
+    from ioverlay_ray.geometry import kernel as K
+    from ioverlay_ray.geometry.float_api import float_overlay
+    from ioverlay_ray.pipelines import parallel_fill as pf
+
+    monkeypatch.setattr(pf, "PARALLEL_MIN_SEGS", 1)
+    monkeypatch.setattr(pf, "PARALLEL_APPLY_MIN", 1)
+
+    rng = np.random.default_rng(31)
+    subj, clip = [], []
+    for dst, horiz in ((subj, True), (clip, False)):
+        for _ in range(160):
+            x0 = int(rng.integers(0, 1500))
+            y0 = int(rng.integers(0, 1500))
+            d = int(rng.integers(400, 2500))
+            j = int(rng.integers(-30, 30))
+            if horiz:
+                dst.append([(x0, y0), (x0 + d, y0 + j),
+                            (x0 + d, y0 + j + 5), (x0, y0 + 5)])
+            else:
+                dst.append([(x0, y0), (x0 + j, y0 + d),
+                            (x0 + j + 5, y0 + d), (x0 + 5, y0)])
+
+    segs = K.sort_merge(K.build_segments(subj, clip))
+    m_idx, m_px, m_py, _ = K._find_marks(segs, 1)
+    assert len(m_idx) > 500  # the scene must actually stress apply
+    seq = K._apply_marks(segs, m_idx, m_px, m_py)
+    shd = pf.apply_marks_ray(segs, m_idx, m_px, m_py, shards=5)
+    assert shd is not None
+    for c in ("ax", "ay", "bx", "by", "subj", "clip"):
+        assert np.array_equal(getattr(seq, c), getattr(shd, c)), c
+
+    # duplicate-mark robustness: feeding the marks twice must dedup to
+    # the identical table (all copies of a (seg, point) co-locate)
+    shd2 = pf.apply_marks_ray(segs, np.concatenate([m_idx, m_idx]),
+                              np.concatenate([m_px, m_px]),
+                              np.concatenate([m_py, m_py]), shards=4)
+    for c in ("ax", "ay", "bx", "by", "subj", "clip"):
+        assert np.array_equal(getattr(seq, c), getattr(shd2, c)), c
+
+    for rule in ("union", "intersect", "xor", "difference"):
+        a = float_overlay(subj, clip, rule, "nonzero")
+        b = pf.parallel_overlay(subj, clip, rule, "nonzero", shards=5)
+        assert a == b, rule
