@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_quality": rq.q_doc_quality,
         "q_doc_lang": rq.q_doc_lang,
         "q_doc_fingerprint": rq.q_doc_fingerprint,
+        # context-window chunking (training-sequence preparation)
+        "q_doc_chunks": rq.q_doc_chunks,
         "q_minhash_bands": rq.q_minhash_bands,
         "q_neardup_clusters": rq.q_neardup_clusters,
         # curation: at most k docs kept per near-dup cluster
@@ -568,6 +570,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
                    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
             FROM documents
+        """,
+        "q_doc_chunks": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       CAST(array_length(string_split(text, ' '))
+                            AS BIGINT) AS n
+                FROM documents
+            ), w AS (
+                SELECT doc_id, toks, n,
+                       unnest(range(0, (n - 1) // 48 + 1)) AS i
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(i * 48 AS BIGINT) AS start_tok,
+                   CAST(LEAST(64, n - i * 48) AS BIGINT) AS n_tokens,
+                   toks[CAST(i * 48 + 1 AS BIGINT)] AS first_tok,
+                   toks[CAST(i * 48
+                        + LEAST(64, n - i * 48) AS BIGINT)] AS last_tok
+            FROM w
+            ORDER BY doc_id, chunk_idx
         """,
         "q_doc_fingerprint": """
             WITH t AS (

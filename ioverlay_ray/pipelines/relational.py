@@ -378,6 +378,24 @@ def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(fingerprint, batch_format="pyarrow").to_pandas()
 
 
+def q_doc_chunks(sf_dir: str, window: int = 64,
+                 stride: int = 48) -> pd.DataFrame:
+    """Context-window chunking (training-sequence preparation): each
+    document's token stream split into overlapping windows — a
+    shuffle-free flat map whose output cardinality exceeds the input's.
+    One chunk row per (doc, window start); geometry fully vectorized
+    inside chunk_windows."""
+    import functools
+
+    from ..stages.text import chunk_windows
+    ds = _read(sf_dir, "documents", ["doc_id", "text"],
+               num_blocks=8)
+    out = ds.map_batches(
+        functools.partial(chunk_windows, window=window, stride=stride),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def _minhash_candidates_ds(sf_dir: str):
     """MinHash+LSH candidate pairs as a DATASET (no driver
     materialization): signatures -> band keys -> groupby band -> buckets

@@ -145,3 +145,48 @@ def tfidf_term_rows(batch: pa.Table) -> pa.Table:
         "term": pa.array(t, pa.string()),
         "tf": pa.array(c, pa.int64()),
     })
+
+
+def chunk_windows(batch: pa.Table, window: int = 64,
+                  stride: int = 48) -> pa.Table:
+    """Context-window chunking for training-sequence preparation: split
+    each document's single-space token stream into windows of
+    ``window`` tokens advancing by ``stride`` (overlapping when
+    stride < window), one output row per chunk. Emits (doc_id,
+    chunk_idx, start_tok, n_tokens, first_tok, last_tok) — enough for the
+    DuckDB generate_series + list-index oracle to reproduce every row
+    exactly. Shuffle-free flat map; chunk geometry is computed with
+    numpy over the flattened token buffer (no per-chunk Python loop).
+
+    Chunk starts are s = 0, stride, 2*stride, ... while s < n_tokens,
+    so every token is covered and a document always yields >= 1 chunk
+    (``"".split(" ") == [""]`` — one empty token, matching DuckDB
+    string_split semantics)."""
+    import numpy as np
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    tok_lists = [t.split(" ") for t in texts]
+    n = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = np.array([tok for toks in tok_lists for tok in toks],
+                    dtype=object)
+    offsets = np.zeros(len(n) + 1, dtype=np.int64)
+    np.cumsum(n, out=offsets[1:])
+    counts = (n - 1) // stride + 1
+    total = int(counts.sum())
+    doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), counts)
+    first_of_doc = np.zeros(len(n) + 1, dtype=np.int64)
+    np.cumsum(counts, out=first_of_doc[1:])
+    chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(
+        first_of_doc[:-1], counts)
+    start = chunk_idx * stride
+    n_chunk = np.minimum(window, n[doc_idx] - start)
+    first_tok = flat[offsets[doc_idx] + start]
+    last_tok = flat[offsets[doc_idx] + start + n_chunk - 1]
+    return pa.table({
+        "doc_id": pa.array(ids[doc_idx], pa.int64()),
+        "chunk_idx": pa.array(chunk_idx, pa.int64()),
+        "start_tok": pa.array(start, pa.int64()),
+        "n_tokens": pa.array(n_chunk, pa.int64()),
+        "first_tok": pa.array(list(first_tok), pa.string()),
+        "last_tok": pa.array(list(last_tok), pa.string()),
+    })

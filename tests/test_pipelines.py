@@ -426,3 +426,41 @@ def test_decontaminate_stage_counts(ray_session):
     out = st(batch)
     assert out.column("doc_id").to_pylist() == [1]
     assert out.column("n_contaminated").to_pylist() == [2]
+
+
+def test_chunk_windows_brute_force():
+    """chunk_windows vs a per-row reference implementation (window
+    coverage, overlap, edge tokens) on adversarial token counts."""
+    import pyarrow as pa
+
+    from ioverlay_ray.stages.text import chunk_windows
+
+    texts = ["", "a", "a b", " ".join(f"t{i}" for i in range(200)),
+             "x " * 63, " leading", "trailing "]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = chunk_windows(batch, window=16, stride=12).to_pylist()
+
+    expect = []
+    for did, t in enumerate(texts):
+        toks = t.split(" ")
+        s = 0
+        idx = 0
+        while s < len(toks) or idx == 0:
+            chunk = toks[s:s + 16]
+            expect.append({"doc_id": did, "chunk_idx": idx,
+                           "start_tok": s, "n_tokens": len(chunk),
+                           "first_tok": chunk[0], "last_tok": chunk[-1]})
+            idx += 1
+            s += 12
+            if s >= len(toks):
+                break
+    assert out == expect
+    # every token position is covered by at least one window
+    for did, t in enumerate(texts):
+        n = len(t.split(" "))
+        covered = set()
+        for r in out:
+            if r["doc_id"] == did:
+                covered.update(range(r["start_tok"],
+                                     r["start_tok"] + r["n_tokens"]))
+        assert covered == set(range(n))
