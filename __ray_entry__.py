@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (SQL-checked since r2: generator-recompute VALUES
         # oracles verify the encode->parquet->decode round trip)
         "q_image_decode_stats": mq.q_image_decode_stats,
+        # lossy-codec round-trip: decoded-pixel PSNR>=40dB invariant
+        "q_image_psnr": mq.q_image_psnr,
         "q_image_embed_topk": mq.q_image_embed_topk,
         # image dedup: phash banding + Hamming verify; the SQL oracle
         # reproduces banding/candidates/verify from generator phashes
@@ -1172,6 +1174,7 @@ def oracle_sql() -> dict[str, str]:
         # no Ray) and embedded as literals — verifies the whole
         # encode -> parquet -> actor-pool-decode pipeline
         "q_image_decode_stats": _image_decode_stats_oracle(),
+        "q_image_psnr": _image_psnr_oracle(),
         "q_image_embed_topk": _image_embed_topk_oracle(),
         "q_image_phash_neardup": _image_phash_neardup_oracle(),
         "q_image_caption_roundtrip": _image_caption_oracle(),
@@ -1238,6 +1241,22 @@ def _image_caption_oracle() -> str:
     return f"""
         SELECT image_id, CAST(caption_md5 AS BIGINT) AS caption_md5
         FROM (VALUES {vals}) AS t(image_id, caption_md5)
+        ORDER BY image_id
+    """
+
+
+def _image_psnr_oracle() -> str:
+    from ioverlay_ray.pipelines.media import psnr_oracle_rows
+    vals = ",\n".join(f"('{i}', {n}, {s}, {m}, {o})"
+                      for i, n, s, m, o in psnr_oracle_rows(256))
+    return f"""
+        SELECT image_id,
+               CAST(npix AS BIGINT) AS npix,
+               CAST(sse AS BIGINT) AS sse,
+               CAST(psnr_mdb AS BIGINT) AS psnr_mdb,
+               CAST(psnr_ok AS BIGINT) AS psnr_ok
+        FROM (VALUES {vals})
+        AS t(image_id, npix, sse, psnr_mdb, psnr_ok)
         ORDER BY image_id
     """
 

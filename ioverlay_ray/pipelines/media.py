@@ -430,3 +430,53 @@ def caption_oracle_rows(n_images: int = 256) -> list:
             hashlib.md5(cap.encode("utf-8")).digest()[:8], "little",
             signed=True)))
     return rows
+
+
+def q_image_psnr(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
+    """Lossy round-trip PSNR gate: every image re-encoded through the
+    deterministic lossy q6 codec (stages/multimodal.encode_q6), decoded
+    again, and compared to the original decoded pixels with an exact
+    integer SSE — the north-rule decoded-pixel PSNR>=40dB invariant as
+    a distributed per-batch stage (stage_fn task pool, codec table
+    cached per worker)."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    from ..stages.multimodal import LossyPsnrStage
+    flagship.images_dataset(n_images)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"ioverlay_images_{n_images}_42")
+    files = [os.path.join(path, f) for f in sorted(os.listdir(path))
+             if f.endswith(".parquet")]
+    import ray as _ray
+    nb = max(len(files), int(_ray.cluster_resources().get("CPU", 8)))
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes", "w", "h", "fmt"],
+        override_num_blocks=nb)
+    out = ds.map_batches(stage_fn(LossyPsnrStage),
+                         batch_format="pyarrow").to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def psnr_oracle_rows(n_images: int = 256) -> list:
+    """(image_id, npix, sse, psnr_mdb, psnr_ok) recomputed straight
+    from the deterministic generator (no encode, no Ray): quantization
+    error of the q6 codec is px - ((px>>2)<<2 | 2), so the SSE is exact
+    integer arithmetic over make_pixels output. Verifies the whole
+    decode -> lossy re-encode -> decode -> PSNR pipeline."""
+    from ..sources.synth import _rng, make_pixels
+    from ..stages.multimodal import psnr_mdb as _mdb
+    rows = []
+    for i in range(n_images):
+        rng = _rng(42, i)
+        w = int(rng.integers(16, 64))
+        h = int(rng.integers(16, 64))
+        px = make_pixels(42, i, w, h).astype(np.int64)
+        q = ((px >> 2) << 2) | 2
+        sse = int(((px - q) ** 2).sum())
+        npix = int(px.size)
+        mdb = _mdb(sse, npix)
+        rows.append((f"img_{i:012d}", npix, sse, mdb, int(mdb >= 40000)))
+    return rows

@@ -214,3 +214,65 @@ class AudioFeatureStage:
 
 
 from .util import stage_fn  # noqa: E402,F401  (shared task-pool form)
+
+
+# ---------------------------------------------------------------------------
+# Lossy round-trip PSNR gate
+# ---------------------------------------------------------------------------
+
+def encode_q6(pixels: np.ndarray) -> bytes:
+    """Deterministic lossy codec "q6": each channel byte quantized to
+    the midpoint of its 4-wide bucket (max per-channel error 2, uniform
+    MSE 1.5 -> ~46.4 dB), then zlib-packed. Stands in for jpeg-class
+    codecs (absent in this container) so the decoded-pixel PSNR>=40dB
+    round-trip invariant is exercised on a genuinely lossy path."""
+    q = ((pixels >> 2) << 2) | 2
+    return zlib.compress(q.astype(np.uint8).tobytes(), 1)
+
+
+def psnr_mdb(sse: int, npix: int) -> int:
+    """PSNR in milli-dB from exact integer (sse, npix); one shared
+    derivation so pipeline and oracle agree bit-for-bit on the float
+    rounding. Lossless (sse == 0) caps at 99000."""
+    import math
+    if sse == 0:
+        return 99000
+    return int(round(1000.0 * 10.0 * math.log10(255.0 * 255.0 * npix / sse)))
+
+
+class LossyPsnrStage:
+    """Decode -> re-encode through the lossy q6 codec -> decode again ->
+    exact integer SSE vs the original pixels: the north-rule round-trip
+    invariant (decoded-pixel PSNR>=40dB for lossy codecs) as a
+    distributed per-batch gate; caption byte-equality is gated
+    separately by q_image_caption_roundtrip. Emits no binary columns
+    downstream."""
+
+    def __init__(self):
+        self.codecs = dict(_CODECS)
+        self.codecs["q6"] = _decode_raw  # q6 payload decodes like raw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_pylist()
+        hs = batch.column("h").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        npixs, sses, mdbs, oks = [], [], [], []
+        for blob, w, h, fmt in zip(blobs, ws, hs, fmts):
+            px = self.codecs[fmt](blob, w, h)
+            lossy = self.codecs["q6"](encode_q6(px), w, h)
+            diff = px.astype(np.int64) - lossy.astype(np.int64)
+            sse = int((diff * diff).sum())
+            npix = px.size
+            mdb = psnr_mdb(sse, npix)
+            npixs.append(npix)
+            sses.append(sse)
+            mdbs.append(mdb)
+            oks.append(mdb >= 40000)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "npix": pa.array(npixs, pa.int64()),
+            "sse": pa.array(sses, pa.int64()),
+            "psnr_mdb": pa.array(mdbs, pa.int64()),
+            "psnr_ok": pa.array([int(v) for v in oks], pa.int64()),
+        })

@@ -150,3 +150,45 @@ def test_phash_neardup_pipeline(ray_session):
     found = {(a, b) for a, b, _ in got}
     hits = sum((i - 1, i) in found for i in range(2, n, 3))
     assert hits >= (n // 3) * 3 // 4, hits
+
+
+def test_lossy_psnr_gate():
+    """q6 lossy round-trip: every image >=40dB; the stage's SSE equals
+    a direct recompute; and the gate is non-vacuous (a coarser 16-wide
+    quantizer would FAIL the 40dB bar on the same pixels)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ioverlay_ray.sources.synth import encode_raw, make_pixels
+    from ioverlay_ray.stages.multimodal import (LossyPsnrStage, encode_q6,
+                                                psnr_mdb)
+
+    ids, blobs, ws, hs = [], [], [], []
+    pxs = []
+    for i in range(16):
+        w, h = 16 + 3 * i, 61 - 2 * i
+        px = make_pixels(42, i, w, h)
+        pxs.append(px)
+        ids.append(f"img_{i:012d}")
+        blobs.append(encode_raw(px))
+        ws.append(w)
+        hs.append(h)
+    batch = pa.table({"image_id": ids, "bytes": blobs, "w": ws, "h": hs,
+                      "fmt": ["raw"] * 16})
+    out = LossyPsnrStage()(batch).to_pylist()
+    for row, px in zip(out, pxs):
+        assert row["psnr_ok"] == 1 and row["psnr_mdb"] >= 40000
+        q = ((px.astype(np.int64) >> 2) << 2) | 2
+        assert row["sse"] == int(((px.astype(np.int64) - q) ** 2).sum())
+        # non-vacuous: a 16-wide quantizer misses the bar
+        q16 = ((px.astype(np.int64) >> 4) << 4) | 8
+        sse16 = int(((px.astype(np.int64) - q16) ** 2).sum())
+        assert psnr_mdb(sse16, px.size) < 40000
+    # encode_q6 output decodes to exactly the quantized pixels
+    import zlib
+    px = pxs[0]
+    dec = np.frombuffer(zlib.decompress(encode_q6(px)),
+                        np.uint8).reshape(px.shape)
+    assert (dec == (((px >> 2) << 2) | 2)).all()
+    # lossless path caps cleanly
+    assert psnr_mdb(0, 100) == 99000
