@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_fingerprint": rq.q_doc_fingerprint,
         # context-window chunking (training-sequence preparation)
         "q_doc_chunks": rq.q_doc_chunks,
+        # distributed BM25 keyword ranking (exact integer scoring)
+        "q_doc_bm25": rq.q_doc_bm25,
         "q_minhash_bands": rq.q_minhash_bands,
         "q_neardup_clusters": rq.q_neardup_clusters,
         # curation: at most k docs kept per near-dup cluster
@@ -593,6 +595,47 @@ def oracle_sql() -> dict[str, str]:
                         + LEAST(64, n - i * 48) AS BIGINT)] AS last_tok
             FROM w
             ORDER BY doc_id, chunk_idx
+        """,
+        "q_doc_bm25": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS t
+                FROM documents),
+            dl AS (
+                SELECT d.doc_id, COUNT(tok.t) AS dl
+                FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id
+                GROUP BY d.doc_id),
+            stats AS (
+                SELECT COUNT(*) AS n_docs, SUM(dl) AS s,
+                       SUM(dl) // COUNT(*) AS a
+                FROM dl),
+            tf AS (
+                SELECT doc_id, t AS term, COUNT(*) AS tf
+                FROM tok
+                WHERE t IN ('spark', 'window', 'hash', 'merge')
+                GROUP BY doc_id, t),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            scored AS (
+                SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+                       (22 * s.a * (s.n_docs - df.df + 1) * 1000 * tf.tf)
+                       // (10 * s.a * tf.tf + 3 * s.a + 9 * dl.dl)
+                           AS score_milli
+                FROM tf
+                JOIN dl ON tf.doc_id = dl.doc_id
+                JOIN df ON tf.term = df.term
+                CROSS JOIN stats s)
+            SELECT term,
+                   CAST(row_number() OVER (
+                       PARTITION BY term
+                       ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rnk,
+                   doc_id,
+                   CAST(tf AS BIGINT) AS tf,
+                   CAST(dl AS BIGINT) AS dl,
+                   CAST(score_milli AS BIGINT) AS score_milli
+            FROM scored
+            QUALIFY rnk <= 10
+            ORDER BY term, rnk
         """,
         "q_doc_fingerprint": """
             WITH t AS (

@@ -396,6 +396,72 @@ def q_doc_chunks(sf_dir: str, window: int = 64,
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
+def q_doc_bm25(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Distributed BM25 keyword ranking (k1=6/5, b=3/4) over the
+    documents table with EXACT integer scoring, so the DuckDB oracle
+    hash-matches bit-for-bit:
+
+        A   = S // N                     (integer avgdl)
+        idf = N - df + 1                 (integer doc-frequency surrogate)
+        score_milli = (22*A*idf*tf*1000) // (10*A*tf + 3*A + 9*dl)
+
+    which is floor(1000 * idf*tf*(k1+1) / (tf + k1*(1-b+b*dl/A))) in
+    exact rational arithmetic. 100-TB shape: ONE full-text scan emits
+    the narrow int feature table (doc_id, dl, tf per query term); the
+    corpus stats (N, S, df) reduce to one tiny row; scoring is a
+    vectorized scan over the narrow table; ranking is the partial-topk
+    combiner (no global sort)."""
+    import numpy as np
+
+    from ..stages.text import BM25_TERMS, bm25_features
+    from ..stages.topk import grouped_topk
+
+    feats = _read(sf_dir, "documents", ["doc_id", "text"],
+                  num_blocks=8).map_batches(
+        bm25_features, batch_format="pyarrow").materialize()
+    # corpus stats: per-block partials -> one tiny driver-side sum
+    def stats_partial(b: pa.Table) -> pa.Table:
+        row = {"n_docs": [b.num_rows],
+               "s": [int(np.asarray(b.column("dl")).sum())]}
+        for t in BM25_TERMS:
+            row[f"df_{t}"] = [int((np.asarray(b.column(f"tf_{t}")) > 0)
+                                  .sum())]
+        return pa.table(row)
+
+    stats = feats.map_batches(stats_partial,
+                              batch_format="pyarrow").to_pandas().sum()
+    n_docs, s = int(stats["n_docs"]), int(stats["s"])
+    avgdl = s // n_docs
+
+    def score(b: pa.Table, term: str) -> pa.Table:
+        tf = np.asarray(b.column(f"tf_{term}"), dtype=np.int64)
+        dl = np.asarray(b.column("dl"), dtype=np.int64)
+        keep = tf > 0
+        tf, dl = tf[keep], dl[keep]
+        idf = n_docs - int(stats[f"df_{term}"]) + 1
+        sc = (22 * avgdl * idf * 1000 * tf) // (
+            10 * avgdl * tf + 3 * avgdl + 9 * dl)
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)[keep]
+        return pa.table({
+            "term": pa.array([term] * len(ids), pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "tf": pa.array(tf, pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+            "score_milli": pa.array(sc, pa.int64()),
+        })
+
+    def score_all(b: pa.Table) -> pa.Table:
+        return pa.concat_tables([score(b, t) for t in BM25_TERMS])
+
+    scored = feats.map_batches(score_all, batch_format="pyarrow")
+    top = grouped_topk(scored, ["term"], "score_milli", k,
+                       tie_cols=["doc_id"], rank_col="rnk").to_pandas()
+    for c in ("doc_id", "tf", "dl", "score_milli", "rnk"):
+        top[c] = top[c].astype(np.int64)
+    return top[["term", "rnk", "doc_id", "tf", "dl", "score_milli"]] \
+        .sort_values(["term", "rnk"]).reset_index(drop=True)
+
+
 def _minhash_candidates_ds(sf_dir: str):
     """MinHash+LSH candidate pairs as a DATASET (no driver
     materialization): signatures -> band keys -> groupby band -> buckets

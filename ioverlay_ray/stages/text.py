@@ -190,3 +190,28 @@ def chunk_windows(batch: pa.Table, window: int = 64,
         "first_tok": pa.array(list(first_tok), pa.string()),
         "last_tok": pa.array(list(last_tok), pa.string()),
     })
+
+
+BM25_TERMS = ("spark", "window", "hash", "merge")
+
+
+def bm25_features(batch: pa.Table, terms=BM25_TERMS) -> pa.Table:
+    """Narrow per-doc BM25 feature rows: document length (lowercase
+    alphanumeric-run tokens, same tokenizer as tfidf_term_rows) plus
+    the term frequency of each query term — the one full-text scan a
+    BM25 ranking needs; everything downstream operates on this narrow
+    int table instead of re-reading the corpus."""
+    from collections import Counter
+    texts = batch.column("text").to_pylist()
+    dl = []
+    tfs = {t: [] for t in terms}
+    for x in texts:
+        c = Counter(_TERM_RE.findall(x.lower()))
+        dl.append(sum(c.values()))
+        for t in terms:
+            tfs[t].append(c.get(t, 0))
+    cols = {"doc_id": batch.column("doc_id"),
+            "dl": pa.array(dl, pa.int64())}
+    for t in terms:
+        cols[f"tf_{t}"] = pa.array(tfs[t], pa.int64())
+    return pa.table(cols)

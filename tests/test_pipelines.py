@@ -464,3 +464,63 @@ def test_chunk_windows_brute_force():
                 covered.update(range(r["start_tok"],
                                      r["start_tok"] + r["n_tokens"]))
         assert covered == set(range(n))
+
+
+def test_bm25_integer_score_matches_rational():
+    """The int64 score formula == floor(1000 * BM25(k1=6/5, b=3/4))
+    computed in exact Fractions, over a sweep of (tf, dl, idf, A)."""
+    from fractions import Fraction
+
+    for avgdl in (1, 7, 128, 400):
+        for tf in (1, 2, 5, 50):
+            for dl in (1, 64, 999):
+                for idf in (1, 17, 5001):
+                    k1, b = Fraction(6, 5), Fraction(3, 4)
+                    exact = (Fraction(idf) * tf * (k1 + 1)
+                             / (tf + k1 * (1 - b + b * Fraction(dl, avgdl))))
+                    want = (1000 * exact.numerator) // exact.denominator
+                    got = (22 * avgdl * idf * 1000 * tf) // (
+                        10 * avgdl * tf + 3 * avgdl + 9 * dl)
+                    assert got == want, (avgdl, tf, dl, idf)
+
+
+def test_bm25_pipeline_vs_bruteforce(ray_session):
+    """q_doc_bm25 on sf0.001 vs a single-process pandas recompute."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ioverlay_ray.pipelines.relational import q_doc_bm25
+    from ioverlay_ray.stages.text import BM25_TERMS
+
+    sf = "/root/testdata/sf0.001"
+    got = q_doc_bm25(sf, k=10)
+
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    term_re = re.compile(r"[a-z0-9]+")
+    counters = [Counter(term_re.findall(t.lower())) for t in docs["text"]]
+    dls = [sum(c.values()) for c in counters]
+    n, s = len(docs), sum(dls)
+    a = s // n
+    rows = []
+    for term in BM25_TERMS:
+        df_t = sum(1 for c in counters if c.get(term, 0) > 0)
+        idf = n - df_t + 1
+        sub = []
+        for did, c, dl in zip(docs["doc_id"], counters, dls):
+            tf = c.get(term, 0)
+            if tf:
+                sc = (22 * a * idf * 1000 * tf) // (
+                    10 * a * tf + 3 * a + 9 * dl)
+                sub.append((term, int(did), tf, dl, sc))
+        sub.sort(key=lambda r: (-r[4], r[1]))
+        for rnk, r in enumerate(sub[:10], 1):
+            rows.append((r[0], rnk) + r[1:])
+    want = pd.DataFrame(rows, columns=["term", "rnk", "doc_id", "tf",
+                                       "dl", "score_milli"])
+    want = want.sort_values(["term", "rnk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"term": str}), want,
+                                  check_dtype=False)
