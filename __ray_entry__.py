@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_chunks": rq.q_doc_chunks,
         # distributed BM25 keyword ranking (exact integer scoring)
         "q_doc_bm25": rq.q_doc_bm25,
+        # training-sequence packing within hash shards
+        "q_pack_sequences": rq.q_pack_sequences,
         "q_minhash_bands": rq.q_minhash_bands,
         "q_neardup_clusters": rq.q_neardup_clusters,
         # curation: at most k docs kept per near-dup cluster
@@ -636,6 +638,31 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rnk <= 10
             ORDER BY term, rnk
+        """,
+        "q_pack_sequences": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, doc_id % 16 AS shard,
+                       LEAST(CAST(array_length(string_split(text, ' '))
+                                  AS BIGINT), 2048) AS seq_len,
+                       row_number() OVER (PARTITION BY doc_id % 16
+                                          ORDER BY doc_id) AS rn
+                FROM documents),
+            p AS (
+                SELECT shard, rn, doc_id, seq_len,
+                       CAST(0 AS BIGINT) AS pack_id,
+                       CAST(0 AS BIGINT) AS pack_off
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.shard, t.rn, t.doc_id, t.seq_len,
+                       CASE WHEN p.pack_off + p.seq_len + t.seq_len <= 2048
+                            THEN p.pack_id ELSE p.pack_id + 1 END,
+                       CASE WHEN p.pack_off + p.seq_len + t.seq_len <= 2048
+                            THEN p.pack_off + p.seq_len
+                            ELSE CAST(0 AS BIGINT) END
+                FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard, seq_len,
+                   pack_id, pack_off
+            FROM p ORDER BY doc_id
         """,
         "q_doc_fingerprint": """
             WITH t AS (

@@ -462,6 +462,52 @@ def q_doc_bm25(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .sort_values(["term", "rnk"]).reset_index(drop=True)
 
 
+def q_pack_sequences(sf_dir: str, capacity: int = 2048,
+                     n_shards: int = 16) -> pd.DataFrame:
+    """Training-sequence packing: documents greedily packed in doc_id
+    order into fixed-capacity token buffers WITHIN hash shards
+    (shard = doc_id % n_shards) — the standard distributed shape, since
+    greedy packing is inherently sequential but shards are independent;
+    at 100 TB each shard packs its own partition and global pack ids
+    are (shard, local pack_id). Docs longer than capacity truncate to
+    capacity. One narrow scan emits (doc_id, shard, seq_len); one
+    groupby(shard) packs with O(#packs) searchsorted probes."""
+    import numpy as np
+
+    from ..stages.text import pack_greedy
+
+    def features(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        texts = b.column("text").to_pylist()
+        n = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shard": pa.array(ids % n_shards, pa.int64()),
+            "seq_len": pa.array(np.minimum(n, capacity), pa.int64()),
+        })
+
+    def pack_shard(g: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(g.column("doc_id")), kind="stable")
+        ids = np.asarray(g.column("doc_id"), dtype=np.int64)[order]
+        seq = np.asarray(g.column("seq_len"), dtype=np.int64)[order]
+        shard = np.asarray(g.column("shard"), dtype=np.int64)[order]
+        pid, off = pack_greedy(seq, capacity)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shard": pa.array(shard, pa.int64()),
+            "seq_len": pa.array(seq, pa.int64()),
+            "pack_id": pa.array(pid, pa.int64()),
+            "pack_off": pa.array(off, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    out = (ds.map_batches(features, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(pack_shard, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _minhash_candidates_ds(sf_dir: str):
     """MinHash+LSH candidate pairs as a DATASET (no driver
     materialization): signatures -> band keys -> groupby band -> buckets

@@ -215,3 +215,26 @@ def bm25_features(batch: pa.Table, terms=BM25_TERMS) -> pa.Table:
     for t in terms:
         cols[f"tf_{t}"] = pa.array(tfs[t], pa.int64())
     return pa.table(cols)
+
+
+def pack_greedy(seq_len: "np.ndarray", capacity: int):
+    """Greedy sequential packing of seq_len[i] tokens into packs of
+    ``capacity``: pack boundaries via O(#packs) searchsorted probes on
+    the running cumsum (no per-row Python loop). Returns (pack_id,
+    pack_off) arrays. Every seq_len must be <= capacity."""
+    import numpy as np
+    n = len(seq_len)
+    cs = np.cumsum(seq_len, dtype=np.int64)
+    pack_id = np.empty(n, dtype=np.int64)
+    pack_off = np.empty(n, dtype=np.int64)
+    start = 0
+    pid = 0
+    base = 0
+    while start < n:
+        end = int(np.searchsorted(cs, base + capacity, side="right"))
+        pack_id[start:end] = pid
+        pack_off[start:end] = cs[start:end] - seq_len[start:end] - base
+        base = cs[end - 1]
+        start = end
+        pid += 1
+    return pack_id, pack_off

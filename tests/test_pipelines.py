@@ -524,3 +524,32 @@ def test_bm25_pipeline_vs_bruteforce(ray_session):
     want = want.sort_values(["term", "rnk"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype({"term": str}), want,
                                   check_dtype=False)
+
+
+def test_pack_greedy_properties():
+    """Randomized: packs never exceed capacity, offsets are contiguous,
+    packing is greedy (first doc of a pack would NOT have fit in the
+    previous one), pack ids are dense from 0."""
+    import numpy as np
+
+    from ioverlay_ray.stages.text import pack_greedy
+
+    rng = np.random.default_rng(7)
+    for cap in (16, 256, 2048):
+        for _ in range(20):
+            n = int(rng.integers(1, 400))
+            seq = rng.integers(1, cap + 1, size=n).astype(np.int64)
+            pid, off = pack_greedy(seq, cap)
+            assert pid[0] == 0 and off[0] == 0
+            used = {}
+            for s, p, o in zip(seq, pid, off):
+                assert o == used.get(p, 0)
+                used[p] = o + s
+                assert used[p] <= cap
+            # dense ids, greedy boundaries
+            assert sorted(used) == list(range(len(used)))
+            for i in range(1, n):
+                if pid[i] != pid[i - 1]:
+                    assert pid[i] == pid[i - 1] + 1
+                    assert used[pid[i - 1]] + seq[i] > cap or \
+                        off[i - 1] + seq[i - 1] + seq[i] > cap
