@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_bm25": rq.q_doc_bm25,
         # training-sequence packing within hash shards
         "q_pack_sequences": rq.q_pack_sequences,
+        # curriculum mixture sampling to a token budget
+        "q_source_mix": rq.q_source_mix,
         "q_minhash_bands": rq.q_minhash_bands,
         "q_neardup_clusters": rq.q_neardup_clusters,
         # curation: at most k docs kept per near-dup cluster
@@ -638,6 +640,44 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rnk <= 10
             ORDER BY term, rnk
+        """,
+        "q_source_mix": """
+            WITH f AS (
+                SELECT doc_id, source,
+                       CAST(array_length(string_split(text, ' '))
+                            AS BIGINT) AS n_tokens,
+                       CAST(replace(source, 'src', '') AS BIGINT) % 4 + 1
+                           AS w
+                FROM documents),
+            tot AS (
+                SELECT source, ANY_VALUE(w) AS w,
+                       SUM(n_tokens) AS tok_total, COUNT(*) AS n_docs
+                FROM f GROUP BY source),
+            g AS (
+                SELECT SUM(w) AS w_total, SUM(tok_total) // 2 AS t_budget
+                FROM tot),
+            r AS (
+                SELECT source, w, tok_total, n_docs,
+                       LEAST(1000, (1000 * g.t_budget * w)
+                             // (g.w_total * tok_total)) AS keep_permille
+                FROM tot CROSS JOIN g),
+            k AS (
+                SELECT f.source, COUNT(*) AS n_kept,
+                       SUM(f.n_tokens) AS tokens_kept
+                FROM f JOIN r ON f.source = r.source
+                WHERE (f.doc_id * 2654435761) % 4294967296 % 1000
+                      < r.keep_permille
+                GROUP BY f.source)
+            SELECT r.source,
+                   CAST(r.w AS BIGINT) AS w,
+                   CAST(r.tok_total AS BIGINT) AS tok_total,
+                   CAST(r.n_docs AS BIGINT) AS n_docs,
+                   CAST(r.keep_permille AS BIGINT) AS keep_permille,
+                   CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(COALESCE(k.tokens_kept, 0) AS BIGINT)
+                       AS tokens_kept
+            FROM r LEFT JOIN k ON r.source = k.source
+            ORDER BY r.source
         """,
         "q_pack_sequences": """
             WITH RECURSIVE t AS (

@@ -508,6 +508,78 @@ def q_pack_sequences(sf_dir: str, capacity: int = 2048,
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_source_mix(sf_dir: str) -> pd.DataFrame:
+    """Curriculum / data-mixture sampling: apportion HALF the corpus's
+    token budget across sources by target weight w(srcK) = K%4 + 1,
+    then keep each doc by the deterministic modular-hash predicate at
+    its source's integer permille rate
+
+        keep_permille_s = min(1000, (1000*T*w_s) // (W_total*tok_s))
+        keep doc  iff  hash(doc_id) % 1000 < keep_permille_s
+
+    — the standard two-phase mixture shape at 100 TB: ONE narrow scan
+    to per-source token totals (tiny combiner exchange), rates
+    broadcast (|sources| entries), ONE filtered scan with a per-source
+    aggregate combiner. Hash sampling keeps membership reproducible
+    and resumable (no RNG state). Emits per-source
+    (source, w, tok_total, keep_permille, n_kept, tokens_kept)."""
+    import numpy as np
+
+    from ..stages.agg import hash_aggregate
+
+    def features(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        n = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    feats = _read(sf_dir, "documents", ["doc_id", "source", "text"],
+                  num_blocks=8).map_batches(
+        features, batch_format="pyarrow").materialize()
+
+    totals = hash_aggregate(
+        feats, ["source"], {"tok_total": ("n_tokens", "sum"),
+                            "n_docs": ("n_tokens", "count")}).to_pandas()
+    weights = {s: int(s.removeprefix("src")) % 4 + 1
+               for s in totals["source"]}
+    w_total = sum(weights.values())
+    t_budget = int(totals["tok_total"].sum()) // 2
+    permille = {
+        s: min(1000, (1000 * t_budget * weights[s])
+               // (w_total * int(tok)))
+        for s, tok in zip(totals["source"], totals["tok_total"])}
+
+    def keep_stage(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        srcs = b.column("source").to_pylist()
+        rate = np.array([permille[s] for s in srcs], dtype=np.int64)
+        keep = (_sample_hash(ids) % 1000) < rate
+        n = np.asarray(b.column("n_tokens"), dtype=np.int64)
+        return pa.table({
+            "source": pa.array([s for s, k in zip(srcs, keep) if k],
+                               pa.string()),
+            "n_tokens": pa.array(n[keep], pa.int64()),
+        })
+
+    kept = hash_aggregate(
+        feats.map_batches(keep_stage, batch_format="pyarrow"),
+        ["source"], {"n_kept": ("n_tokens", "count"),
+                     "tokens_kept": ("n_tokens", "sum")}).to_pandas()
+
+    out = totals.merge(kept, on="source", how="left")
+    out["n_kept"] = out["n_kept"].fillna(0).astype(np.int64)
+    out["tokens_kept"] = out["tokens_kept"].fillna(0).astype(np.int64)
+    out["w"] = out["source"].map(weights).astype(np.int64)
+    out["keep_permille"] = out["source"].map(permille).astype(np.int64)
+    for c in ("tok_total", "n_docs"):
+        out[c] = out[c].astype(np.int64)
+    return out[["source", "w", "tok_total", "n_docs", "keep_permille",
+                "n_kept", "tokens_kept"]] \
+        .sort_values("source").reset_index(drop=True)
+
+
 def _minhash_candidates_ds(sf_dir: str):
     """MinHash+LSH candidate pairs as a DATASET (no driver
     materialization): signatures -> band keys -> groupby band -> buckets

@@ -553,3 +553,28 @@ def test_pack_greedy_properties():
                     assert pid[i] == pid[i - 1] + 1
                     assert used[pid[i - 1]] + seq[i] > cap or \
                         off[i - 1] + seq[i - 1] + seq[i] > cap
+
+
+def test_source_mix_budget_properties(ray_session):
+    """Mixture sampling: rates honor the per-source weight apportioning
+    (never above 1000 permille; monotone in weight for equal token
+    mass), and kept token mass per source is within binomial noise of
+    target = tok_total * permille / 1000."""
+    from ioverlay_ray.pipelines.relational import q_source_mix
+
+    out = q_source_mix("/root/testdata/sf0.001")
+    assert len(out) > 0
+    assert (out["keep_permille"] <= 1000).all()
+    assert (out["n_kept"] <= out["n_docs"]).all()
+    assert (out["tokens_kept"] <= out["tok_total"]).all()
+    # rate formula replay
+    w_total = int(out["w"].sum())
+    t_budget = int(out["tok_total"].sum()) // 2
+    for _, r in out.iterrows():
+        want = min(1000, (1000 * t_budget * int(r["w"]))
+                   // (w_total * int(r["tok_total"])))
+        assert int(r["keep_permille"]) == want
+    # overall kept mass lands near the budget (hash-sample noise bound:
+    # each source has ~25+ docs; allow 40% slack)
+    kept = int(out["tokens_kept"].sum())
+    assert 0.6 * t_budget <= kept <= 1.4 * t_budget
