@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pack_sequences": rq.q_pack_sequences,
         # curriculum mixture sampling to a token budget
         "q_source_mix": rq.q_source_mix,
+        # big-big LEFT OUTER hash join (Q13 shape, tagged exchange)
+        "q_customer_order_dist": rq.q_customer_order_dist,
         "q_minhash_bands": rq.q_minhash_bands,
         "q_neardup_clusters": rq.q_neardup_clusters,
         # curation: at most k docs kept per near-dup cluster
@@ -640,6 +642,17 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rnk <= 10
             ORDER BY term, rnk
+        """,
+        "q_customer_order_dist": """
+            SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c.c_custkey,
+                       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey)
+            GROUP BY n_orders
+            ORDER BY n_orders
         """,
         "q_source_mix": """
             WITH f AS (

@@ -580,6 +580,57 @@ def q_source_mix(sf_dir: str) -> pd.DataFrame:
         .sort_values("source").reset_index(drop=True)
 
 
+def q_customer_order_dist(sf_dir: str) -> pd.DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): a big-big
+    LEFT OUTER hash join as ONE tagged exchange — order counts are
+    pre-aggregated per batch (combiner: at most one row per custkey per
+    batch crosses the wire, never one per order), customer rows ride
+    the same exchange with a presence tag, and the groupby merge emits
+    zero for customers with no orders while dropping orphan order keys.
+    The distribution is a second tiny groupby on the count."""
+    import numpy as np
+
+    from ..stages.agg import hash_aggregate
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b.column("o_custkey"), dtype=np.int64)
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pa.table({
+            "custkey": pa.array(uniq, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            "is_cust": pa.array(np.zeros(len(uniq), np.int64), pa.int64()),
+        })
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b.column("c_custkey"), dtype=np.int64)
+        z = np.zeros(len(keys), np.int64)
+        return pa.table({
+            "custkey": pa.array(keys, pa.int64()),
+            "cnt": pa.array(z, pa.int64()),
+            "is_cust": pa.array(z + 1, pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        order_partial, batch_format="pyarrow")
+    custs = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        cust_rows, batch_format="pyarrow")
+    per_cust = hash_aggregate(
+        orders.union(custs), ["custkey"],
+        {"n_orders": ("cnt", "sum"), "present": ("is_cust", "max")})
+
+    def keep_customers(b: pa.Table) -> pa.Table:
+        present = np.asarray(b.column("present"), dtype=np.int64) == 1
+        n = np.asarray(b.column("n_orders"), dtype=np.int64)[present]
+        return pa.table({"n_orders": pa.array(n, pa.int64())})
+
+    dist = hash_aggregate(
+        per_cust.map_batches(keep_customers, batch_format="pyarrow"),
+        ["n_orders"], {"custdist": ("n_orders", "count")}).to_pandas()
+    dist["n_orders"] = dist["n_orders"].astype(np.int64)
+    dist["custdist"] = dist["custdist"].astype(np.int64)
+    return dist.sort_values("n_orders").reset_index(drop=True)
+
+
 def _minhash_candidates_ds(sf_dir: str):
     """MinHash+LSH candidate pairs as a DATASET (no driver
     materialization): signatures -> band keys -> groupby band -> buckets

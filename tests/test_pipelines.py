@@ -578,3 +578,27 @@ def test_source_mix_budget_properties(ray_session):
     # each source has ~25+ docs; allow 40% slack)
     kept = int(out["tokens_kept"].sum())
     assert 0.6 * t_budget <= kept <= 1.4 * t_budget
+
+
+def test_left_outer_join_zero_and_orphans(ray_session, tmp_path):
+    """q_customer_order_dist on a crafted corpus: customers with ZERO
+    orders appear in the 0 bucket; orders with custkeys not in the
+    customer table are dropped (LEFT join semantics both ways)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ioverlay_ray.pipelines.relational import q_customer_order_dist
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        # cust 1: 3 orders, cust 2: 1, cust 3: 0, cust 4: 0, cust 5: 1
+        # custkey 99 is an orphan (not in customer) and must vanish
+        "o_custkey": pa.array([1, 1, 1, 2, 5, 99, 99], pa.int64()),
+        "o_orderkey": pa.array(list(range(7)), pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+
+    out = q_customer_order_dist(str(tmp_path))
+    got = dict(zip(out["n_orders"], out["custdist"]))
+    assert got == {0: 2, 1: 2, 3: 1}
