@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_mix": rq.q_source_mix,
         # big-big LEFT OUTER hash join (Q13 shape, tagged exchange)
         "q_customer_order_dist": rq.q_customer_order_dist,
+        # ExactSubstr-style duplicated-span detection (corpus self-join)
+        "q_doc_dup_spans": rq.q_doc_dup_spans,
         "q_minhash_bands": rq.q_minhash_bands,
         "q_neardup_clusters": rq.q_neardup_clusters,
         # curation: at most k docs kept per near-dup cluster
@@ -642,6 +644,36 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rnk <= 10
             ORDER BY term, rnk
+        """,
+        "q_doc_dup_spans": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS tk,
+                       CAST(array_length(string_split(text, ' '))
+                            AS BIGINT) AS n
+                FROM documents),
+            w AS (
+                SELECT doc_id, tk,
+                       unnest(range(0, GREATEST(0, n - 7))) AS i
+                FROM t),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(tk[CAST(i + 1 AS BIGINT):
+                                          CAST(i + 8 AS BIGINT)], ' ')
+                           AS gram
+                FROM w),
+            d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            per AS (
+                SELECT g.doc_id,
+                       COUNT(*) AS n_spans,
+                       COUNT(d.gram) AS n_dup_spans
+                FROM g LEFT JOIN d ON g.gram = d.gram
+                GROUP BY g.doc_id)
+            SELECT t.doc_id,
+                   CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(per.n_dup_spans, 0) AS BIGINT)
+                       AS n_dup_spans
+            FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+            ORDER BY t.doc_id
         """,
         "q_customer_order_dist": """
             SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS custdist

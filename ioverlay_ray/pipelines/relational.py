@@ -631,6 +631,72 @@ def q_customer_order_dist(sf_dir: str) -> pd.DataFrame:
     return dist.sort_values("n_orders").reset_index(drop=True)
 
 
+def q_doc_dup_spans(sf_dir: str, n: int = 8) -> pd.DataFrame:
+    """ExactSubstr-style duplicated-span detection (the corpus
+    SELF-join flavor of n-gram dedup, per Lee et al. "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    how many of its distinct whitespace 8-gram spans also occur in at
+    least one OTHER document.
+
+    100-TB shape: ONE gram-hash exchange — (doc_id, gram) rows
+    (distinct per doc, built per batch) partition by gram hash; inside
+    each partition the duplicate decision is group-local (all rows of
+    a gram share its partition) and collapses immediately to per-doc
+    partial counts, so the second exchange is at most one row per
+    (doc, partition). No gram string ever leaves the first exchange."""
+    import numpy as np
+
+    from ..stages.agg import _part_of, hash_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    P = 32
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        d, g = [], []
+        for did, t in zip(ids, texts):
+            toks = t.split(" ")
+            for gram in {" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)}:
+                d.append(did)
+                g.append(gram)
+        df = pd.DataFrame({"doc_id": d, "gram": g})
+        df["part"] = _part_of(df, ["gram"], P)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def partial_counts(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        dup = df.groupby("gram")["doc_id"].transform("size") >= 2
+        out = df.assign(dup=dup.astype(np.int64)).groupby(
+            "doc_id", as_index=False).agg(
+            n_spans=("gram", "size"), n_dup_spans=("dup", "sum"))
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    partials = (docs.map_batches(gram_rows, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(partial_counts, batch_format="pyarrow"))
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_spans": pa.array(z, pa.int64()),
+                         "n_dup_spans": pa.array(z, pa.int64())})
+
+    zeros = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        zero_rows, batch_format="pyarrow")
+    out = hash_aggregate(
+        partials.union(zeros), ["doc_id"],
+        {"n_spans": ("n_spans", "sum"),
+         "n_dup_spans": ("n_dup_spans", "sum")}).to_pandas()
+    for c in ("doc_id", "n_spans", "n_dup_spans"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _minhash_candidates_ds(sf_dir: str):
     """MinHash+LSH candidate pairs as a DATASET (no driver
     materialization): signatures -> band keys -> groupby band -> buckets

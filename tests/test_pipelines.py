@@ -602,3 +602,39 @@ def test_left_outer_join_zero_and_orphans(ray_session, tmp_path):
     out = q_customer_order_dist(str(tmp_path))
     got = dict(zip(out["n_orders"], out["custdist"]))
     assert got == {0: 2, 1: 2, 3: 1}
+
+
+def test_dup_spans_planted(ray_session, tmp_path):
+    """q_doc_dup_spans on a crafted corpus with planted shared spans:
+    docs 0/1 share one 8-gram span, doc 2 is unique, doc 3 is too
+    short for any span, doc 4 repeats ITS OWN span twice (must not
+    count as duplicated: distinct-per-doc grams)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ioverlay_ray.pipelines.relational import q_doc_dup_spans
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = [
+        f"{shared} a b c",                    # spans: 4; 1 dup (shared)
+        f"x y {shared}",                      # spans: 3; 1 dup
+        "u1 u2 u3 u4 u5 u6 u7 u8 u9",         # spans: 2; 0 dup
+        "too short",                          # spans: 0
+        "r1 r2 r3 r4 r5 r6 r7 r8 " * 2,       # self-repeat only
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = q_doc_dup_spans(str(tmp_path))
+    rows = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+            for r in out.to_dict("records")}
+    assert rows[0] == (4, 1)
+    assert rows[1] == (3, 1)
+    assert rows[2] == (2, 0)
+    assert rows[3] == (0, 0)
+    # doc 4: "r1..r8 r1..r8 " -> trailing space makes 17 tokens, 10
+    # windows, SOME distinct (window crossing the repeat boundary);
+    # none shared with other docs
+    assert rows[4][1] == 0 and rows[4][0] >= 1
