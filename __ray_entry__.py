@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customer_order_dist": rq.q_customer_order_dist,
         # ExactSubstr-style duplicated-span detection (corpus self-join)
         "q_doc_dup_spans": rq.q_doc_dup_spans,
+        # tokenizer-vocabulary induction (exact global top-100 terms)
+        "q_vocab_topk": rq.q_vocab_topk,
         "q_minhash_bands": rq.q_minhash_bands,
         "q_neardup_clusters": rq.q_neardup_clusters,
         # curation: at most k docs kept per near-dup cluster
@@ -644,6 +646,20 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rnk <= 10
             ORDER BY term, rnk
+        """,
+        "q_vocab_topk": """
+            WITH tok AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS term
+                FROM documents),
+            c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM tok GROUP BY term)
+            SELECT CAST(row_number() OVER (
+                       ORDER BY cnt DESC, term) AS BIGINT) AS rnk,
+                   term, cnt
+            FROM c
+            QUALIFY rnk <= 100
+            ORDER BY rnk
         """,
         "q_doc_dup_spans": """
             WITH t AS (

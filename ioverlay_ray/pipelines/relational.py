@@ -551,16 +551,19 @@ def q_source_mix(sf_dir: str) -> pd.DataFrame:
         for s, tok in zip(totals["source"], totals["tok_total"])}
 
     def keep_stage(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        srcs = b.column("source").to_pylist()
-        rate = np.array([permille[s] for s in srcs], dtype=np.int64)
+        # rates via a dictionary-encode + take (vectorized; the
+        # per-source table is |sources| entries)
+        codes = pc.dictionary_encode(b.column("source")).combine_chunks()
+        rate = np.array([permille[s] for s in
+                         codes.dictionary.to_pylist()], dtype=np.int64)[
+            np.asarray(codes.indices)]
         keep = (_sample_hash(ids) % 1000) < rate
-        n = np.asarray(b.column("n_tokens"), dtype=np.int64)
         return pa.table({
-            "source": pa.array([s for s, k in zip(srcs, keep) if k],
-                               pa.string()),
-            "n_tokens": pa.array(n[keep], pa.int64()),
+            "source": b.column("source").filter(pa.array(keep)),
+            "n_tokens": b.column("n_tokens").filter(pa.array(keep)),
         })
 
     kept = hash_aggregate(
@@ -695,6 +698,40 @@ def q_doc_dup_spans(sf_dir: str, n: int = 8) -> pd.DataFrame:
     for c in ("doc_id", "n_spans", "n_dup_spans"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_vocab_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Tokenizer-vocabulary induction: the exact global top-k corpus
+    vocabulary (lowercase alphanumeric-run tokens) with counts — the
+    first step of training a tokenizer over a 100-TB corpus. Shape:
+    per-batch Counter pre-aggregation (the exchange carries at most
+    one row per distinct term per batch, never one per token), one
+    term-hash aggregate, then the global top-k combiner (per-block
+    partial top-k -> one tiny merge; no global sort)."""
+    import numpy as np
+
+    from ..stages.agg import hash_aggregate
+    from ..stages.text import _TERM_RE
+    from ..stages.topk import global_topk
+
+    def term_partials(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        c = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(_TERM_RE.findall(t.lower()))
+        return pa.table({
+            "term": pa.array(list(c.keys()), pa.string()),
+            "cnt": pa.array(list(c.values()), pa.int64()),
+        })
+
+    counts = hash_aggregate(
+        _read(sf_dir, "documents", ["text"], num_blocks=8)
+        .map_batches(term_partials, batch_format="pyarrow"),
+        ["term"], {"cnt": ("cnt", "sum")})
+    top = global_topk(counts, "cnt", k, tie_cols=["term"])
+    top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["cnt"] = top["cnt"].astype(np.int64)
+    return top[["rnk", "term", "cnt"]].reset_index(drop=True)
 
 
 def _minhash_candidates_ds(sf_dir: str):

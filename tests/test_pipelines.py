@@ -638,3 +638,26 @@ def test_dup_spans_planted(ray_session, tmp_path):
     # windows, SOME distinct (window crossing the repeat boundary);
     # none shared with other docs
     assert rows[4][1] == 0 and rows[4][0] >= 1
+
+
+def test_vocab_topk_vs_bruteforce(ray_session):
+    """q_vocab_topk on sf0.001 vs a single-process Counter recompute
+    (count-desc, term-asc ordering, dense ranks)."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ioverlay_ray.pipelines.relational import q_vocab_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = q_vocab_topk(sf, k=10)
+    texts = pq.read_table(sf + "/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    c = Counter()
+    term_re = re.compile(r"[a-z0-9]+")
+    for t in texts:
+        c.update(term_re.findall(t.lower()))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["term"], got["cnt"])) == want
+    assert list(got["rnk"]) == list(range(1, len(want) + 1))
