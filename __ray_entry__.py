@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_dup_spans": rq.q_doc_dup_spans,
         # tokenizer-vocabulary induction (exact global top-100 terms)
         "q_vocab_topk": rq.q_vocab_topk,
+        # corpus-quantile quality filter (exact p75 threshold, no sort)
+        "q_doc_quality_filter": rq.q_doc_quality_filter,
         "q_minhash_bands": rq.q_minhash_bands,
         "q_neardup_clusters": rq.q_neardup_clusters,
         # curation: at most k docs kept per near-dup cluster
@@ -646,6 +648,19 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rnk <= 10
             ORDER BY term, rnk
+        """,
+        "q_doc_quality_filter": """
+            WITH tok AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       1000 * COUNT(DISTINCT t) // COUNT(*) AS score
+                FROM tok GROUP BY doc_id),
+            t AS (SELECT quantile_disc(score, 0.75) AS thr FROM s)
+            SELECT s.doc_id, s.score
+            FROM s, t WHERE s.score >= t.thr
+            ORDER BY s.doc_id
         """,
         "q_vocab_topk": """
             WITH tok AS (

@@ -734,6 +734,52 @@ def q_vocab_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
     return top[["rnk", "term", "cnt"]].reset_index(drop=True)
 
 
+def q_doc_quality_filter(sf_dir: str, q: float = 0.75) -> pd.DataFrame:
+    """Corpus-level quality filtering (the C4/Gopher-style pipeline
+    stage): score every document by its distinct-token ratio permille
+    (score = 1000*n_distinct // n_tokens — the repetition-quality
+    signal), find the exact corpus p75 of the score WITHOUT a sort
+    (streaming histogram refinement over the cached narrow score table
+    — stages/quantile.py), broadcast the threshold, and keep documents
+    at or above it. At 100 TB the score table is two int columns; the
+    quantile passes stream from the object store and the filter is one
+    vectorized scan."""
+    import numpy as np
+
+    from ..stages.quantile import exact_grouped_quantiles
+
+    def score_rows(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        n_tok, n_dis = [], []
+        for t in texts:
+            toks = t.split(" ")
+            n_tok.append(len(toks))
+            n_dis.append(len(set(toks)))
+        n_tok = np.array(n_tok, dtype=np.int64)
+        n_dis = np.array(n_dis, dtype=np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "g": pa.array(np.zeros(len(texts), np.int64), pa.int64()),
+            "score": pa.array(1000 * n_dis // n_tok, pa.int64()),
+        })
+
+    scores = _read(sf_dir, "documents", ["doc_id", "text"],
+                   num_blocks=8).map_batches(
+        score_rows, batch_format="pyarrow").materialize()
+    thr_df = exact_grouped_quantiles(scores, "g", "score", [q])
+    thr = int(thr_df["value"].iloc[0])
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.greater_equal(b.column("score"), thr)
+        return b.filter(mask).select(["doc_id", "score"])
+
+    out = scores.map_batches(keep, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["score"] = out["score"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _minhash_candidates_ds(sf_dir: str):
     """MinHash+LSH candidate pairs as a DATASET (no driver
     materialization): signatures -> band keys -> groupby band -> buckets

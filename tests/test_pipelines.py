@@ -661,3 +661,28 @@ def test_vocab_topk_vs_bruteforce(ray_session):
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["term"], got["cnt"])) == want
     assert list(got["rnk"]) == list(range(1, len(want) + 1))
+
+
+def test_quality_filter_vs_bruteforce(ray_session):
+    """q_doc_quality_filter on sf0.001 vs a pandas recompute of the
+    distinct-token-ratio score and the exact quantile_disc threshold
+    (k = ceil(0.75*n) smallest value)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ioverlay_ray.pipelines.relational import q_doc_quality_filter
+
+    sf = "/root/testdata/sf0.001"
+    got = q_doc_quality_filter(sf)
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    scores = {}
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        toks = t.split(" ")
+        scores[int(did)] = 1000 * len(set(toks)) // len(toks)
+    vals = sorted(scores.values())
+    thr = vals[max(1, math.ceil(0.75 * len(vals))) - 1]
+    want = sorted((d, s) for d, s in scores.items() if s >= thr)
+    assert list(zip(got["doc_id"], got["score"])) == want
+    assert 0 < len(want) < len(scores)  # non-vacuous on this corpus
