@@ -14,25 +14,33 @@ from . import flagship
 from ..stages.multimodal import DecodeStage, EmbedStage, stage_fn
 
 
-def q_image_decode_stats(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
-    """Decode every image (stage_fn task pool: codec table cached per
-    worker, no per-call actor spin-up), emit per-image channel stats +
-    the phash recomputed from decoded pixels (round-trip invariant in
-    the distributed path)."""
+def _images_ds(n_images: int, columns=("image_id", "bytes", "w", "h",
+                                       "fmt")):
+    """Materialize (once) + read the synthetic image shards with a
+    block count sized to the cluster — the shared front door for every
+    binary-column query in this module."""
     import os
     import tempfile
 
+    import ray as _ray
     import ray.data
+
     flagship.images_dataset(n_images)  # ensure materialized
     path = os.path.join(tempfile.gettempdir(),
                         f"ioverlay_images_{n_images}_42")
     files = [os.path.join(path, f) for f in sorted(os.listdir(path))
              if f.endswith(".parquet")]
-    import ray as _ray
     nb = max(len(files), int(_ray.cluster_resources().get("CPU", 8)))
-    ds = ray.data.read_parquet(
-        files, columns=["image_id", "bytes", "w", "h", "fmt"],
-        override_num_blocks=nb)
+    return ray.data.read_parquet(files, columns=list(columns),
+                                 override_num_blocks=nb)
+
+
+def q_image_decode_stats(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
+    """Decode every image (stage_fn task pool: codec table cached per
+    worker, no per-call actor spin-up), emit per-image channel stats +
+    the phash recomputed from decoded pixels (round-trip invariant in
+    the distributed path)."""
+    ds = _images_ds(n_images)
     out = ds.map_batches(stage_fn(DecodeStage, check_phash=True),
                          batch_format="pyarrow").to_pandas()
     out = out.sort_values("image_id").reset_index(drop=True)
@@ -47,23 +55,11 @@ def q_image_embed_topk(sf_dir: str, n_images: int = 256,
     """Image embeddings (stage_fn task pool) -> brute-force cosine
     top-k of the first 4 images against the corpus (the multimodal ANN
     path)."""
-    import os
-    import tempfile
-
     import pyarrow as pa
     import ray.data
 
     from ..stages.ann import CosineTopKStage, merge_topk
-    flagship.images_dataset(n_images)
-    path = os.path.join(tempfile.gettempdir(),
-                        f"ioverlay_images_{n_images}_42")
-    files = [os.path.join(path, f) for f in sorted(os.listdir(path))
-             if f.endswith(".parquet")]
-    import ray as _ray
-    nb = max(len(files), int(_ray.cluster_resources().get("CPU", 8)))
-    ds = ray.data.read_parquet(
-        files, columns=["image_id", "bytes", "w", "h", "fmt"],
-        override_num_blocks=nb)
+    ds = _images_ds(n_images)
     emb = ds.map_batches(stage_fn(EmbedStage), batch_format="pyarrow")
     emb_df = emb.to_pandas().sort_values("image_id").reset_index(drop=True)
     queries = np.array(emb_df["embedding"].iloc[:4].tolist())
@@ -388,17 +384,8 @@ def q_image_caption_roundtrip(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
     so a hash match proves captions survive the storage round trip
     byte-for-byte (BASELINE input_hint invariant)."""
     import hashlib
-    import os
-    import tempfile
 
-    import ray.data
-    flagship.images_dataset(n_images)
-    path = os.path.join(tempfile.gettempdir(),
-                        f"ioverlay_images_{n_images}_42")
-    files = [os.path.join(path, f) for f in sorted(os.listdir(path))
-             if f.endswith(".parquet")]
-    ds = ray.data.read_parquet(files, columns=["image_id", "caption"],
-                               override_num_blocks=max(8, len(files)))
+    ds = _images_ds(n_images, columns=("image_id", "caption"))
 
     def digest(batch: pa.Table) -> pa.Table:
         out = [int.from_bytes(
@@ -439,22 +426,8 @@ def q_image_psnr(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
     integer SSE — the north-rule decoded-pixel PSNR>=40dB invariant as
     a distributed per-batch stage (stage_fn task pool, codec table
     cached per worker)."""
-    import os
-    import tempfile
-
-    import ray.data
-
     from ..stages.multimodal import LossyPsnrStage
-    flagship.images_dataset(n_images)
-    path = os.path.join(tempfile.gettempdir(),
-                        f"ioverlay_images_{n_images}_42")
-    files = [os.path.join(path, f) for f in sorted(os.listdir(path))
-             if f.endswith(".parquet")]
-    import ray as _ray
-    nb = max(len(files), int(_ray.cluster_resources().get("CPU", 8)))
-    ds = ray.data.read_parquet(
-        files, columns=["image_id", "bytes", "w", "h", "fmt"],
-        override_num_blocks=nb)
+    ds = _images_ds(n_images)
     out = ds.map_batches(stage_fn(LossyPsnrStage),
                          batch_format="pyarrow").to_pandas()
     return out.sort_values("image_id").reset_index(drop=True)

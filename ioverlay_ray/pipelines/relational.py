@@ -474,12 +474,11 @@ def q_pack_sequences(sf_dir: str, capacity: int = 2048,
     groupby(shard) packs with O(#packs) searchsorted probes."""
     import numpy as np
 
-    from ..stages.text import pack_greedy
+    from ..stages.text import pack_greedy, space_token_counts
 
     def features(b: pa.Table) -> pa.Table:
         ids = np.asarray(b.column("doc_id"), dtype=np.int64)
-        texts = b.column("text").to_pylist()
-        n = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+        n = space_token_counts(b.column("text").to_pylist())
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "shard": pa.array(ids % n_shards, pa.int64()),
@@ -526,10 +525,10 @@ def q_source_mix(sf_dir: str) -> pd.DataFrame:
     import numpy as np
 
     from ..stages.agg import hash_aggregate
+    from ..stages.text import space_token_counts
 
     def features(b: pa.Table) -> pa.Table:
-        texts = b.column("text").to_pylist()
-        n = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+        n = space_token_counts(b.column("text").to_pylist())
         return pa.table({"doc_id": b.column("doc_id"),
                          "source": b.column("source"),
                          "n_tokens": pa.array(n, pa.int64())})
@@ -747,16 +746,13 @@ def q_doc_quality_filter(sf_dir: str, q: float = 0.75) -> pd.DataFrame:
     import numpy as np
 
     from ..stages.quantile import exact_grouped_quantiles
+    from ..stages.text import space_token_counts
 
     def score_rows(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
-        n_tok, n_dis = [], []
-        for t in texts:
-            toks = t.split(" ")
-            n_tok.append(len(toks))
-            n_dis.append(len(set(toks)))
-        n_tok = np.array(n_tok, dtype=np.int64)
-        n_dis = np.array(n_dis, dtype=np.int64)
+        n_tok = space_token_counts(texts)
+        n_dis = np.array([len(set(t.split(" "))) for t in texts],
+                         dtype=np.int64)
         return pa.table({
             "doc_id": b.column("doc_id"),
             "g": pa.array(np.zeros(len(texts), np.int64), pa.int64()),

@@ -221,9 +221,14 @@ def pack_greedy(seq_len: "np.ndarray", capacity: int):
     """Greedy sequential packing of seq_len[i] tokens into packs of
     ``capacity``: pack boundaries via O(#packs) searchsorted probes on
     the running cumsum (no per-row Python loop). Returns (pack_id,
-    pack_off) arrays. Every seq_len must be <= capacity."""
+    pack_off) arrays. Every seq_len must be <= capacity (enforced —
+    a longer entry would otherwise loop forever)."""
     import numpy as np
     n = len(seq_len)
+    if n and int(np.max(seq_len)) > capacity:
+        raise ValueError(
+            f"pack_greedy: seq_len {int(np.max(seq_len))} exceeds "
+            f"capacity {capacity}; clamp (np.minimum) or split first")
     cs = np.cumsum(seq_len, dtype=np.int64)
     pack_id = np.empty(n, dtype=np.int64)
     pack_off = np.empty(n, dtype=np.int64)
@@ -238,3 +243,12 @@ def pack_greedy(seq_len: "np.ndarray", capacity: int):
         start = end
         pid += 1
     return pack_id, pack_off
+
+
+def space_token_counts(texts) -> "np.ndarray":
+    """len(t.split(' ')) per text — THE single-space tokenization
+    contract every SQL string_split oracle reproduces (empties
+    counted). All pipelines needing a token count share this one
+    definition so the oracle semantics can never drift per-query."""
+    import numpy as np
+    return np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
