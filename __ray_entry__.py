@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vocab_topk": rq.q_vocab_topk,
         # corpus-quantile quality filter (exact p75 threshold, no sort)
         "q_doc_quality_filter": rq.q_doc_quality_filter,
+        # END-TO-END curation: quality -> dedup -> span filter -> pack
+        "q_curation_pipeline": rq.q_curation_pipeline,
         "q_minhash_bands": rq.q_minhash_bands,
         "q_neardup_clusters": rq.q_neardup_clusters,
         # curation: at most k docs kept per near-dup cluster
@@ -648,6 +650,76 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rnk <= 10
             ORDER BY term, rnk
+        """,
+        "q_curation_pipeline": """
+            WITH RECURSIVE
+            tok0 AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       1000 * COUNT(DISTINCT t) // COUNT(*) AS score
+                FROM tok0 GROUP BY doc_id),
+            thr AS (SELECT quantile_disc(score, 0.75) AS thr FROM s),
+            q1 AS (
+                SELECT d.doc_id, d.text
+                FROM documents d JOIN s ON d.doc_id = s.doc_id, thr
+                WHERE s.score >= thr.thr),
+            dd AS (SELECT MIN(doc_id) AS doc_id FROM q1 GROUP BY text),
+            q2 AS (SELECT q1.doc_id, q1.text
+                   FROM q1 JOIN dd ON q1.doc_id = dd.doc_id),
+            t2 AS (
+                SELECT doc_id, string_split(text, ' ') AS tk,
+                       CAST(array_length(string_split(text, ' '))
+                            AS BIGINT) AS n
+                FROM q2),
+            w AS (
+                SELECT doc_id, tk,
+                       unnest(range(0, GREATEST(0, n - 7))) AS i
+                FROM t2),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(tk[CAST(i + 1 AS BIGINT):
+                                          CAST(i + 8 AS BIGINT)], ' ')
+                           AS gram
+                FROM w),
+            dgr AS (SELECT gram FROM g GROUP BY gram
+                    HAVING COUNT(*) >= 2),
+            per AS (
+                SELECT g.doc_id, COUNT(*) AS n_spans,
+                       COUNT(dgr.gram) AS n_dup
+                FROM g LEFT JOIN dgr ON g.gram = dgr.gram
+                GROUP BY g.doc_id),
+            q3 AS (
+                SELECT t2.doc_id,
+                       CAST(LEAST(t2.n, 2048) AS BIGINT) AS seq_len,
+                       t2.doc_id % 16 AS shard
+                FROM t2 LEFT JOIN per ON t2.doc_id = per.doc_id
+                WHERE 2 * COALESCE(per.n_dup, 0)
+                      <= COALESCE(per.n_spans, 0)),
+            b AS (
+                SELECT doc_id, shard, seq_len,
+                       row_number() OVER (PARTITION BY shard
+                                          ORDER BY doc_id) AS rn
+                FROM q3),
+            p AS (
+                SELECT shard, rn, doc_id, seq_len,
+                       CAST(0 AS BIGINT) AS pack_id,
+                       CAST(0 AS BIGINT) AS pack_off
+                FROM b WHERE rn = 1
+                UNION ALL
+                SELECT b.shard, b.rn, b.doc_id, b.seq_len,
+                       CASE WHEN p.pack_off + p.seq_len + b.seq_len
+                                 <= 2048
+                            THEN p.pack_id ELSE p.pack_id + 1 END,
+                       CASE WHEN p.pack_off + p.seq_len + b.seq_len
+                                 <= 2048
+                            THEN p.pack_off + p.seq_len
+                            ELSE CAST(0 AS BIGINT) END
+                FROM p JOIN b ON b.shard = p.shard AND b.rn = p.rn + 1)
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard, seq_len,
+                   pack_id, pack_off
+            FROM p ORDER BY doc_id
         """,
         "q_doc_quality_filter": """
             WITH tok AS (

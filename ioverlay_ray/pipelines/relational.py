@@ -776,6 +776,172 @@ def q_doc_quality_filter(sf_dir: str, q: float = 0.75) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_curation_pipeline(sf_dir: str, q: float = 0.75,
+                        capacity: int = 2048,
+                        n_shards: int = 16) -> pd.DataFrame:
+    """END-TO-END training-data curation — the composed flagship of the
+    LLM surface, each stage the already-oracle-proven operator:
+
+      1. quality filter  — distinct-token-ratio score >= exact corpus
+         p75 (histogram-refinement quantile, threshold broadcast);
+      2. exact dedup     — content-key hash exchange keeping the min
+         doc_id per identical text (text rides the one exchange, as a
+         real pipeline materializing the deduped corpus must);
+      3. dup-span filter — 8-gram corpus self-join over the SURVIVORS;
+         drop docs whose duplicated spans exceed half their spans;
+      4. sequence packing — survivors greedily packed per hash shard
+         into capacity-token training buffers.
+
+    4 exchanges total (dedup key, gram key, per-doc aggregate, pack
+    shard); every inter-stage table is narrow ints except the one
+    text-carrying dedup exchange. Emits (doc_id, shard, seq_len,
+    pack_id, pack_off) for the final packed sequences."""
+    import numpy as np
+
+    from ..stages.agg import hash_aggregate
+    from ..stages.dedup import exact_key_stage
+    from ..stages.quantile import exact_grouped_quantiles
+    from ..stages.text import pack_greedy, space_token_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+
+    # -- stage 1: corpus-quantile quality threshold ----------------
+    def score_rows(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        n_tok = space_token_counts(texts)
+        n_dis = np.array([len(set(t.split(" "))) for t in texts],
+                         dtype=np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "g": pa.array(np.zeros(len(texts), np.int64), pa.int64()),
+            "score": pa.array(1000 * n_dis // n_tok, pa.int64()),
+        })
+
+    scores = docs.map_batches(score_rows,
+                              batch_format="pyarrow").materialize()
+    thr = int(exact_grouped_quantiles(scores, "g", "score",
+                                      [q])["value"].iloc[0])
+
+    def keep_quality(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        n_tok = space_token_counts(texts)
+        n_dis = np.array([len(set(t.split(" "))) for t in texts],
+                         dtype=np.int64)
+        keep = (1000 * n_dis // n_tok) >= thr
+        return pa.table({
+            "doc_id": b.column("doc_id").filter(pa.array(keep)),
+            "text": b.column("text").filter(pa.array(keep)),
+            "n_tokens": pa.array(n_tok[keep], pa.int64()),
+        })
+
+    kept = docs.map_batches(keep_quality, batch_format="pyarrow")
+
+    # -- stage 2: exact dedup (min doc_id per content key) ---------
+    def key_rows(b: pa.Table) -> pa.Table:
+        k = exact_key_stage(b.select(["doc_id", "text"]))
+        return k.append_column("n_tokens", b.column("n_tokens")) \
+            .append_column("text", b.column("text"))
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        win = df.sort_values("doc_id").groupby(
+            "content_key", as_index=False).first()
+        return pa.Table.from_pandas(
+            win[["doc_id", "text", "n_tokens"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    deduped = (kept.map_batches(key_rows, batch_format="pyarrow")
+               .groupby("content_key")
+               .map_groups(dedup_group, batch_format="pyarrow")
+               ).materialize()
+
+    # -- stage 3: dup-span filter over the survivors ---------------
+    P = 32
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        from ..stages.agg import _part_of
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        d, g = [], []
+        for did, t in zip(ids, texts):
+            toks = t.split(" ")
+            for gram in {" ".join(toks[i:i + 8])
+                         for i in range(len(toks) - 7)}:
+                d.append(did)
+                g.append(gram)
+        df = pd.DataFrame({"doc_id": d, "gram": g})
+        df["part"] = _part_of(df, ["gram"], P)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def partial_counts(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        dup = df.groupby("gram")["doc_id"].transform("size") >= 2
+        out = df.assign(dup=dup.astype(np.int64)).groupby(
+            "doc_id", as_index=False).agg(
+            n_spans=("gram", "size"), n_dup=("dup", "sum"))
+        out["n_tokens"] = np.int64(0)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    partials = (deduped.map_batches(gram_rows, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(partial_counts, batch_format="pyarrow"))
+
+    def carry_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        z = np.zeros(n, np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_spans": pa.array(z, pa.int64()),
+            "n_dup": pa.array(z, pa.int64()),
+            "n_tokens": b.column("n_tokens"),
+        })
+
+    per_doc = hash_aggregate(
+        partials.union(deduped.map_batches(carry_rows,
+                                           batch_format="pyarrow")),
+        ["doc_id"], {"n_spans": ("n_spans", "sum"),
+                     "n_dup": ("n_dup", "sum"),
+                     "n_tokens": ("n_tokens", "max")})
+
+    # -- stage 4: pack survivors per hash shard --------------------
+    def survivors(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        n_spans = np.asarray(b.column("n_spans"), dtype=np.int64)
+        n_dup = np.asarray(b.column("n_dup"), dtype=np.int64)
+        n_tok = np.asarray(b.column("n_tokens"), dtype=np.int64)
+        keep = 2 * n_dup <= n_spans
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "shard": pa.array(ids[keep] % n_shards, pa.int64()),
+            "seq_len": pa.array(np.minimum(n_tok[keep], capacity),
+                                pa.int64()),
+        })
+
+    def pack_shard(g: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(g.column("doc_id")), kind="stable")
+        ids = np.asarray(g.column("doc_id"), dtype=np.int64)[order]
+        seq = np.asarray(g.column("seq_len"), dtype=np.int64)[order]
+        shard = np.asarray(g.column("shard"), dtype=np.int64)[order]
+        pid, off = pack_greedy(seq, capacity)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shard": pa.array(shard, pa.int64()),
+            "seq_len": pa.array(seq, pa.int64()),
+            "pack_id": pa.array(pid, pa.int64()),
+            "pack_off": pa.array(off, pa.int64()),
+        })
+
+    out = (per_doc.map_batches(survivors, batch_format="pyarrow")
+           .groupby("shard")
+           .map_groups(pack_shard, batch_format="pyarrow")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _minhash_candidates_ds(sf_dir: str):
     """MinHash+LSH candidate pairs as a DATASET (no driver
     materialization): signatures -> band keys -> groupby band -> buckets

@@ -686,3 +686,40 @@ def test_quality_filter_vs_bruteforce(ray_session):
     want = sorted((d, s) for d, s in scores.items() if s >= thr)
     assert list(zip(got["doc_id"], got["score"])) == want
     assert 0 < len(want) < len(scores)  # non-vacuous on this corpus
+
+
+def test_curation_pipeline_planted(ray_session, tmp_path):
+    """q_curation_pipeline on a crafted corpus where every stage acts:
+    low-diversity docs die at the quality gate, an exact duplicate dies
+    at dedup (min doc_id survives), a span-heavy pair dies at the
+    dup-span gate, and the survivors pack greedily per shard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ioverlay_ray.pipelines.relational import q_curation_pipeline
+
+    uniq = lambda p, k: " ".join(f"{p}{i}" for i in range(k))  # noqa: E731
+    shared = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    docs = {
+        0: uniq("a", 12),            # diverse, unique -> survives
+        1: uniq("b", 12),            # survives
+        2: (docs_dup := uniq("d", 12)),  # duplicate pair: min id wins
+        3: docs_dup,                 # dies at dedup
+        4: "r r r r r r r r r r r",  # score 1000//11 -> dies at quality
+        5: f"{shared} x1 x2",        # span-heavy pair: most spans
+        6: f"{shared} y1 y2",        # shared -> both die at span gate
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = q_curation_pipeline(str(tmp_path), capacity=20, n_shards=2)
+    assert list(out["doc_id"]) == [0, 1, 2]
+    assert list(out["seq_len"]) == [12, 12, 12]
+    # shards: 0 -> shard 0; 1, 2 -> ... doc%2: 0->0, 1->1, 2->0
+    by_doc = out.set_index("doc_id")
+    assert by_doc.loc[0, "shard"] == 0 and by_doc.loc[2, "shard"] == 0
+    # shard 0 packs docs 0 then 2: 12+12 > 20 -> two packs
+    assert by_doc.loc[0, "pack_id"] == 0 and by_doc.loc[2, "pack_id"] == 1
+    assert by_doc.loc[1, "pack_id"] == 0 and by_doc.loc[1, "pack_off"] == 0
