@@ -663,6 +663,10 @@ def q_doc_dup_spans(sf_dir: str, n: int = 8) -> pd.DataFrame:
                          for i in range(len(toks) - n + 1)}:
                 d.append(did)
                 g.append(gram)
+        if not d:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string()),
+                             "part": pa.array([], pa.int64())})
         df = pd.DataFrame({"doc_id": d, "gram": g})
         df["part"] = _part_of(df, ["gram"], P)
         return pa.Table.from_pandas(
@@ -869,6 +873,10 @@ def q_curation_pipeline(sf_dir: str, q: float = 0.75,
                          for i in range(len(toks) - 7)}:
                 d.append(did)
                 g.append(gram)
+        if not d:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string()),
+                             "part": pa.array([], pa.int64())})
         df = pd.DataFrame({"doc_id": d, "gram": g})
         df["part"] = _part_of(df, ["gram"], P)
         return pa.Table.from_pandas(
