@@ -780,10 +780,13 @@ def q_doc_quality_filter(sf_dir: str, q: float = 0.75) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def q_curation_pipeline(sf_dir: str, q: float = 0.75,
-                        capacity: int = 2048,
-                        n_shards: int = 16) -> pd.DataFrame:
-    """END-TO-END training-data curation — the composed flagship of the
+def curation_survivors(sf_dir: str, q: float = 0.75,
+                       capacity: int = 2048, n_shards: int = 16):
+    """Stages 1-3 of the curation flagship, returning the MATERIALIZED
+    survivor Dataset (doc_id, shard, seq_len) — the narrow table the
+    per-shard packing (and the checkpointed writer) consumes.
+
+    END-TO-END training-data curation — the composed flagship of the
     LLM surface, each stage the already-oracle-proven operator:
 
       1. quality filter  — distinct-token-ratio score >= exact corpus
@@ -941,13 +944,79 @@ def q_curation_pipeline(sf_dir: str, q: float = 0.75,
             "pack_off": pa.array(off, pa.int64()),
         })
 
-    out = (per_doc.map_batches(survivors, batch_format="pyarrow")
-           .groupby("shard")
-           .map_groups(pack_shard, batch_format="pyarrow")
+    return per_doc.map_batches(survivors,
+                               batch_format="pyarrow").materialize()
+
+
+def _pack_shard_group(capacity: int):
+    import numpy as np
+
+    from ..stages.text import pack_greedy
+
+    def fn(g: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(g.column("doc_id")), kind="stable")
+        ids = np.asarray(g.column("doc_id"), dtype=np.int64)[order]
+        seq = np.asarray(g.column("seq_len"), dtype=np.int64)[order]
+        shard = np.asarray(g.column("shard"), dtype=np.int64)[order]
+        pid, off = pack_greedy(seq, capacity)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shard": pa.array(shard, pa.int64()),
+            "seq_len": pa.array(seq, pa.int64()),
+            "pack_id": pa.array(pid, pa.int64()),
+            "pack_off": pa.array(off, pa.int64()),
+        })
+    return fn
+
+
+def q_curation_pipeline(sf_dir: str, q: float = 0.75,
+                        capacity: int = 2048,
+                        n_shards: int = 16) -> pd.DataFrame:
+    """Stage 4 over curation_survivors: survivors greedily packed per
+    hash shard into capacity-token training buffers. See
+    curation_survivors for the full pipeline contract."""
+    import numpy as np
+
+    surv = curation_survivors(sf_dir, q, capacity, n_shards)
+    out = (surv.groupby("shard")
+           .map_groups(_pack_shard_group(capacity),
+                       batch_format="pyarrow")
            .to_pandas())
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def curation_to_parquet(sf_dir: str, out_dir: str, q: float = 0.75,
+                        capacity: int = 2048,
+                        n_shards: int = 16) -> dict:
+    """The curation flagship with RESUMABLE partitioned output
+    (north-rule checkpoint clause): the global stages build the
+    survivor table once; each pack shard is then an independent
+    recovery unit written atomically via state/checkpoint.py — a
+    killed job re-runs only unfinished shards on resume, and the
+    manifest records lineage (pipeline + shard) and metrics (rows,
+    wall seconds) per partition."""
+    from ..state.checkpoint import Shard, run_checkpointed
+
+    surv = curation_survivors(sf_dir, q, capacity, n_shards)
+    shards = [Shard(shard_id=f"{k:05d}",
+                    lineage={"pipeline": "curation", "shard": k,
+                             "input": sf_dir})
+              for k in range(n_shards)]
+
+    def run_shard(shard: Shard):
+        import pyarrow.compute as pc
+        k = shard.lineage["shard"]
+        part = surv.map_batches(
+            lambda b, _k=k: b.filter(pc.equal(b.column("shard"), _k)),
+            batch_format="pyarrow")
+        return part.groupby("shard").map_groups(
+            _pack_shard_group(capacity), batch_format="pyarrow")
+
+    config = {"q": q, "capacity": capacity, "n_shards": n_shards,
+              "input": sf_dir}
+    return run_checkpointed(shards, run_shard, out_dir, config)
 
 
 def _minhash_candidates_ds(sf_dir: str):

@@ -83,3 +83,37 @@ def test_flagship_checkpointed(tmp_path, ray_session):
     ds = read_output(out)
     assert ds.count() == 64
     assert "tile_id" in ds.schema().names
+
+
+def test_curation_checkpointed(tmp_path, ray_session):
+    """The curation flagship's resumable writer: output matches
+    q_curation_pipeline row-for-row; a lost manifest line re-runs ONLY
+    that pack shard on resume."""
+    import json
+    import os
+
+    from ioverlay_ray.pipelines.relational import (q_curation_pipeline,
+                                                   curation_to_parquet)
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    s = curation_to_parquet(sf, out, n_shards=4)
+    want = q_curation_pipeline(sf, n_shards=4)
+    assert s["rows"] == len(want)
+    got = read_output(out).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got[["doc_id", "shard", "seq_len", "pack_id", "pack_off"]] \
+        .equals(want)
+
+    # resume is a no-op
+    s2 = curation_to_parquet(sf, out, n_shards=4)
+    assert s2["ran"] == [] and s2["rows"] == len(want)
+
+    # lose shard 00002's manifest line -> only it re-runs
+    recs = [json.loads(x) for x in open(os.path.join(out, MANIFEST))]
+    with open(os.path.join(out, MANIFEST), "w") as f:
+        for r in recs:
+            if r["shard_id"] != "00002":
+                f.write(json.dumps(r) + "\n")
+    s3 = curation_to_parquet(sf, out, n_shards=4)
+    assert s3["ran"] == ["00002"] and s3["rows"] == len(want)
