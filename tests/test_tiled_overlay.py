@@ -467,3 +467,81 @@ def test_resolve_parents_ds_chains(ray_session):
     got = dict(zip(out["hole_id"].astype(int), out["parent_id"].astype(int)))
     # hulls may also appear (labelled nodes); holes must all be right
     assert all(got[h] == p for h, p in expect.items())
+
+
+def _case_points(case):
+    return [[tuple(p) for p in path] for path in case["subj"]], \
+        [[tuple(p) for p in path] for path in case["clip_paths"]]
+
+
+def _case_size(case):
+    return sum(len(p) for p in case["subj"]) + \
+        sum(len(p) for p in case["clip_paths"])
+
+
+def test_fixture_corpus_tiled_ring_parity():
+    """Reference fixture corpus through the TILED path: full ring-set
+    parity with the single kernel on a deterministic 40-case sample
+    (small cases for runtime; the full 162x4 sweep was verified clean
+    once — NOTES.md round-5 lead #1). Guards the pinch-junction ring
+    decomposition on the reference's own degenerate geometry."""
+    from ioverlay_ray.sources.fixtures import (boolean_case_count,
+                                               load_boolean_case)
+
+    n = boolean_case_count()
+    cases = sorted(range(n), key=lambda i: _case_size(load_boolean_case(i)))
+    for i in cases[:40]:
+        case = load_boolean_case(i)
+        subj, clip = _case_points(case)
+        fr = case["fill_rule"]
+        for rule in ("union", "intersect", "difference", "xor"):
+            s1 = overlay(subj, clip, rule, fr)
+            s2 = tiled_overlay(subj, clip, rule, fr, 256)
+            assert _ring_multiset(s1) == _ring_multiset(s2), (i, rule)
+
+
+def test_arbitrary_soup_invariants():
+    """Random SELF-INTERSECTING scenes (the regime the rect/diamond
+    gates never generated): the tiled path preserves split set, fills,
+    boundary edge multiset, area, and shape count bit-exactly. Ring
+    DECOMPOSITION at pinch junctions may legitimately differ from the
+    kernel here (hull figure-eights; see NOTES.md round-5 lead #1) so
+    ring-set equality is NOT asserted — every other invariant is."""
+    from ioverlay_ray.geometry.kernel import (build_segments,
+                                              compute_fills,
+                                              split_segments)
+    from ioverlay_ray.geometry.tiled import (binned_split, oriented_edges,
+                                             strip_fills)
+
+    rng = np.random.default_rng(20260819)
+    for trial in range(12):
+        subj, clip = [], []
+        for _ in range(int(rng.integers(3, 10))):
+            x0, y0 = rng.integers(0, 1500, 2)
+            w, h = rng.integers(3, 400, 2)
+            subj.append(rect(int(x0), int(y0), int(w), int(h)))
+        for _ in range(int(rng.integers(2, 10))):
+            k = int(rng.integers(3, 9))
+            pts = rng.integers(0, 1500, size=(k, 2))
+            clip.append([(int(x), int(y)) for x, y in pts])
+        sw = int(rng.choice([64, 128, 256]))
+
+        ref = split_segments(build_segments(subj, clip))
+        got = binned_split(build_segments(subj, clip), sw)
+        assert canon(ref) == canon(got)
+        o_ref = np.lexsort((ref.by, ref.bx, ref.ay, ref.ax))
+        o_got = np.lexsort((got.by, got.bx, got.ay, got.ax))
+        for fr in (0, 1):
+            f_ref = compute_fills(ref, fr)
+            f_got = strip_fills(got, fr, sw)
+            assert np.array_equal(f_ref[o_ref], f_got[o_got])
+            for rule_name, rule_id in (("union", 3), ("xor", 6)):
+                e_ref = oriented_edges(ref, f_ref, rule_id)
+                e_got = oriented_edges(got, f_got, rule_id)
+                ref_set = sorted(zip(*(a.tolist() for a in e_ref)))
+                got_set = sorted(zip(*(a.tolist() for a in e_got)))
+                assert ref_set == got_set, (trial, rule_name, fr)
+        for rule in RULES:
+            s1 = overlay(subj, clip, rule, "nonzero")
+            s2 = tiled_overlay(subj, clip, rule, "nonzero", sw)
+            assert shapes_area2(s1) == shapes_area2(s2), rule
