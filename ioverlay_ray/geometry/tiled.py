@@ -723,16 +723,34 @@ def assemble_shapes(rings: List[List[Point]]) -> List[list]:
 # dataset stage — pipelines/tiled_overlay.py)
 # ---------------------------------------------------------------------------
 
+def auto_strip_w(x_min: int, x_max: int, n_strips: int = 64) -> int:
+    """Power-of-two strip width targeting ~n_strips strips over the
+    scene's x-extent. Bin/strip replication cost scales with
+    extent/strip_w, NOT with data — a fixed small width on a
+    wide-coordinate scene (fixture case 135 spans ±3.7e8) replicates
+    a handful of segments into millions of bins."""
+    extent = max(1, int(x_max) - int(x_min))
+    target = max(1, extent // max(1, n_strips))
+    return 1 << max(4, (target - 1).bit_length())
+
+
 def tiled_overlay(subj: Sequence, clip: Sequence, rule, fill_rule,
-                  strip_w: int = DEFAULT_STRIP_W) -> List[list]:
+                  strip_w: int | None = None) -> List[list]:
     """Strip-distributed boolean overlay, bit-exact with overlay()
-    boundary geometry (ring decomposition may differ at touch points;
-    the boundary edge set and areas are identical)."""
+    boundary geometry (ring decomposition may differ at touch points
+    of degenerate self-intersecting inputs — NOTES.md round-5 lead #1;
+    the reference fixture corpus is full-ring-set clean). strip_w=None
+    auto-sizes to the scene extent (any explicit width remains
+    bit-exact, but a width tiny relative to the extent explodes the
+    bin replication)."""
     if isinstance(rule, str):
         rule = RULE_NAMES[rule.lower().replace("_", "")]
     if isinstance(fill_rule, str):
         fill_rule = FILL_RULE_NAMES[fill_rule.lower().replace("_", "")]
     segs = build_segments(subj, clip)
+    if strip_w is None:
+        strip_w = DEFAULT_STRIP_W if len(segs) == 0 else auto_strip_w(
+            int(segs.ax.min()), int(segs.bx.max()))
     segs = binned_split(segs, strip_w)
     if len(segs) == 0:
         return []

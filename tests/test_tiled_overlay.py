@@ -496,7 +496,9 @@ def test_fixture_corpus_tiled_ring_parity():
         fr = case["fill_rule"]
         for rule in ("union", "intersect", "difference", "xor"):
             s1 = overlay(subj, clip, rule, fr)
-            s2 = tiled_overlay(subj, clip, rule, fr, 256)
+            # auto strip width: wide-coordinate fixture cases (e.g.
+            # 135 spans +-3.7e8) must not explode bin replication
+            s2 = tiled_overlay(subj, clip, rule, fr, strip_w=None)
             assert _ring_multiset(s1) == _ring_multiset(s2), (i, rule)
 
 
@@ -545,3 +547,79 @@ def test_arbitrary_soup_invariants():
             s1 = overlay(subj, clip, rule, "nonzero")
             s2 = tiled_overlay(subj, clip, rule, "nonzero", sw)
             assert shapes_area2(s1) == shapes_area2(s2), rule
+
+
+# The strip walk's pinch-junction pairing diverges from the kernel's
+# per-ring NearestVector rotation on these EXECUTED fixture cases
+# (self-intersecting contours / shared-vertex inner fans; 150/152's
+# triangle fans turned out to CONFORM once compared canonically); the
+# kernel passes their goldens, the tiled path does not. Full analysis
+# + fix design: NOTES.md round-5 lead #1. strict xfail: fixing the
+# walker flips these to XPASS and fails the suite until de-listed.
+TILED_DIVERGENT_FIXTURES = (138, 139, 141, 142)
+
+
+def _canon_ring(c):
+    from ioverlay_ray.geometry.extract import simplify_contour
+    pts = [tuple(p) for p in simplify_contour(list(c))[0]]
+    best = None
+    for seq in (pts, list(reversed(pts))):
+        n = len(seq)
+        for r in range(n):
+            rot = tuple(seq[r:] + seq[:r])
+            if best is None or rot < best:
+                best = rot
+    return best
+
+
+def _canon_shapes(shapes):
+    """Order/orientation/rotation/collinear-insensitive canonical form
+    of a shape list: multiset of (hull, sorted holes) ring tuples."""
+    out = []
+    for s in shapes:
+        rings = [_canon_ring(c) for c in s]
+        out.append((rings[0], tuple(sorted(rings[1:]))))
+    return sorted(out)
+
+
+def _golden_one_of(shapes, golden_variants):
+    got = _canon_shapes(shapes)
+    return any(got == _canon_shapes(v) for v in golden_variants)
+
+
+@pytest.mark.parametrize("index", TILED_DIVERGENT_FIXTURES)
+@pytest.mark.xfail(strict=True,
+                   reason="pinch-junction ring pairing: NOTES round-5 lead #1")
+def test_tiled_divergent_fixture_golden(index):
+    from ioverlay_ray.sources import fixtures
+
+    case = fixtures.load_boolean_case(index)
+    subj, clip = _case_points(case)
+    fr = case["fill_rule"]
+    for key in ("union", "difference", "xor"):
+        if key not in case:
+            continue
+        s2 = tiled_overlay(subj, clip, key, fr, strip_w=None)
+        assert _golden_one_of(s2, case[key]), (index, key)
+
+
+def test_tiled_fixture_golden_conformance_sample():
+    """Golden conformance of the TILED path on executed fixture cases
+    OUTSIDE the known-divergent set: output (either orientation) must
+    be an accepted golden variant. Samples every 6th executed case for
+    runtime."""
+    from ioverlay_ray.sources import fixtures
+
+    executed = list(range(144)) + [150, 151, 152]
+
+    for index in executed[::6]:
+        if index in TILED_DIVERGENT_FIXTURES:
+            continue
+        case = fixtures.load_boolean_case(index)
+        subj, clip = _case_points(case)
+        fr = case["fill_rule"]
+        for key in ("union", "intersect", "difference", "xor"):
+            if key not in case:
+                continue
+            s2 = tiled_overlay(subj, clip, key, fr, strip_w=None)
+            assert _golden_one_of(s2, case[key]), (index, key)
