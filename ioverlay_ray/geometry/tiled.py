@@ -211,10 +211,13 @@ def bottom_windings_subset(segs: Segments, q_idx: np.ndarray,
 # Phase 3: oriented edges, per-strip chain walk, stitch
 # ---------------------------------------------------------------------------
 
-def oriented_edges(segs: Segments, fills: np.ndarray, rule: int):
+def oriented_edges(segs: Segments, fills: np.ndarray, rule: int,
+                   return_flags: bool = False):
     """Included boundary edges oriented region-on-left (fill above ->
     travel a->b). Returns (tx, ty, hx, hy) int64 arrays — the bit-exact
-    comparison surface against the single kernel."""
+    comparison surface against the single kernel. With
+    ``return_flags`` also returns the per-edge is_fill_top bit (the
+    kernel's per-link hole flag, needed by the junction correction)."""
     mask = rule_include_mask(fills, rule)
     idx = np.flatnonzero(mask)
     f = fills[idx]
@@ -226,6 +229,8 @@ def oriented_edges(segs: Segments, fills: np.ndarray, rule: int):
     ty = np.where(top, ay, by)
     hx = np.where(top, bx, ax)
     hy = np.where(top, by, ay)
+    if return_flags:
+        return tx, ty, hx, hy, top
     return tx, ty, hx, hy
 
 
@@ -755,9 +760,12 @@ def tiled_overlay(subj: Sequence, clip: Sequence, rule, fill_rule,
     if len(segs) == 0:
         return []
     fills = strip_fills(segs, fill_rule, strip_w)
-    tx, ty, hx, hy = oriented_edges(segs, fills, rule)
+    tx, ty, hx, hy, flags = oriented_edges(segs, fills, rule,
+                                           return_flags=True)
     if len(tx) == 0:
         return []
+    edge_flags = {((int(tx[i]), int(ty[i])), (int(hx[i]), int(hy[i]))):
+                  bool(flags[i]) for i in range(len(tx))}
     tstrip = tx // strip_w
     order = np.argsort(tstrip, kind="stable")
     tstrip = tstrip[order]
@@ -775,4 +783,206 @@ def tiled_overlay(subj: Sequence, clip: Sequence, rule, fill_rule,
         rings.extend(r)
         chains.extend(c)
     rings.extend(stitch_chains(chains))
+    rings = correct_junction_rings(rings, edge_flags)
     return assemble_shapes(rings)
+
+
+# ---------------------------------------------------------------------------
+# Kernel-faithful correction of pinch-junction ring pairing
+# ---------------------------------------------------------------------------
+
+def _faithful_component_rings(edges, flags):
+    """Kernel-faithful ring decomposition of ONE pooled junction
+    component: mirrors extract.py's walk (_find_left_top_link /
+    _next_link / _find_contour, themselves ports of
+    core/extract.rs + core/nearest_vector.rs) over the component's
+    links, with per-ring rotation from the left-top link's
+    is_fill_top flag — the piece the strip walker's fixed face rule
+    lacks (NOTES round-5 lead #1).
+
+    ``edges``: directed (tail, head) point pairs in the tiled travel
+    orientation; ``flags``: per-edge is_fill_top. Returns rings in the
+    same travel orientation (clockwise=False conventions throughout,
+    matching overlay()'s default)."""
+    n = len(edges)
+    la, lb, lflag = [], [], []
+    for (t, h), f in zip(edges, flags):
+        if t <= h:
+            la.append(t)
+            lb.append(h)
+        else:
+            la.append(h)
+            lb.append(t)
+        lflag.append(f)
+    order = sorted(range(n), key=lambda i: (la[i], lb[i]))
+    la = [la[i] for i in order]
+    lb = [lb[i] for i in order]
+    lflag = [lflag[i] for i in order]
+
+    node_of: dict = {}
+    a_id = [0] * n
+    b_id = [0] * n
+    for i in range(n):
+        a_id[i] = node_of.setdefault(la[i], len(node_of))
+        b_id[i] = node_of.setdefault(lb[i], len(node_of))
+    nodes: list = [[] for _ in range(len(node_of))]
+    for i in range(n):
+        nodes[a_id[i]].append(i)
+        if b_id[i] != a_id[i]:
+            nodes[b_id[i]].append(i)
+
+    def other(i, nid):
+        return lb[i] if a_id[i] == nid else la[i]
+
+    def is_cw(p0, p1, p2):
+        return (p1[0] - p0[0]) * (p2[1] - p0[1]) \
+            - (p1[1] - p0[1]) * (p2[0] - p0[0]) < 0
+
+    visited = [False] * n
+
+    def find_left_top(idx):
+        # extract.py _find_left_top_link (core/extract.rs:400-470)
+        node = nodes[a_id[idx]]
+        if len(node) == 2:
+            i0, i1 = node
+            return i0 if is_cw(la[i0], lb[i0], lb[i1]) else i1
+        top = idx
+        top_a, top_b = la[idx], lb[idx]
+        for i in node:
+            if i == idx or la[i] >= lb[i] or visited[i]:
+                continue
+            if is_cw(top_a, top_b, lb[i]):
+                continue
+            top = i
+            top_b = lb[i]
+        return top
+
+    def next_link(link_id, nid, clockwise):
+        # extract.py _next_link selection core (exact integers)
+        node = nodes[nid]
+        if len(node) == 2:
+            return node[1] if node[0] == link_id else node[0]
+        first = -1
+        second = -1
+        pos = 0
+        for i, li in enumerate(node):
+            if not visited[li]:
+                if first < 0:
+                    first = li
+                else:
+                    second = li
+                    pos = i
+                    break
+        if first < 0:
+            return link_id
+        if second < 0:
+            return first
+        if a_id[link_id] == nid:
+            c, a = la[link_id], lb[link_id]
+        else:
+            c, a = lb[link_id], la[link_id]
+        vax, vay = a[0] - c[0], a[1] - c[1]
+        bpt = other(first, nid)
+        vbx, vby = bpt[0] - c[0], bpt[1] - c[1]
+        rot = 1 if clockwise else -1
+        cr = vax * vby - vay * vbx
+        more_180 = (cr >= 0) if clockwise else (cr <= 0)
+        best = first
+
+        def add(p, pid):
+            nonlocal vbx, vby, more_180, best
+            vpx, vpy = p[0] - c[0], p[1] - c[1]
+            ap_more = (vax * vpy - vay * vpx) * rot >= 0
+            if more_180 == ap_more:
+                if (vpx * vby - vpy * vbx) * rot < 0:
+                    vbx, vby = vpx, vpy
+                    best = pid
+            elif more_180:
+                more_180 = False
+                vbx, vby = vpx, vpy
+                best = pid
+
+        add(other(second, nid), second)
+        for li in node[pos + 1:]:
+            if not visited[li]:
+                add(other(li, nid), li)
+        return best
+
+    rings = []
+    for idx in range(n):
+        if visited[idx]:
+            continue
+        lt = find_left_top(idx)
+        hole = bool(lflag[lt])
+        direction = (hole == False)  # noqa: E712  (clockwise=False)
+        if direction:
+            begin, nid, last_nid = lb[lt], a_id[lt], b_id[lt]
+        else:
+            begin, nid, last_nid = la[lt], b_id[lt], a_id[lt]
+        link_id = lt
+        visited[link_id] = True
+        points = [begin]
+        last_link = next_link(lt, last_nid, not direction)
+        guard = 0
+        while link_id != last_link and guard <= n:
+            guard += 1
+            link_id = next_link(link_id, nid, direction)
+            if a_id[link_id] == nid:
+                points.append(la[link_id])
+                nid = b_id[link_id]
+            else:
+                points.append(lb[link_id])
+                nid = a_id[link_id]
+            visited[link_id] = True
+        rings.append(points)
+    return rings
+
+
+def correct_junction_rings(rings, edge_flags):
+    """Re-extract ring components touching shared/repeated vertices
+    with the kernel-faithful walk. ``edge_flags``: dict mapping each
+    directed (tail, head) oriented edge to its is_fill_top flag.
+    Components of a single simple ring pass through untouched (the
+    overwhelmingly common case)."""
+    # union-find over rings via shared vertices
+    owner: dict = {}
+    parent = list(range(len(rings)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    self_touch = set()
+    for ri, ring in enumerate(rings):
+        seen = set()
+        for p in ring:
+            if p in seen:
+                self_touch.add(ri)
+            seen.add(p)
+            if p in owner:
+                ra, rb = find(owner[p]), find(ri)
+                if ra != rb:
+                    parent[rb] = ra
+            else:
+                owner[p] = ri
+    groups: dict = {}
+    for ri in range(len(rings)):
+        groups.setdefault(find(ri), []).append(ri)
+
+    out = []
+    for members in groups.values():
+        if len(members) == 1 and members[0] not in self_touch:
+            out.append(rings[members[0]])
+            continue
+        edges = []
+        flags = []
+        for ri in members:
+            ring = rings[ri]
+            for i in range(len(ring)):
+                e = (ring[i - 1], ring[i])
+                edges.append(e)
+                flags.append(edge_flags[e])
+        out.extend(_faithful_component_rings(edges, flags))
+    return out

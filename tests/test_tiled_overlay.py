@@ -505,10 +505,10 @@ def test_fixture_corpus_tiled_ring_parity():
 def test_arbitrary_soup_invariants():
     """Random SELF-INTERSECTING scenes (the regime the rect/diamond
     gates never generated): the tiled path preserves split set, fills,
-    boundary edge multiset, area, and shape count bit-exactly. Ring
-    DECOMPOSITION at pinch junctions may legitimately differ from the
-    kernel here (hull figure-eights; see NOTES.md round-5 lead #1) so
-    ring-set equality is NOT asserted — every other invariant is."""
+    boundary edge multiset, area — and, since correct_junction_rings
+    (kernel-faithful re-extraction of pooled junction components),
+    the FULL RING MULTISET matches the single kernel too (was 55/120
+    scenes divergent before the fix; NOTES.md round-5 lead #1)."""
     from ioverlay_ray.geometry.kernel import (build_segments,
                                               compute_fills,
                                               split_segments)
@@ -547,15 +547,15 @@ def test_arbitrary_soup_invariants():
             s1 = overlay(subj, clip, rule, "nonzero")
             s2 = tiled_overlay(subj, clip, rule, "nonzero", sw)
             assert shapes_area2(s1) == shapes_area2(s2), rule
+            assert _ring_multiset(s1) == _ring_multiset(s2), rule
 
 
-# The strip walk's pinch-junction pairing diverges from the kernel's
-# per-ring NearestVector rotation on these EXECUTED fixture cases
-# (self-intersecting contours / shared-vertex inner fans; 150/152's
-# triangle fans turned out to CONFORM once compared canonically); the
-# kernel passes their goldens, the tiled path does not. Full analysis
-# + fix design: NOTES.md round-5 lead #1. strict xfail: fixing the
-# walker flips these to XPASS and fails the suite until de-listed.
+# These EXECUTED fixture cases (self-intersecting contours /
+# shared-vertex inner fans) are exactly where the strip walk's fixed
+# face rule used to diverge from the kernel's per-ring NearestVector
+# rotation; correct_junction_rings (kernel-faithful re-extraction of
+# pooled junction components) closes them. Kept as named regression
+# cases. History + distributed-path design: NOTES.md round-5 lead #1.
 TILED_DIVERGENT_FIXTURES = (138, 139, 141, 142)
 
 
@@ -588,8 +588,6 @@ def _golden_one_of(shapes, golden_variants):
 
 
 @pytest.mark.parametrize("index", TILED_DIVERGENT_FIXTURES)
-@pytest.mark.xfail(strict=True,
-                   reason="pinch-junction ring pairing: NOTES round-5 lead #1")
 def test_tiled_divergent_fixture_golden(index):
     from ioverlay_ray.sources import fixtures
 
@@ -613,8 +611,6 @@ def test_tiled_fixture_golden_conformance_sample():
     executed = list(range(144)) + [150, 151, 152]
 
     for index in executed[::6]:
-        if index in TILED_DIVERGENT_FIXTURES:
-            continue
         case = fixtures.load_boolean_case(index)
         subj, clip = _case_points(case)
         fr = case["fill_rule"]
