@@ -760,12 +760,9 @@ def tiled_overlay(subj: Sequence, clip: Sequence, rule, fill_rule,
     if len(segs) == 0:
         return []
     fills = strip_fills(segs, fill_rule, strip_w)
-    tx, ty, hx, hy, flags = oriented_edges(segs, fills, rule,
-                                           return_flags=True)
+    tx, ty, hx, hy = oriented_edges(segs, fills, rule)
     if len(tx) == 0:
         return []
-    edge_flags = {((int(tx[i]), int(ty[i])), (int(hx[i]), int(hy[i]))):
-                  bool(flags[i]) for i in range(len(tx))}
     tstrip = tx // strip_w
     order = np.argsort(tstrip, kind="stable")
     tstrip = tstrip[order]
@@ -783,7 +780,7 @@ def tiled_overlay(subj: Sequence, clip: Sequence, rule, fill_rule,
         rings.extend(r)
         chains.extend(c)
     rings.extend(stitch_chains(chains))
-    rings = correct_junction_rings(rings, edge_flags)
+    rings = correct_junction_rings(rings)
     return assemble_shapes(rings)
 
 
@@ -791,7 +788,7 @@ def tiled_overlay(subj: Sequence, clip: Sequence, rule, fill_rule,
 # Kernel-faithful correction of pinch-junction ring pairing
 # ---------------------------------------------------------------------------
 
-def _faithful_component_rings(edges, flags):
+def _faithful_component_rings(edges):
     """Kernel-faithful ring decomposition of ONE pooled junction
     component: mirrors extract.py's walk (_find_left_top_link /
     _next_link / _find_contour, themselves ports of
@@ -801,19 +798,24 @@ def _faithful_component_rings(edges, flags):
     lacks (NOTES round-5 lead #1).
 
     ``edges``: directed (tail, head) point pairs in the tiled travel
-    orientation; ``flags``: per-edge is_fill_top. Returns rings in the
-    same travel orientation (clockwise=False conventions throughout,
-    matching overlay()'s default)."""
+    orientation. The per-link is_fill_top flag is RECOVERED from the
+    orientation itself: oriented_edges travels a->b exactly when the
+    flag is set and canonical segments satisfy a < b, so
+    flag == (tail < head) (verified against oriented_edges
+    return_flags on fixtures + soup). Returns rings in the same travel
+    orientation (clockwise=False conventions, matching overlay()'s
+    default)."""
     n = len(edges)
     la, lb, lflag = [], [], []
-    for (t, h), f in zip(edges, flags):
+    for (t, h) in edges:
         if t <= h:
             la.append(t)
             lb.append(h)
+            lflag.append(t < h)
         else:
             la.append(h)
             lb.append(t)
-        lflag.append(f)
+            lflag.append(False)
     order = sorted(range(n), key=lambda i: (la[i], lb[i]))
     la = [la[i] for i in order]
     lb = [lb[i] for i in order]
@@ -938,12 +940,11 @@ def _faithful_component_rings(edges, flags):
     return rings
 
 
-def correct_junction_rings(rings, edge_flags):
+def correct_junction_rings(rings):
     """Re-extract ring components touching shared/repeated vertices
-    with the kernel-faithful walk. ``edge_flags``: dict mapping each
-    directed (tail, head) oriented edge to its is_fill_top flag.
-    Components of a single simple ring pass through untouched (the
-    overwhelmingly common case)."""
+    with the kernel-faithful walk (flags recovered from edge
+    orientation). Components of a single simple ring pass through
+    untouched (the overwhelmingly common case)."""
     # union-find over rings via shared vertices
     owner: dict = {}
     parent = list(range(len(rings)))
@@ -977,12 +978,9 @@ def correct_junction_rings(rings, edge_flags):
             out.append(rings[members[0]])
             continue
         edges = []
-        flags = []
         for ri in members:
             ring = rings[ri]
             for i in range(len(ring)):
-                e = (ring[i - 1], ring[i])
-                edges.append(e)
-                flags.append(edge_flags[e])
-        out.extend(_faithful_component_rings(edges, flags))
+                edges.append((ring[i - 1], ring[i]))
+        out.extend(_faithful_component_rings(edges))
     return out

@@ -47,7 +47,7 @@ from ..geometry.kernel import (FILL_RULE_NAMES, RULE_NAMES, Segments,
                                fills_from_windings, is_fill_top,
                                rule_include_mask, sort_merge)
 from ..geometry.tiled import (bind_tags, bottom_windings_subset,
-                              stitch_chains)
+                              correct_junction_rings, stitch_chains)
 from ..geometry.extract import _left_bottom_segment
 
 PTS = pa.list_(pa.int64())  # flat x,y pairs
@@ -408,8 +408,26 @@ def _walk(strip_w: int):
             pa.array(all_vals, pa.int64()))
         kinds = np.concatenate((np.zeros(nr, np.int64),
                                 np.ones(len(chains), np.int64)))
-        return pa.table({"kind": pa.array(kinds, pa.int64()),
-                         "pts": pts.cast(PTS)})
+        out = pa.table({"kind": pa.array(kinds, pa.int64()),
+                        "pts": pts.cast(PTS)})
+        # junction vertices (>= 2 outgoing edges; ownership puts ALL a
+        # node's out-edges in its strip, so local out-degree is global)
+        # ride along as kind=2 rows — the pinch correction's seed set,
+        # with no extra exchange
+        OFF = np.int64(1 << 30)
+        tails = ((np.asarray(tx, np.int64) + OFF) << np.int64(31)) \
+            | (np.asarray(ty, np.int64) + OFF)
+        uniq, cnt = np.unique(tails, return_counts=True)
+        j = uniq[cnt >= 2]
+        if len(j):
+            jx = (j >> np.int64(31)) - OFF
+            jy = (j & np.int64((1 << 31) - 1)) - OFF
+            jpts = pa.array([[int(a), int(b)] for a, b in zip(jx, jy)],
+                            PTS)
+            out = pa.concat_tables([out, pa.table({
+                "kind": pa.array([2] * len(j), pa.int64()),
+                "pts": jpts})])
+        return out
     return fn
 
 
@@ -446,20 +464,28 @@ def _stitch_final(group: pa.Table) -> pa.Table:
     })
 
 
-def _stitched_rings(walkout, strip_w: int, block_strips: int = 8):
+def _stitched_rings(walkout, strip_w: int, block_strips: int = 8,
+                    with_junctions: bool = False):
     """rings Dataset from the walk output: local rings pass through,
-    chains stitch in a block round then one final task."""
+    chains stitch in a block round then one final task. With
+    ``with_junctions`` also returns the kind=2 junction-vertex rows
+    (filtered from the same single materialization)."""
     import pyarrow.compute as pc
 
-    # one materialization: both branch filters below are narrow reads
+    # one materialization: all branch filters below are narrow reads
     # of the walk output — without it the fill+walk groupbys would
     # re-execute once per consuming branch
     walkout = walkout.materialize()
+    junc = walkout.filter(expr="kind == 2") if with_junctions else None
+
+    def _ret(rings):
+        return (rings, junc) if with_junctions else rings
+
     rings0 = walkout.filter(expr="kind == 0")
     chains = walkout.filter(expr="kind == 1").materialize()
     n_chains = chains.count()
     if n_chains == 0:
-        return rings0
+        return _ret(rings0)
 
     if n_chains <= SINGLE_STITCH_CAP:
         # small chain tail (the common case): one final stitch task —
@@ -467,7 +493,7 @@ def _stitched_rings(walkout, strip_w: int, block_strips: int = 8):
         final = chains.repartition(1).map_batches(
             lambda b: _stitch_final(b.select(["kind", "pts"])),
             batch_size=None, batch_format="pyarrow")
-        return rings0.union(final)
+        return _ret(rings0.union(final))
 
     def tag_block(batch: pa.Table) -> pa.Table:
         starts_x = pc.list_element(batch.column("pts"), 0)
@@ -519,7 +545,121 @@ def _stitched_rings(walkout, strip_w: int, block_strips: int = 8):
                 lambda g: _stitch_final(g.select(["kind", "pts"])),
                 batch_format="pyarrow")
         parts.append(final)
-    return parts[0].union(*parts[1:])
+    return _ret(parts[0].union(*parts[1:]))
+
+
+# rings affected by a pinch correction are pooled on the driver; a
+# scene with more than this many affected rings (or shared vertices)
+# falls back to self-touch-only seeding, then to no correction (the
+# uncorrected decomposition stays area/edge-exact — see
+# geometry/tiled.correct_junction_rings)
+CORRECTION_RINGS_CAP = 1 << 16
+SHARED_VERTS_CAP = 1 << 16
+
+
+def _pack_pts(flat: np.ndarray) -> np.ndarray:
+    OFF = np.int64(1 << 30)
+    return ((flat[0::2] + OFF) << np.int64(31)) | (flat[1::2] + OFF)
+
+
+def _ring_slices(b: pa.Table):
+    col = b.column("pts")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.asarray(col.offsets, np.int64)
+    vals = np.asarray(col.values, np.int64)
+    return offs, vals
+
+
+def _correct_rings_ds(rings_ds, junc_ds):
+    """Distributed pinch-junction correction (NOTES round-5 lead #1,
+    distributed half): rings passing through a junction vertex
+    (out-degree >= 2 in the oriented edge graph — the kind=2 rows the
+    strip walk emits for free, a superset of both observed divergence
+    seeds: self-touching rings where the walker merged two kernel
+    rings, and shared-vertex meetings where stitch split a kernel
+    pinched ring, e.g. fixture 138's bowtie) are pooled transitively
+    on the driver and re-extracted with the kernel-faithful walk.
+    Caps make junction-dense geometries (checkerboards / LinesNet:
+    every crossing is a junction, and their pairings are already
+    exact) fall back to self-touch-only seeding, then to no
+    correction; pinch components in real scenes are point-local and
+    tiny."""
+    rings_ds = rings_ds.materialize()
+    junc_ds = junc_ds.materialize()
+    vset: set = set()
+    if junc_ds.count() <= SHARED_VERTS_CAP:
+        for row in junc_ds.take_all():
+            flat = np.asarray(row["pts"], np.int64)
+            vset.add(int(_pack_pts(flat)[0]))
+    else:
+        # junction-dense scene — seed from self-touching rings only
+        # (their pairings are the only observed wrong-merge signature
+        # at that density; see NOTES round-5 lead #1)
+        def mark(b: pa.Table) -> pa.Table:
+            offs, vals = _ring_slices(b)
+            packed = _pack_pts(vals)
+            n = len(offs) - 1
+            ring_id = np.repeat(np.arange(n, dtype=np.int64),
+                                np.diff(offs) // 2)
+            order = np.lexsort((packed, ring_id))
+            rp, ri = packed[order], ring_id[order]
+            dup = (rp[1:] == rp[:-1]) & (ri[1:] == ri[:-1])
+            touch = np.zeros(n, np.int64)
+            touch[ri[1:][dup]] = 1
+            return b.append_column("touch",
+                                   pa.array(touch, pa.int64()))
+
+        touchers = rings_ds.map_batches(
+            mark, batch_format="pyarrow").filter(
+                expr="touch == 1").take_all()
+        for row in touchers:
+            flat = np.asarray(row["pts"], np.int64)
+            vset.update(_pack_pts(flat).tolist())
+    if not vset:
+        return rings_ds
+    vref = ray.put(np.fromiter(vset, np.int64, len(vset)))
+
+    def split_col(b: pa.Table) -> pa.Table:
+        vs = ray.get(vref)
+        offs, vals = _ring_slices(b)
+        packed = _pack_pts(vals)
+        n = len(offs) - 1
+        ring_id = np.repeat(np.arange(n, dtype=np.int64),
+                            np.diff(offs) // 2)
+        hit = np.zeros(n, np.int64)
+        touched = ring_id[np.isin(packed, vs)]
+        hit[touched] = 1
+        return b.append_column("hit", pa.array(hit, pa.int64()))
+
+    hits = rings_ds.map_batches(split_col,
+                                batch_format="pyarrow").materialize()
+    n_affected = hits.filter(expr="hit == 1").count()
+    if n_affected > CORRECTION_RINGS_CAP:
+        import warnings
+        warnings.warn(
+            f"pinch correction skipped: {n_affected} affected rings "
+            f"exceed CORRECTION_RINGS_CAP={CORRECTION_RINGS_CAP}; ring "
+            "decomposition at pinch junctions may differ from the "
+            "kernel (areas/edges stay exact)")
+        return hits.map_batches(lambda b: b.select(["kind", "pts"]),
+                                batch_format="pyarrow")
+    affected = hits.filter(expr="hit == 1").take_all()
+    clean = hits.filter(expr="hit == 0").map_batches(
+        lambda b: b.select(["kind", "pts"]), batch_format="pyarrow")
+    pooled = []
+    for row in affected:
+        flat = row["pts"]
+        pooled.append(list(zip([int(v) for v in flat[0::2]],
+                               [int(v) for v in flat[1::2]])))
+    fixed = correct_junction_rings(pooled)
+    if not fixed:
+        return clean
+    tbl = pa.table({
+        "kind": pa.array([0] * len(fixed), pa.int64()),
+        "pts": pa.array([[v for p in r for v in p] for r in fixed], PTS),
+    })
+    return clean.union(ray.data.from_arrow(tbl))
 
 
 # ---------------------------------------------------------------------------
@@ -879,7 +1019,8 @@ def tiled_rings_from_segments_ds(segs_ds, rule, fill_rule,
                          batch_format="pyarrow"))
     walkout = edges.groupby("tstrip").map_groups(
         _walk(strip_w), batch_format="pyarrow")
-    return _stitched_rings(walkout, strip_w)
+    rings, junc = _stitched_rings(walkout, strip_w, with_junctions=True)
+    return _correct_rings_ds(rings, junc)
 
 
 def tiled_rings_ds(subj: Sequence, clip: Sequence, rule, fill_rule,
