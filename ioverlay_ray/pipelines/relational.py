@@ -31,10 +31,32 @@ def _read(sf_dir: str, table: str, columns=None,
                                  override_num_blocks=num_blocks)
 
 
-def _small_table(sf_dir: str, table: str, columns=None) -> pa.Table:
-    """Driver-side read of a dimension table (broadcast side)."""
+def _small_table(sf_dir: str, table: str, columns=None,
+                 filters=None) -> pa.Table:
+    """Driver-side read of a dimension table (broadcast side). Pass
+    ``filters`` for point/range lookups on big tables — the predicate
+    pushes down to row-group pruning, so the driver never holds more
+    than the matching rows (at 100 TB a key-partitioned layout makes
+    this a few file reads, not a scan)."""
     return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
-                         columns=columns)
+                         columns=columns, filters=filters)
+
+
+def _query_vectors(sf_dir: str, n: int) -> pd.DataFrame:
+    """The first-n-vec_ids query/init matrix every ANN / k-means entry
+    uses: a pushdown-filtered read (vec_id < n), never the whole
+    embeddings table on the driver."""
+    qt = _small_table(sf_dir, "embeddings", ["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n)])
+    return qt.to_pandas().sort_values("vec_id")
+
+
+def _embedding_dim(sf_dir: str) -> int:
+    """Embedding dimensionality from ONE row (first record batch of
+    the first row group), not a full driver read."""
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first.column("embedding")[0].as_py())
 
 def _conc(compute_bound: bool = False):
     """Actor-pool width for the stages that still want a PINNED pool
@@ -187,8 +209,12 @@ def q_order_revenue_topk(sf_dir: str) -> pd.DataFrame:
     # aggregate block, never one-row-per-orderkey to the driver
     rev = global_topk(rev_ds, "revenue", 20, descending=True,
                       tie_cols=["l_orderkey"])
+    # attach attributes for the 20 winners only: pushdown key-filtered
+    # read, never the whole orders table driver-side
+    keys = [int(k) for k in rev["l_orderkey"]]
     orders = _small_table(sf_dir, "orders",
-                          ["o_orderkey", "o_orderpriority"]).to_pandas()
+                          ["o_orderkey", "o_orderpriority"],
+                          filters=[("o_orderkey", "in", keys)]).to_pandas()
     out = rev.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
     out["revenue_cents"] = (out["revenue"] * 100).round().astype(np.int64)
     return out[["o_orderkey", "o_orderpriority", "revenue_cents"]]
@@ -1171,8 +1197,7 @@ def _embedding_neardup_pairs_ds(sf_dir: str, threshold: float = 0.4,
                 pa.int64()),
         })
 
-    qt = _small_table(sf_dir, "embeddings", ["embedding"])
-    dim = len(qt.column("embedding")[0].as_py())
+    dim = _embedding_dim(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     from ..stages.util import stage_fn
     buckets = ds.map_batches(stage_fn(BucketKeep, dim, n_planes),
@@ -1233,9 +1258,7 @@ def q_kmeans_embeddings(sf_dir: str, k: int = 8,
     centroids re-quantized to the 1e-6 grid so the unrolled SQL oracle
     replays the iterations from exactly equal state (stages/kmeans.py)."""
     from ..stages.kmeans import kmeans_assign, kmeans_fit
-    qt = _small_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = qt.to_pandas()
-    qdf = qdf[qdf["vec_id"] < k].sort_values("vec_id")
+    qdf = _query_vectors(sf_dir, k)
     init = np.array(qdf["embedding"].tolist(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cents = kmeans_fit(ds, init, iters=iters, concurrency=_conc())
@@ -1247,9 +1270,7 @@ def q_ann_cosine_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFra
     """Brute-force cosine top-k: query matrix broadcast once, one
     float64 matmul per batch, tiny final merge."""
     from ..stages.ann import CosineTopKStage, merge_topk
-    qt = _small_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = qt.to_pandas()
-    qdf = qdf[qdf["vec_id"] < n_queries].sort_values("vec_id")
+    qdf = _query_vectors(sf_dir, n_queries)
     queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
     qref = ray.put(queries)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1269,9 +1290,7 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 8, k_lists: int = 16,
     and only probed partitions are read). SQL-checked: the centroids
     are data-independent, so the oracle embeds them as literals."""
     from ..stages.ann import IVFScanStage, merge_topk
-    qt = _small_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = qt.to_pandas()
-    qdf = qdf[qdf["vec_id"] < n_queries].sort_values("vec_id")
+    qdf = _query_vectors(sf_dir, n_queries)
     queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
     qref = ray.put(queries)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1290,8 +1309,7 @@ def q_ann_lsh_buckets(sf_dir: str, n_planes: int = 8) -> pd.DataFrame:
     replaces the all-pairs matmul with a bucket-local search."""
     from ..stages.agg import hash_aggregate
     from ..stages.ann import HyperplaneLSHStage
-    qt = _small_table(sf_dir, "embeddings", ["embedding"])
-    dim = len(qt.column("embedding")[0].as_py())
+    dim = _embedding_dim(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     from ..stages.util import stage_fn
     buckets = ds.map_batches(stage_fn(HyperplaneLSHStage, dim, n_planes),
@@ -1511,8 +1529,10 @@ def q_event_asof_order(sf_dir: str) -> pd.DataFrame:
     from ..stages.asof import asof_join
     import pyarrow.compute as pc
 
-    orders_small = _small_table(sf_dir, "orders", ["o_custkey"])
-    ncust = int(pc.max(orders_small.column("o_custkey")).as_py()) + 1
+    # key-domain bound via a streaming aggregate (parquet column stats
+    # make this metadata-only per file), not a driver column read
+    ncust = int(_read(sf_dir, "orders", ["o_custkey"])
+                .max("o_custkey")) + 1
 
     def ev_prep(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
