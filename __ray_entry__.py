@@ -113,6 +113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_chunks": rq.q_doc_chunks,
         # distributed BM25 keyword ranking (exact integer scoring)
         "q_doc_bm25": rq.q_doc_bm25,
+        # bigram-LM fluency scoring (distributed model counts + two
+        # big-big hash joins; exact integer milli-probabilities)
+        "q_doc_lm_fluency": rq.q_doc_lm_fluency,
         # training-sequence packing within hash shards
         "q_pack_sequences": rq.q_pack_sequences,
         # curriculum mixture sampling to a token budget
@@ -609,6 +612,39 @@ def oracle_sql() -> dict[str, str]:
                         + LEAST(64, n - i * 48) AS BIGINT)] AS last_tok
             FROM w
             ORDER BY doc_id, chunk_idx
+        """,
+        "q_doc_lm_fluency": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t,
+                       CAST(array_length(string_split(text, ' '))
+                            AS BIGINT) AS n
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       t[CAST(i + 1 AS BIGINT)] AS w1,
+                       t[CAST(i + 2 AS BIGINT)] AS w2
+                FROM (SELECT doc_id, t, unnest(range(0, n - 1)) AS i
+                      FROM toks)
+            ), c2 AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                FROM grams GROUP BY w1, w2
+            ), c1 AS (
+                SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+                FROM c2 GROUP BY w1
+            ), v AS (
+                SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+                FROM (SELECT unnest(t) AS w FROM toks)
+            )
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum((1000 * (c2.c2 + 1)) // (c1.c1 + v.v))
+                        AS BIGINT) AS fluency_milli
+            FROM grams g
+            JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+            JOIN c1 ON g.w1 = c1.w1
+            CROSS JOIN v
+            GROUP BY g.doc_id
+            ORDER BY doc_id
         """,
         "q_doc_bm25": """
             WITH tok AS (

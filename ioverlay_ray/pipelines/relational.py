@@ -366,6 +366,108 @@ def q_doc_tfidf_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return top[["doc_id", "rnk", "term", "score"]]         .sort_values(["doc_id", "rnk"]).reset_index(drop=True)
 
 
+def _tagged_join(left, right, keys, left_cols, right_cols, P: int = 32):
+    """Distributed inner hash join on ``keys``: tagged union
+    partitioned by the shared key hash, per-partition vectorized
+    merge — both sides move through ONE exchange, no broadcast of
+    either. Payload columns (``left_cols`` / ``right_cols``) must be
+    int64. At 100 TB this is the join shape for two big sides; small
+    sides go through ray.put broadcast instead."""
+    from ..stages.agg import _part_of
+    all_cols = list(keys) + list(left_cols) + list(right_cols)
+
+    def tag(side: int, cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            d = batch.to_pandas()
+            out = pd.DataFrame({k: d[k] for k in keys})
+            for c in left_cols:
+                out[c] = d[c] if side == 0 else np.int64(0)
+            for c in right_cols:
+                out[c] = d[c] if side == 1 else np.int64(0)
+            out["side"] = np.int64(side)
+            out["part"] = _part_of(out, list(keys), P)
+            return pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
+        return fn
+
+    both = left.map_batches(tag(0, left_cols), batch_format="pyarrow") \
+        .union(right.map_batches(tag(1, right_cols),
+                                 batch_format="pyarrow"))
+
+    def join_part(group: pa.Table) -> pa.Table:
+        g = group.to_pandas()
+        lt = g[g["side"] == 0][list(keys) + list(left_cols)]
+        rt = g[g["side"] == 1][list(keys) + list(right_cols)]
+        m = lt.merge(rt, on=list(keys))
+        if len(m) == 0:
+            return pa.table({c: pa.array([], group.schema.field(c).type)
+                             for c in all_cols})
+        return pa.Table.from_pandas(
+            m[all_cols], preserve_index=False).replace_schema_metadata(None)
+
+    return both.groupby("part").map_groups(join_part,
+                                           batch_format="pyarrow")
+
+
+def q_doc_lm_fluency(sf_dir: str) -> pd.DataFrame:
+    """Bigram language-model fluency scoring (the CCNet/KenLM-style
+    model-based quality signal): train add-one-smoothed bigram counts
+    over the corpus, then score every document by the sum of its
+    bigrams' smoothed milli-probabilities — all in EXACT integers
+    (score per occurrence = (1000*(c2+1)) // (c1+V)), so the SQL
+    oracle is a strict hash match (float ln() could differ by 1 ulp
+    between numpy and DuckDB; the integer surrogate is monotone in
+    the same ratio). 100-TB shape:
+
+    1. per-doc bigram partials (map-side Counter combiner, one row per
+       distinct bigram per doc);
+    2. model counts c2(w1,w2) via one hash exchange; context counts
+       c1(w1) derived from c2 by a second (smaller) exchange — the
+       model stays DISTRIBUTED, it is never collected or broadcast;
+    3. vocabulary size V: map-side distinct + one token-key exchange,
+       count only;
+    4. scoring: the doc bigrams hash-join c2 on (w1,w2), then c1 on
+       w1 (tagged exchanges, both sides big); per-doc sum is a final
+       doc_id aggregate. In production the c2 table would be
+       count-pruned (drop singletons) before the join — the knob is a
+       WHERE on step 2's output."""
+    from ..stages.agg import hash_aggregate
+    from ..stages.text import bigram_rows, distinct_token_rows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    grams = docs.map_batches(bigram_rows,
+                             batch_format="pyarrow").materialize()
+    c2 = hash_aggregate(grams, ["w1", "w2"],
+                        {"c2": ("tf", "sum")}).materialize()
+    c1 = hash_aggregate(c2, ["w1"], {"c1": ("c2", "sum")})
+    vocab = hash_aggregate(
+        docs.map_batches(distinct_token_rows, batch_format="pyarrow"),
+        ["w"], {"n": ("w", "count")})
+    V = int(vocab.count())
+
+    j1 = _tagged_join(grams, c2, ["w1", "w2"], ["doc_id", "tf"], ["c2"])
+    j2 = _tagged_join(j1, c1, ["w1"], ["doc_id", "tf", "c2"], ["c1"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = np.asarray(batch.column("tf"), np.int64)
+        c2v = np.asarray(batch.column("c2"), np.int64)
+        c1v = np.asarray(batch.column("c1"), np.int64)
+        s = tf * ((1000 * (c2v + 1)) // (c1v + V))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_bigrams": pa.array(tf, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+        })
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    out = hash_aggregate(scored, ["doc_id"], {
+        "n_bigrams": ("n_bigrams", "sum"),
+        "fluency_milli": ("s", "sum"),
+    }).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype(np.int64)
+
+
 def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import token_stats
     ds = _read(sf_dir, "documents", ["doc_id", "text"],

@@ -147,6 +147,40 @@ def tfidf_term_rows(batch: pa.Table) -> pa.Table:
     })
 
 
+def bigram_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, w1, w2, tf) per-document bigram counts over the
+    single-space token stream (DuckDB string_split parity, empties
+    kept). The map-side combiner of the bigram-LM trainer: one row per
+    DISTINCT bigram per document, so the count exchange ships combined
+    partials, never one row per token."""
+    from collections import Counter
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    d, a, b, c = [], [], [], []
+    for i, x in zip(ids, texts):
+        toks = x.split(" ")
+        for (w1, w2), n in Counter(zip(toks, toks[1:])).items():
+            d.append(i)
+            a.append(w1)
+            b.append(w2)
+            c.append(n)
+    return pa.table({
+        "doc_id": pa.array(d, pa.int64()),
+        "w1": pa.array(a, pa.string()),
+        "w2": pa.array(b, pa.string()),
+        "tf": pa.array(c, pa.int64()),
+    })
+
+
+def distinct_token_rows(batch: pa.Table) -> pa.Table:
+    """One row per distinct single-space token in the batch (map-side
+    dedup before the vocabulary-size exchange)."""
+    s: set = set()
+    for x in batch.column("text").to_pylist():
+        s.update(x.split(" "))
+    return pa.table({"w": pa.array(sorted(s), pa.string())})
+
+
 def chunk_windows(batch: pa.Table, window: int = 64,
                   stride: int = 48) -> pa.Table:
     """Context-window chunking for training-sequence preparation: split

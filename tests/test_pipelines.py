@@ -400,6 +400,46 @@ def test_new_relational_ops_vs_duckdb(ray_session):
     assert list(tfidf["score"]) == list(exp["score"])
 
 
+def test_lm_fluency_vs_duckdb(ray_session):
+    """Bigram-LM fluency: distributed model counts + two big-big hash
+    joins vs a direct DuckDB recompute at sf0.001 (the exact-integer
+    smoothed score makes this a strict equality)."""
+    import duckdb
+
+    from ioverlay_ray.pipelines import relational as rq
+
+    got = rq.q_doc_lm_fluency(SF)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = con.execute("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                 FROM documents),
+        grams AS (SELECT doc_id, t[CAST(i+1 AS BIGINT)] AS w1,
+                         t[CAST(i+2 AS BIGINT)] AS w2
+                  FROM (SELECT doc_id, t, unnest(range(0, n-1)) AS i
+                        FROM toks)),
+        c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+               FROM grams GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+               FROM c2 GROUP BY 1),
+        v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+              FROM (SELECT unnest(t) AS w FROM toks))
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum((1000*(c2.c2+1)) // (c1.c1+v.v)) AS BIGINT)
+                   AS fluency_milli
+        FROM grams g
+        JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+        JOIN c1 ON g.w1 = c1.w1 CROSS JOIN v
+        GROUP BY 1 ORDER BY 1""").df()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["n_bigrams"]) == list(exp["n_bigrams"])
+    assert list(got["fluency_milli"]) == list(exp["fluency_milli"])
+    # scores are nontrivial: common-bigram docs must beat noise docs
+    assert got["fluency_milli"].nunique() > 1
+
+
 def test_decontaminate_stage_counts(ray_session):
     # distinct-gram collision counts against a broadcast benchmark set
     import pyarrow as pa
