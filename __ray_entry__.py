@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_neardup_clusters": rq.q_embedding_neardup_clusters,
         "q_kmeans_embeddings": rq.q_kmeans_embeddings,
         "q_ann_lsh_buckets": rq.q_ann_lsh_buckets,
+        # int8 embedding quantization (distributed minmax + exact
+        # floor codes; checksum columns hash-matched)
+        "q_embedding_quantize": rq.q_embedding_quantize,
         # geometry engine (SQL-checked via arithmetic oracles)
         "q_rect_intersect_area": gq.q_rect_intersect_area,
         "q_pip_count": gq.q_pip_count,
@@ -1171,6 +1174,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, COUNT(*) AS members,
                    MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
             FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "q_embedding_quantize": """
+            WITH n AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), pos(i) AS (SELECT unnest(range(1, 65))),
+            mm AS (
+                SELECT pos.i, MIN(n.e[pos.i]) AS mn, MAX(n.e[pos.i]) AS mx
+                FROM n CROSS JOIN pos GROUP BY pos.i
+            ), codes AS (
+                SELECT n.vec_id,
+                       CASE WHEN mm.mx > mm.mn
+                            THEN CAST(FLOOR((n.e[mm.i] - mm.mn) * 255.0
+                                            / (mm.mx - mm.mn)) AS BIGINT)
+                            ELSE 0 END AS q
+                FROM n CROSS JOIN mm
+            )
+            SELECT vec_id,
+                   CAST(SUM(q) AS BIGINT) AS code_sum,
+                   CAST(MIN(q) AS BIGINT) AS code_min,
+                   CAST(MAX(q) AS BIGINT) AS code_max
+            FROM codes GROUP BY vec_id ORDER BY vec_id
         """,
         "q_rect_intersect_area": """
             WITH r AS (

@@ -1405,6 +1405,63 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 8, k_lists: int = 16,
                       k).to_pandas()
 
 
+def q_embedding_quantize(sf_dir: str) -> pd.DataFrame:
+    """Int8 embedding quantization (the 4-bytes->1-byte-per-dim memory
+    reduction an ANN index applies before sharding): global
+    per-dimension min/max via a distributed partial-minmax exchange
+    (one row per dim per BLOCK, never per vector), then per-vector
+    codes q_d = floor((x_d - mn_d) * 255 / (mx_d - mn_d)) in one
+    broadcast-scaled scan (constant-span dims code to 0). The code
+    expression is the identical IEEE-double formula in numpy and
+    DuckDB, so floor() is exact and the oracle is a strict hash match.
+    Output: per-vector code checksums (sum/min/max) — at 100 TB the
+    uint8 matrix itself is written back partitioned, never
+    collected."""
+    from ..stages.agg import hash_aggregate
+    from ..stages.ann import embedding_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def part_minmax(batch: pa.Table) -> pa.Table:
+        m = embedding_matrix(batch)
+        if m.shape[0] == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "d": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0)),
+            "mx": pa.array(m.max(axis=0)),
+        })
+
+    mm = hash_aggregate(
+        ds.map_batches(part_minmax, batch_format="pyarrow"),
+        ["d"], {"mn": ("mn", "min"), "mx": ("mx", "max")},
+        num_partitions=8).to_pandas().sort_values("d")
+    lo = mm["mn"].to_numpy(dtype=np.float64)
+    hi = mm["mx"].to_numpy(dtype=np.float64)
+    ref = ray.put((lo, hi))
+
+    def codes(batch: pa.Table) -> pa.Table:
+        mn, mx = ray.get(ref)
+        m = embedding_matrix(batch)
+        span = mx - mn
+        ok = span > 0
+        q = np.zeros(m.shape, dtype=np.int64)
+        q[:, ok] = np.floor(
+            (m[:, ok] - mn[ok]) * 255.0 / span[ok]).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "code_sum": pa.array(q.sum(axis=1), pa.int64()),
+            "code_min": pa.array(q.min(axis=1), pa.int64()),
+            "code_max": pa.array(q.max(axis=1), pa.int64()),
+        })
+
+    out = ds.map_batches(codes, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True) \
+        .astype(np.int64)
+
+
 def q_ann_lsh_buckets(sf_dir: str, n_planes: int = 8) -> pd.DataFrame:
     """LSH-bucketed ANN scale path: hyperplane signatures -> bucket
     groupby (deterministic seed; rows-only check). At 10^12 rows this

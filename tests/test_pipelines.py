@@ -440,6 +440,27 @@ def test_lm_fluency_vs_duckdb(ray_session):
     assert got["fluency_milli"].nunique() > 1
 
 
+def test_embedding_quantize_vs_duckdb(ray_session):
+    """Int8 quantization codes: the floor((x-mn)*255/(mx-mn)) double
+    expression is bit-identical between numpy and DuckDB, so the
+    checksum columns are a strict equality."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from ioverlay_ray.pipelines import relational as rq
+
+    got = rq.q_embedding_quantize(SF)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    exp = con.execute(entry.oracle_sql()["q_embedding_quantize"]).df()
+    assert list(got["vec_id"]) == list(exp["vec_id"])
+    for c in ("code_sum", "code_min", "code_max"):
+        assert list(got[c]) == list(exp[c]), c
+    # nontrivial: codes span the uint8 range
+    assert got["code_max"].max() == 255 and got["code_min"].min() == 0
+
+
 def test_decontaminate_stage_counts(ray_session):
     # distinct-gram collision counts against a broadcast benchmark set
     import pyarrow as pa
