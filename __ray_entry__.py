@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram-LM fluency scoring (distributed model counts + two
         # big-big hash joins; exact integer milli-probabilities)
         "q_doc_lm_fluency": rq.q_doc_lm_fluency,
+        # deterministic training-epoch shuffle (seeded LCG key;
+        # verifiable head via the partial-top-k combiner)
+        "q_epoch_shuffle_head": rq.q_epoch_shuffle_head,
         # training-sequence packing within hash shards
         "q_pack_sequences": rq.q_pack_sequences,
         # curriculum mixture sampling to a token budget
@@ -615,6 +618,17 @@ def oracle_sql() -> dict[str, str]:
                         + LEAST(64, n - i * 48) AS BIGINT)] AS last_tok
             FROM w
             ORDER BY doc_id, chunk_idx
+        """,
+        "q_epoch_shuffle_head": """
+            SELECT CAST(row_number() OVER (
+                       ORDER BY (doc_id * 1103515245 + 7) % 2147483648,
+                                doc_id) - 1 AS BIGINT) AS epoch_pos,
+                   doc_id,
+                   CAST((doc_id * 1103515245 + 7) % 2147483648
+                        AS BIGINT) AS shuffle_key
+            FROM documents
+            ORDER BY epoch_pos
+            LIMIT 100
         """,
         "q_doc_lm_fluency": """
             WITH toks AS (

@@ -468,6 +468,35 @@ def q_doc_lm_fluency(sf_dir: str) -> pd.DataFrame:
         .astype(np.int64)
 
 
+def q_epoch_shuffle_head(sf_dir: str, seed: int = 7,
+                         k: int = 100) -> pd.DataFrame:
+    """Deterministic training-epoch shuffle: every document gets a
+    seeded LCG shuffle key (key = (doc_id*1103515245 + seed) % 2^31 —
+    pure BIGINT arithmetic, overflow-free and identical in numpy and
+    SQL) and the epoch order is ascending key. A trainer at 100 TB
+    range-partitions on the key (ds.sort is the one legitimate
+    all-to-all here — shuffling IS an exchange) and streams epochs by
+    partition; this query materializes the first k positions of epoch
+    order through the partial-top-k combiner (k rows per block leave,
+    no global sort) as the verifiable head."""
+    from ..stages.topk import global_topk
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), np.int64)
+        key = (ids * np.int64(1103515245) + np.int64(seed)) \
+            % np.int64(1 << 31)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shuffle_key": pa.array(key, pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"], num_blocks=8)
+    top = global_topk(ds.map_batches(keyed, batch_format="pyarrow"),
+                      "shuffle_key", k, descending=False,
+                      tie_cols=["doc_id"])
+    top = top.reset_index(drop=True)
+    top["epoch_pos"] = np.arange(len(top), dtype=np.int64)
+    return top[["epoch_pos", "doc_id", "shuffle_key"]].astype(np.int64)
+
+
 def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import token_stats
     ds = _read(sf_dir, "documents", ["doc_id", "text"],
