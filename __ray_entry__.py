@@ -183,6 +183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_caption_roundtrip": mq.q_image_caption_roundtrip,
         # SQL-checked since r2: exact-rational winding recompute oracle
         "q_raster_scanlines": mq.q_raster_scanlines,
+        # raster zonal statistics over a vector zone (generator-
+        # recompute VALUES oracle; exact integer channel sums)
+        "q_zonal_stats": mq.q_zonal_stats,
     }
 
 
@@ -1507,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         # no Ray) and embedded as literals — verifies the whole
         # encode -> parquet -> actor-pool-decode pipeline
         "q_image_decode_stats": _image_decode_stats_oracle(),
+        "q_zonal_stats": _zonal_stats_oracle(),
         "q_image_psnr": _image_psnr_oracle(),
         "q_image_embed_topk": _image_embed_topk_oracle(),
         "q_image_phash_neardup": _image_phash_neardup_oracle(),
@@ -1590,6 +1594,23 @@ def _image_psnr_oracle() -> str:
                CAST(psnr_ok AS BIGINT) AS psnr_ok
         FROM (VALUES {vals})
         AS t(image_id, npix, sse, psnr_mdb, psnr_ok)
+        ORDER BY image_id
+    """
+
+
+def _zonal_stats_oracle() -> str:
+    from ioverlay_ray.pipelines.media import zonal_oracle_rows
+    vals = ",\n".join(
+        f"('{i}', {n}, {r}, {g}, {b})"
+        for i, n, r, g, b in zonal_oracle_rows(256))
+    return f"""
+        SELECT image_id,
+               CAST(zone_px AS BIGINT) AS zone_px,
+               CAST(sum_r AS BIGINT) AS sum_r,
+               CAST(sum_g AS BIGINT) AS sum_g,
+               CAST(sum_b AS BIGINT) AS sum_b
+        FROM (VALUES {vals})
+        AS t(image_id, zone_px, sum_r, sum_g, sum_b)
         ORDER BY image_id
     """
 

@@ -11,7 +11,8 @@ import pandas as pd
 import pyarrow as pa
 
 from . import flagship
-from ..stages.multimodal import DecodeStage, EmbedStage, stage_fn
+from ..stages.multimodal import (DecodeStage, EmbedStage,
+                                 ZonalStatsStage, stage_fn)
 
 
 def _images_ds(n_images: int, columns=("image_id", "bytes", "w", "h",
@@ -48,6 +49,50 @@ def q_image_decode_stats(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
     for c in ("mean_r", "mean_g", "mean_b", "std"):
         out[c] = (out[c] * 1000).round().astype(np.int64)
     return out
+
+
+def q_zonal_stats(sf_dir: str, n_images: int = 256) -> pd.DataFrame:
+    """Raster zonal statistics over a vector zone (the geospatial
+    raster-aggregation primitive): decode each image in a stage_fn
+    task pool and reduce exact-integer channel sums inside the diamond
+    zone by per-row extents + prefix sums (stages/multimodal.py
+    ZonalStatsStage). The VALUES oracle recomputes every row straight
+    from the pixel generator (no encode, no Ray), so the hash match
+    verifies the encode -> parquet -> decode -> rasterize -> aggregate
+    round trip end to end."""
+    ds = _images_ds(n_images)
+    out = ds.map_batches(stage_fn(ZonalStatsStage),
+                         batch_format="pyarrow").to_pandas()
+    out = out.sort_values("image_id").reset_index(drop=True)
+    for c in ("zone_px", "sum_r", "sum_g", "sum_b"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def zonal_oracle_rows(n_images: int = 256) -> list:
+    """Independent recompute of q_zonal_stats from the generator:
+    direct per-row slice sums (no cumsum, no codec) — returns
+    (image_id, zone_px, sum_r, sum_g, sum_b) rows for a VALUES
+    oracle."""
+    from ..sources.synth import _rng, make_pixels
+    rows = []
+    for i in range(n_images):
+        rng = _rng(42, i)
+        w = int(rng.integers(16, 64))
+        h = int(rng.integers(16, 64))
+        px = make_pixels(42, i, w, h).astype(np.int64)
+        cx, cy, r = w // 2, h // 2, min(w, h) // 3
+        zone_px = 0
+        tot = [0, 0, 0]
+        for y in range(max(0, cy - r), min(h, cy + r + 1)):
+            half = r - abs(y - cy)
+            xlo = max(0, cx - half)
+            xhi = min(w - 1, cx + half)
+            zone_px += xhi - xlo + 1
+            for ch in range(3):
+                tot[ch] += int(px[y, xlo:xhi + 1, ch].sum())
+        rows.append((f"img_{i:012d}", zone_px, tot[0], tot[1], tot[2]))
+    return rows
 
 
 def q_image_embed_topk(sf_dir: str, n_images: int = 256,

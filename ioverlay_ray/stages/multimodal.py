@@ -81,6 +81,49 @@ class DecodeStage:
         return pa.table(cols)
 
 
+class ZonalStatsStage:
+    """Geospatial zonal statistics over the image column: decode, then
+    aggregate exact-integer channel sums inside a VECTOR zone — the
+    diamond |x-cx| + |y-cy| <= r with (cx, cy) = (w//2, h//2),
+    r = min(w, h)//3 — rasterized by per-row extents and reduced with
+    a per-row prefix sum (one cumsum per image, no per-pixel Python).
+    Emits (image_id, zone_px, sum_r, sum_g, sum_b); the binary column
+    never leaves the stage, so everything downstream is narrow."""
+
+    def __init__(self):
+        self.codecs = dict(_CODECS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id")
+        zone_px, sums = [], ([], [], [])
+        for blob, w, h, fmt in zip(batch.column("bytes").to_pylist(),
+                                   batch.column("w").to_pylist(),
+                                   batch.column("h").to_pylist(),
+                                   batch.column("fmt").to_pylist()):
+            px = self.codecs[fmt](blob, w, h).astype(np.int64)
+            cx, cy, r = w // 2, h // 2, min(w, h) // 3
+            ys = np.arange(max(0, cy - r), min(h, cy + r + 1))
+            half = r - np.abs(ys - cy)
+            xlo = np.maximum(0, cx - half)
+            xhi = np.minimum(w - 1, cx + half)
+            zone_px.append(int((xhi - xlo + 1).sum()))
+            # prefix sums along x with a leading zero column: the sum
+            # over [xlo, xhi] is cc[y, xhi+1] - cc[y, xlo]
+            cc = np.zeros((h, w + 1, 3), np.int64)
+            np.cumsum(px, axis=1, out=cc[:, 1:])
+            seg = cc[ys, xhi + 1] - cc[ys, xlo]
+            tot = seg.sum(axis=0)
+            for ch in range(3):
+                sums[ch].append(int(tot[ch]))
+        return pa.table({
+            "image_id": ids,
+            "zone_px": pa.array(zone_px, pa.int64()),
+            "sum_r": pa.array(sums[0], pa.int64()),
+            "sum_g": pa.array(sums[1], pa.int64()),
+            "sum_b": pa.array(sums[2], pa.int64()),
+        })
+
+
 class ResizeStage:
     """Nearest-neighbour resize to a fixed (out_w, out_h); re-encodes
     with the raw codec. Pure numpy — no image libs needed."""

@@ -461,6 +461,20 @@ def test_embedding_quantize_vs_duckdb(ray_session):
     assert got["code_max"].max() == 255 and got["code_min"].min() == 0
 
 
+def test_zonal_stats_vs_generator(ray_session):
+    """Raster zonal statistics: the distributed decode->rasterize->
+    aggregate path must equal the direct generator recompute (small
+    n_images for runtime)."""
+    from ioverlay_ray.pipelines.media import q_zonal_stats, zonal_oracle_rows
+
+    got = q_zonal_stats(SF, n_images=16)
+    exp = zonal_oracle_rows(16)
+    assert len(got) == len(exp)
+    for row, (iid, npx, r, g, b) in zip(got.itertuples(index=False), exp):
+        assert (row.image_id, row.zone_px, row.sum_r, row.sum_g,
+                row.sum_b) == (iid, npx, r, g, b)
+
+
 def test_decontaminate_stage_counts(ray_session):
     # distinct-gram collision counts against a broadcast benchmark set
     import pyarrow as pa
