@@ -95,7 +95,7 @@ def run_queries(sf_dir: str) -> dict:
              "q_pip_count", "q_knn_centers", "q_overlay_fixture_corpus",
              "q_rect_relate", "q_clip_segments", "q_dissolve_area",
              "q_image_decode_stats", "q_event_sessions", "q_giant_pip",
-             "q_doc_bm25", "q_curation_pipeline"]
+             "q_doc_bm25", "q_curation_pipeline", "q_doc_lm_fluency"]
     repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "3"))
     out = {}
     for name in names:
