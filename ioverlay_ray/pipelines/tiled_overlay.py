@@ -610,10 +610,19 @@ def _correct_rings_ds(rings_ds, junc_ds):
             return b.append_column("touch",
                                    pa.array(touch, pa.int64()))
 
-        touchers = rings_ds.map_batches(
+        touch_ds = rings_ds.map_batches(
             mark, batch_format="pyarrow").filter(
-                expr="touch == 1").take_all()
-        for row in touchers:
+                expr="touch == 1").materialize()
+        if touch_ds.count() > CORRECTION_RINGS_CAP:
+            # pathological all-self-touch density: correction would
+            # pool beyond the driver budget anyway — skip it (stays
+            # area/edge-exact), never collect the rings
+            import warnings
+            warnings.warn(
+                "pinch correction skipped: self-touching rings exceed "
+                f"CORRECTION_RINGS_CAP={CORRECTION_RINGS_CAP}")
+            return rings_ds
+        for row in touch_ds.take_all():
             flat = np.asarray(row["pts"], np.int64)
             vset.update(_pack_pts(flat).tolist())
     if not vset:
