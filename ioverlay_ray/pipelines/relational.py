@@ -321,43 +321,25 @@ def q_doc_tfidf_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     score = tf * 1e6 // df — monotone in tf/df, exactly reproducible
     in both numpy and DuckDB (float ln() could differ by 1 ulp and
     flip a rank), so the oracle is a strict hash match."""
-    from ..stages.agg import _part_of, hash_aggregate
+    from ..stages.agg import hash_aggregate
     from ..stages.text import tfidf_term_rows
     from ..stages.topk import grouped_topk
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
     tf = docs.map_batches(tfidf_term_rows, batch_format="pyarrow")
     dfreq = hash_aggregate(tf, ["term"], {"df": ("doc_id", "count")})
-    P = 32
+    joined = _tagged_join(tf, dfreq, ["term"], ["doc_id", "tf"], ["df"])
 
-    def tag(side: int, cnt_col: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            d = batch.to_pandas()
-            out = pd.DataFrame({
-                "doc_id": d["doc_id"] if side == 0 else np.int64(-1),
-                "term": d["term"],
-                "cnt": d[cnt_col],
-                "side": np.int64(side),
-            })
-            out["part"] = _part_of(out, ["term"], P)
-            return pa.Table.from_pandas(
-                out, preserve_index=False).replace_schema_metadata(None)
-        return fn
+    def score_rows(batch: pa.Table) -> pa.Table:
+        tfv = np.asarray(batch.column("tf"), np.int64)
+        dfv = np.asarray(batch.column("df"), np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "term": batch.column("term"),
+            "score": pa.array((tfv * 1_000_000) // dfv, pa.int64()),
+        })
 
-    both = tf.map_batches(tag(0, "tf"), batch_format="pyarrow")         .union(dfreq.map_batches(tag(1, "df"), batch_format="pyarrow"))
-
-    def join_part(group: pa.Table) -> pa.Table:
-        g = group.to_pandas()
-        left = g[g["side"] == 0]
-        right = g[g["side"] == 1][["term", "cnt"]]             .rename(columns={"cnt": "df"})
-        m = left.merge(right, on="term")
-        m["score"] = (m["cnt"] * 1_000_000) // m["df"]
-        return pa.Table.from_pandas(
-            m[["doc_id", "term", "score"]],
-            preserve_index=False).replace_schema_metadata(None)
-
-    scored = both.groupby("part").map_groups(join_part,
-                                             batch_format="pyarrow")
+    scored = joined.map_batches(score_rows, batch_format="pyarrow")
     top = grouped_topk(scored, ["doc_id"], "score", k,
                        tie_cols=["term"], rank_col="rnk").to_pandas()
     top["rnk"] = top["rnk"].astype(np.int64)
