@@ -412,7 +412,13 @@ def q_doc_lm_fluency(sf_dir: str) -> pd.DataFrame:
        w1 (tagged exchanges, both sides big); per-doc sum is a final
        doc_id aggregate. In production the c2 table would be
        count-pruned (drop singletons) before the join — the knob is a
-       WHERE on step 2's output."""
+       WHERE on step 2's output.
+
+    The two materialize() calls pin multi-consumer intermediates
+    (grams feeds the count exchange AND the scoring join; c2 feeds c1
+    AND the join) in the object store — Ray Data would otherwise
+    re-execute the full text scan per consumer; blocks spill to disk
+    at scale, nothing is collected to the driver."""
     from ..stages.agg import hash_aggregate
     from ..stages.text import bigram_rows, distinct_token_rows
 

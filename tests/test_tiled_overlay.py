@@ -677,6 +677,8 @@ def test_distributed_soup_ring_parity(ray_session):
     soup regime, not just the fixture corpus)."""
     from ioverlay_ray.pipelines.tiled_overlay import tiled_rings_ds
 
+    from ioverlay_ray.pipelines.tiled_overlay import tiled_overlay_ray
+
     rng = np.random.default_rng(20260820)
     for trial in range(4):
         subj, clip = _soup_scene(rng)
@@ -689,6 +691,11 @@ def test_distributed_soup_ring_parity(ray_session):
                 _canon_ring(list(zip(r["pts"][0::2], r["pts"][1::2])))
                 for r in ds.take_all())))
             assert got == want, (trial, rule)
+        # full shape assembly (hull + hole binding) through the
+        # distributed path must also match canonically
+        s2 = tiled_overlay_ray(subj, clip, "union", "nonzero", 256)
+        assert _canon_shapes(s2) == \
+            _canon_shapes(overlay(subj, clip, "union", "nonzero")), trial
 
 
 def test_distributed_correction_selftouch_fallback(ray_session,
