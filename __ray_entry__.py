@@ -624,11 +624,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_epoch_shuffle_head": """
             SELECT CAST(row_number() OVER (
-                       ORDER BY (doc_id * 1103515245 + 7) % 2147483648,
+                       ORDER BY ((doc_id % 2147483648) * 1103515245
+                                 + 7) % 2147483648,
                                 doc_id) - 1 AS BIGINT) AS epoch_pos,
                    doc_id,
-                   CAST((doc_id * 1103515245 + 7) % 2147483648
-                        AS BIGINT) AS shuffle_key
+                   CAST(((doc_id % 2147483648) * 1103515245 + 7)
+                        % 2147483648 AS BIGINT) AS shuffle_key
             FROM documents
             ORDER BY epoch_pos
             LIMIT 100

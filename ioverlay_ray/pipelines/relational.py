@@ -360,6 +360,15 @@ def _tagged_join(left, right, keys, left_cols, right_cols, P: int = 32):
 
     def tag(side: int, cols):
         def fn(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                # explicit types: pandas would infer null-typed key
+                # columns from an empty frame and break the union
+                cols_t = {k: pa.array([], batch.schema.field(k).type)
+                          for k in keys}
+                for c in list(left_cols) + list(right_cols) \
+                        + ["side", "part"]:
+                    cols_t[c] = pa.array([], pa.int64())
+                return pa.table(cols_t)
             d = batch.to_pandas()
             out = pd.DataFrame({k: d[k] for k in keys})
             for c in left_cols:
@@ -415,7 +424,8 @@ def q_doc_lm_fluency(sf_dir: str) -> pd.DataFrame:
        WHERE on step 2's output.
 
     The two materialize() calls pin multi-consumer intermediates
-    (grams feeds the count exchange AND the scoring join; c2 feeds c1
+    (the one text scan's combined gram/token rows feed the count
+    exchange, the vocab exchange AND the scoring join; c2 feeds c1
     AND the join) in the object store — Ray Data would otherwise
     re-execute the full text scan per consumer; blocks spill to disk
     at scale, nothing is collected to the driver."""
@@ -423,13 +433,40 @@ def q_doc_lm_fluency(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import bigram_rows, distinct_token_rows
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
-    grams = docs.map_batches(bigram_rows,
-                             batch_format="pyarrow").materialize()
+
+    def gram_and_token_rows(batch: pa.Table) -> pa.Table:
+        # ONE text scan feeds both branches: kind=0 bigram rows,
+        # kind=1 distinct-token rows (token riding in w1)
+        g = bigram_rows(batch)
+        t = distinct_token_rows(batch)
+        gt = pa.table({
+            "kind": pa.array(np.zeros(len(g), np.int64)),
+            "doc_id": g.column("doc_id"),
+            "w1": g.column("w1"),
+            "w2": g.column("w2"),
+            "tf": g.column("tf"),
+        })
+        tt = pa.table({
+            "kind": pa.array(np.ones(len(t), np.int64)),
+            "doc_id": pa.array(np.zeros(len(t), np.int64)),
+            "w1": t.column("w"),
+            "w2": pa.array([""] * len(t), pa.string()),
+            "tf": pa.array(np.zeros(len(t), np.int64)),
+        })
+        return pa.concat_tables([gt, tt])
+
+    combined = docs.map_batches(gram_and_token_rows,
+                                batch_format="pyarrow").materialize()
+    grams = combined.filter(expr="kind == 0").map_batches(
+        lambda b: b.select(["doc_id", "w1", "w2", "tf"]),
+        batch_format="pyarrow")
     c2 = hash_aggregate(grams, ["w1", "w2"],
                         {"c2": ("tf", "sum")}).materialize()
     c1 = hash_aggregate(c2, ["w1"], {"c1": ("c2", "sum")})
     vocab = hash_aggregate(
-        docs.map_batches(distinct_token_rows, batch_format="pyarrow"),
+        combined.filter(expr="kind == 1").map_batches(
+            lambda b: b.select(["w1"]).rename_columns(["w"]),
+            batch_format="pyarrow"),
         ["w"], {"n": ("w", "count")})
     V = int(vocab.count())
 
@@ -459,9 +496,11 @@ def q_doc_lm_fluency(sf_dir: str) -> pd.DataFrame:
 def q_epoch_shuffle_head(sf_dir: str, seed: int = 7,
                          k: int = 100) -> pd.DataFrame:
     """Deterministic training-epoch shuffle: every document gets a
-    seeded LCG shuffle key (key = (doc_id*1103515245 + seed) % 2^31 —
-    pure BIGINT arithmetic, overflow-free and identical in numpy and
-    SQL) and the epoch order is ascending key. A trainer at 100 TB
+    seeded LCG shuffle key (key = ((doc_id % 2^31) * 1103515245
+    + seed) % 2^31 — the pre-mod bounds the product under 2^62, so
+    the BIGINT arithmetic is overflow-free for EVERY int64 doc_id and
+    identical in numpy and SQL) and the epoch order is ascending key.
+    A trainer at 100 TB
     range-partitions on the key (ds.sort is the one legitimate
     all-to-all here — shuffling IS an exchange) and streams epochs by
     partition; this query materializes the first k positions of epoch
@@ -471,8 +510,8 @@ def q_epoch_shuffle_head(sf_dir: str, seed: int = 7,
 
     def keyed(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id"), np.int64)
-        key = (ids * np.int64(1103515245) + np.int64(seed)) \
-            % np.int64(1 << 31)
+        key = ((ids % np.int64(1 << 31)) * np.int64(1103515245)
+               + np.int64(seed)) % np.int64(1 << 31)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "shuffle_key": pa.array(key, pa.int64())})
 
@@ -1462,6 +1501,12 @@ def q_embedding_quantize(sf_dir: str) -> pd.DataFrame:
     def codes(batch: pa.Table) -> pa.Table:
         mn, mx = ray.get(ref)
         m = embedding_matrix(batch)
+        if m.shape[0] == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "code_sum": pa.array([], pa.int64()),
+                "code_min": pa.array([], pa.int64()),
+                "code_max": pa.array([], pa.int64())})
         span = mx - mn
         ok = span > 0
         q = np.zeros(m.shape, dtype=np.int64)

@@ -415,8 +415,8 @@ def _walk(strip_w: int):
         # ride along as kind=2 rows — the pinch correction's seed set,
         # with no extra exchange
         OFF = np.int64(1 << 30)
-        tails = ((np.asarray(tx, np.int64) + OFF) << np.int64(31)) \
-            | (np.asarray(ty, np.int64) + OFF)
+        tails = _pack_pts(np.column_stack(
+            (np.asarray(tx, np.int64), np.asarray(ty, np.int64))).ravel())
         uniq, cnt = np.unique(tails, return_counts=True)
         j = uniq[cnt >= 2]
         if len(j):
@@ -549,12 +549,20 @@ def _stitched_rings(walkout, strip_w: int, block_strips: int = 8,
 
 
 # rings affected by a pinch correction are pooled on the driver; a
-# scene with more than this many affected rings (or shared vertices)
-# falls back to self-touch-only seeding, then to no correction (the
-# uncorrected decomposition stays area/edge-exact — see
-# geometry/tiled.correct_junction_rings)
+# scene with more than CORRECTION_RINGS_CAP affected rings skips the
+# correction, and one with more than SHARED_VERTS_CAP junction
+# vertices falls back to self-touch-only seeding (the uncorrected
+# decomposition stays area/edge-exact — see
+# geometry/tiled.correct_junction_rings). The junction-seeded branch
+# is the EXACT path: a walker merge can produce rings that are not
+# individually self-touching (3 kernel rings -> 2 vertex-sharing
+# output rings, observed in the soup sweep), so the fallback's
+# self-touch seeding is best-effort — the vertex cap is set high
+# (8 MB packed) to keep real scenes on the exact branch; only
+# junction-saturated grids (LinesNet/checkerboard crossings, whose
+# pairings the face rule already gets right) fall through.
 CORRECTION_RINGS_CAP = 1 << 16
-SHARED_VERTS_CAP = 1 << 16
+SHARED_VERTS_CAP = 1 << 20
 
 
 def _pack_pts(flat: np.ndarray) -> np.ndarray:
@@ -627,33 +635,61 @@ def _correct_rings_ds(rings_ds, junc_ds):
             vset.update(_pack_pts(flat).tolist())
     if not vset:
         return rings_ds
-    vref = ray.put(np.fromiter(vset, np.int64, len(vset)))
 
-    def split_col(b: pa.Table) -> pa.Table:
-        vs = ray.get(vref)
-        offs, vals = _ring_slices(b)
-        packed = _pack_pts(vals)
-        n = len(offs) - 1
-        ring_id = np.repeat(np.arange(n, dtype=np.int64),
-                            np.diff(offs) // 2)
-        hit = np.zeros(n, np.int64)
-        touched = ring_id[np.isin(packed, vs)]
-        hit[touched] = 1
-        return b.append_column("hit", pa.array(hit, pa.int64()))
+    def split_col(vref):
+        def fn(b: pa.Table) -> pa.Table:
+            vs = ray.get(vref)
+            offs, vals = _ring_slices(b)
+            packed = _pack_pts(vals)
+            n = len(offs) - 1
+            ring_id = np.repeat(np.arange(n, dtype=np.int64),
+                                np.diff(offs) // 2)
+            hit = np.zeros(n, np.int64)
+            hit[ring_id[np.isin(packed, vs)]] = 1
+            return b.append_column("hit", pa.array(hit, pa.int64()))
+        return fn
 
-    hits = rings_ds.map_batches(split_col,
-                                batch_format="pyarrow").materialize()
-    n_affected = hits.filter(expr="hit == 1").count()
-    if n_affected > CORRECTION_RINGS_CAP:
+    # expand the seed set to COMPLETE vertex-sharing components: the
+    # kernel-faithful walk must see every ring a pooled ring shares a
+    # vertex with, or its successor choice runs on a partial candidate
+    # set. In the junction-seeded branch every shared vertex IS a
+    # junction, so round 2 just confirms the fixpoint; the self-touch
+    # fallback branch genuinely grows (<= component diameter rounds).
+    seeds = np.fromiter(vset, np.int64, len(vset))
+    affected = None
+    hits = None
+    for _ in range(16):
+        vref = ray.put(seeds)
+        hits = rings_ds.map_batches(split_col(vref),
+                                    batch_format="pyarrow").materialize()
+        n_affected = int(hits.sum("hit") or 0)
+        if n_affected > CORRECTION_RINGS_CAP:
+            import warnings
+            warnings.warn(
+                f"pinch correction skipped: {n_affected} affected rings "
+                f"exceed CORRECTION_RINGS_CAP={CORRECTION_RINGS_CAP}; "
+                "ring decomposition at pinch junctions may differ from "
+                "the kernel (areas/edges stay exact)")
+            return hits.map_batches(lambda b: b.select(["kind", "pts"]),
+                                    batch_format="pyarrow")
+        new_affected = hits.filter(expr="hit == 1").take_all()
+        if affected is not None and len(new_affected) == len(affected):
+            affected = new_affected
+            break
+        affected = new_affected
+        allv: set = set()
+        for row in affected:
+            flat = np.asarray(row["pts"], np.int64)
+            allv.update(_pack_pts(flat).tolist())
+        if len(allv) == len(seeds):
+            break
+        seeds = np.fromiter(allv, np.int64, len(allv))
+    else:
         import warnings
-        warnings.warn(
-            f"pinch correction skipped: {n_affected} affected rings "
-            f"exceed CORRECTION_RINGS_CAP={CORRECTION_RINGS_CAP}; ring "
-            "decomposition at pinch junctions may differ from the "
-            "kernel (areas/edges stay exact)")
+        warnings.warn("pinch correction skipped: component expansion "
+                      "did not converge in 16 rounds")
         return hits.map_batches(lambda b: b.select(["kind", "pts"]),
                                 batch_format="pyarrow")
-    affected = hits.filter(expr="hit == 1").take_all()
     clean = hits.filter(expr="hit == 0").map_batches(
         lambda b: b.select(["kind", "pts"]), batch_format="pyarrow")
     pooled = []

@@ -712,5 +712,13 @@ def test_distributed_correction_selftouch_fallback(ray_session,
     for trial in range(2):
         subj, clip = _soup_scene(rng)
         s1 = overlay(subj, clip, "union", "nonzero")
-        ds = tiled_rings_ds(subj, clip, "union", "nonzero", strip_w=256)
+        ds = tiled_rings_ds(subj, clip, "union", "nonzero",
+                            strip_w=256).materialize()
         assert mod.rings_area2(ds) == shapes_area2(s1), trial
+        # fallback guarantee is AREA exactness only: ring pairing may
+        # legitimately differ from the kernel here (a walker merge can
+        # produce non-self-touching vertex-sharing rings the
+        # self-touch seed cannot see, and simplification makes even
+        # edge multisets pairing-dependent at pinch vertices). Normal
+        # scenes take the junction-seeded branch, which the soup and
+        # corpus parity gates hold to FULL ring parity.
