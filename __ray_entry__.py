@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_sample_hash": rq.q_doc_sample_hash,
         "q_doc_sample_stratified": rq.q_doc_sample_stratified,
         "q_doc_token_stats": rq.q_doc_token_stats,
+        # incremental ingest dedup (wave 2 against persisted wave-1
+        # state; final kept set equals one-shot dedup)
+        "q_incremental_dedup": rq.q_incremental_dedup,
         # benchmark n-gram decontamination (broadcast small side)
         "q_doc_decontaminate": rq.q_doc_decontaminate,
         # token repetition filter features (shuffle-free scan)
@@ -467,6 +470,10 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sid
         """,
         "q_doc_dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+            ORDER BY doc_id
+        """,
+        "q_incremental_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
             ORDER BY doc_id
         """,

@@ -274,6 +274,49 @@ def q_doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """INCREMENTAL ingest dedup — the shape a 100-TB pipeline actually
+    runs (corpora arrive in waves; rescanning history per wave is
+    O(corpus) instead of O(wave)): wave 1 (doc_id < cut) deduplicates
+    and PERSISTS its (content_key, min doc_id) state as
+    hash-partitioned parquet; wave 2 deduplicates against the
+    persisted state by unioning its keyed rows with the state READ
+    (never wave 1's texts) into one min-aggregate. The final kept set
+    provably equals the one-shot dedup (min per key is associative),
+    which is exactly what the SQL oracle computes over the full
+    corpus."""
+    import shutil
+    import tempfile
+
+    from ..stages.agg import hash_aggregate
+    from ..stages.dedup import exact_key_stage
+
+    cut = int(_read(sf_dir, "documents", ["doc_id"])
+              .max("doc_id")) // 2 + 1
+    state_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"ioverlay_dedup_state_{abs(hash(os.path.abspath(sf_dir)))}")
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    keyed = docs.map_batches(exact_key_stage, batch_format="pyarrow")
+
+    # wave 1: dedup + persist state (the resumable artifact)
+    w1 = keyed.filter(expr=f"doc_id < {cut}")
+    hash_aggregate(w1, ["content_key"], {"doc_id": ("doc_id", "min")}) \
+        .write_parquet(state_dir)
+
+    # wave 2: dedup against the persisted state only
+    w2 = keyed.filter(expr=f"doc_id >= {cut}")
+    state = ray.data.read_parquet(state_dir)
+    merged = hash_aggregate(
+        w2.union(state), ["content_key"],
+        {"doc_id": ("doc_id", "min")}).to_pandas()
+    out = merged[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
+
+
 def q_doc_decontaminate(sf_dir: str, n: int = 8) -> pd.DataFrame:
     """Benchmark n-gram decontamination: flag corpus documents sharing
     any whitespace 8-gram with the benchmark subset (doc_id % 23 == 0

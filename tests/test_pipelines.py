@@ -461,6 +461,24 @@ def test_embedding_quantize_vs_duckdb(ray_session):
     assert got["code_max"].max() == 255 and got["code_min"].min() == 0
 
 
+def test_incremental_dedup_equals_oneshot(ray_session):
+    """Two-wave incremental dedup against persisted state equals the
+    one-shot dedup, and the state artifact is really written."""
+    import glob
+    import os
+    import tempfile
+
+    from ioverlay_ray.pipelines import relational as rq
+
+    got = rq.q_incremental_dedup(SF)
+    oneshot = rq.q_doc_dedup_exact(SF)
+    assert list(got["doc_id"]) == list(oneshot["doc_id"])
+    state_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"ioverlay_dedup_state_{abs(hash(os.path.abspath(SF)))}")
+    assert glob.glob(os.path.join(state_dir, "*.parquet"))
+
+
 def test_zonal_stats_vs_generator(ray_session):
     """Raster zonal statistics: the distributed decode->rasterize->
     aggregate path must equal the direct generator recompute (small
