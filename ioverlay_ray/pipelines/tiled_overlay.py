@@ -548,20 +548,22 @@ def _stitched_rings(walkout, strip_w: int, block_strips: int = 8,
     return _ret(parts[0].union(*parts[1:]))
 
 
-# rings affected by a pinch correction are pooled on the driver; a
-# scene with more than CORRECTION_RINGS_CAP affected rings skips the
-# correction, and one with more than SHARED_VERTS_CAP junction
-# vertices falls back to self-touch-only seeding (the uncorrected
-# decomposition stays area/edge-exact — see
-# geometry/tiled.correct_junction_rings). The junction-seeded branch
-# is the EXACT path: a walker merge can produce rings that are not
-# individually self-touching (3 kernel rings -> 2 vertex-sharing
-# output rings, observed in the soup sweep), so the fallback's
-# self-touch seeding is best-effort — the vertex cap is set high
-# (8 MB packed) to keep real scenes on the exact branch; only
+# pinch-correction routing: affected sets up to DRIVER_POOL_CAP pool
+# on the driver (zero extra exchanges, the common tiny case); larger
+# sets pool DISTRIBUTED — a CC exchange over rings sharing seed
+# vertices (stages/cc.py), then per-component re-extraction in
+# map_groups, so nothing driver-side scales with the affected count.
+# A single component larger than COMPONENT_RINGS_CAP passes through
+# uncorrected (area-exact; one task cannot hold it). Scenes with more
+# than SHARED_VERTS_CAP junction vertices fall back to self-touch-only
+# seeding: the junction-seeded branch is the EXACT path (a walker
+# merge can produce rings that are not individually self-touching —
+# 3 kernel rings -> 2 vertex-sharing output rings, observed in the
+# soup sweep), so the vertex cap is set high (8 MB packed) and only
 # junction-saturated grids (LinesNet/checkerboard crossings, whose
 # pairings the face rule already gets right) fall through.
-CORRECTION_RINGS_CAP = 1 << 16
+DRIVER_POOL_CAP = 1 << 12
+COMPONENT_RINGS_CAP = 1 << 16
 SHARED_VERTS_CAP = 1 << 20
 
 
@@ -577,6 +579,123 @@ def _ring_slices(b: pa.Table):
     offs = np.asarray(col.offsets, np.int64)
     vals = np.asarray(col.values, np.int64)
     return offs, vals
+
+
+def _ring_uid_rows(b: pa.Table) -> np.ndarray:
+    """Deterministic int64 uid per ring (md5 of the flat pts); rings
+    with identical geometry share a uid, which is sound for pooling —
+    they share every vertex, so they belong to one component anyway."""
+    offs, vals = _ring_slices(b)
+    return np.fromiter(
+        (_ring_id(vals[offs[i]:offs[i + 1]])
+         for i in range(len(offs) - 1)), np.int64, len(offs) - 1)
+
+
+def _correct_rings_cc(affected_ds, clean_ds, seeds: np.ndarray):
+    """DISTRIBUTED component pooling for large affected sets: rings
+    sharing a seed vertex become CC components (stages/cc.py min-label
+    BSP over (min_uid, uid) edges built by one vertex groupby), labels
+    join back through a uid-hash exchange, and each component
+    re-extracts kernel-faithfully inside ONE map_groups task — nothing
+    driver-side scales with the affected count. A single component
+    above COMPONENT_RINGS_CAP passes through uncorrected (area-exact)."""
+    import pyarrow.compute as pc  # noqa: F401
+    import ray.data
+    from ..stages.cc import connected_components
+
+    affected_ds = affected_ds.materialize()
+    sref = ray.put(np.sort(seeds))
+    P = 32
+
+    def vert_rows(b: pa.Table) -> pa.Table:
+        vs = ray.get(sref)
+        offs, vals = _ring_slices(b)
+        n = len(offs) - 1
+        packed = _pack_pts(vals)
+        uids = _ring_uid_rows(b)
+        ring_rep = np.repeat(np.arange(n, dtype=np.int64),
+                             np.diff(offs) // 2)
+        m = np.isin(packed, vs)
+        return pa.table({
+            "v": pa.array(packed[m], pa.int64()),
+            "uid": pa.array(uids[ring_rep[m]], pa.int64()),
+        })
+
+    def self_edges(b: pa.Table) -> pa.Table:
+        uids = _ring_uid_rows(b)
+        return pa.table({"src": pa.array(uids, pa.int64()),
+                         "dst": pa.array(uids, pa.int64())})
+
+    def edges_of_group(group: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(group.column("uid"), np.int64))
+        return pa.table({
+            "src": pa.array(np.full(len(u), u.min()), pa.int64()),
+            "dst": pa.array(u, pa.int64()),
+        })
+
+    edges = (affected_ds.map_batches(vert_rows, batch_format="pyarrow")
+             .groupby("v").map_groups(edges_of_group,
+                                      batch_format="pyarrow")
+             .union(affected_ds.map_batches(self_edges,
+                                            batch_format="pyarrow")))
+    labels = connected_components(edges, num_partitions=8)
+
+    MASK = np.int64((1 << 62) - 1)
+
+    def tag_rings(b: pa.Table) -> pa.Table:
+        uids = _ring_uid_rows(b)
+        return pa.table({
+            "uid": pa.array(uids, pa.int64()),
+            "pts": b.column("pts").cast(PTS),
+            "is_label": pa.array(np.zeros(len(uids), np.int64)),
+            "label": pa.array(np.zeros(len(uids), np.int64)),
+            "part": pa.array((uids & MASK) % P, pa.int64()),
+        })
+
+    def tag_labels(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("id"), np.int64)
+        return pa.table({
+            "uid": pa.array(ids, pa.int64()),
+            "pts": pa.array([[]] * len(ids), PTS),
+            "is_label": pa.array(np.ones(len(ids), np.int64)),
+            "label": b.column("label"),
+            "part": pa.array((ids & MASK) % P, pa.int64()),
+        })
+
+    both = affected_ds.map_batches(tag_rings, batch_format="pyarrow") \
+        .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+
+    def attach(group: pa.Table) -> pa.Table:
+        uidc = np.asarray(group.column("uid"), np.int64)
+        isl = np.asarray(group.column("is_label"), np.int64)
+        labc = np.asarray(group.column("label"), np.int64)
+        lab_by_uid = dict(zip(uidc[isl == 1].tolist(),
+                              labc[isl == 1].tolist()))
+        ring_idx = np.nonzero(isl == 0)[0]
+        out_lab = [lab_by_uid[u] for u in uidc[ring_idx].tolist()]
+        return pa.table({
+            "label": pa.array(out_lab, pa.int64()),
+            "pts": group.column("pts").take(pa.array(ring_idx)),
+        })
+
+    def fix_group(group: pa.Table) -> pa.Table:
+        rings = [list(zip(flat[0::2], flat[1::2]))
+                 for flat in group.column("pts").to_pylist()]
+        if len(rings) > COMPONENT_RINGS_CAP:
+            fixed = rings
+        else:
+            fixed = correct_junction_rings(rings)
+        return pa.table({
+            "kind": pa.array([0] * len(fixed), pa.int64()),
+            "pts": pa.array([[v for p in r for v in p] for r in fixed],
+                            PTS),
+        })
+
+    out = (both.groupby("part").map_groups(attach,
+                                           batch_format="pyarrow")
+           .groupby("label").map_groups(fix_group,
+                                        batch_format="pyarrow"))
+    return clean_ds.union(out)
 
 
 def _correct_rings_ds(rings_ds, junc_ds):
@@ -596,7 +715,8 @@ def _correct_rings_ds(rings_ds, junc_ds):
     rings_ds = rings_ds.materialize()
     junc_ds = junc_ds.materialize()
     vset: set = set()
-    if junc_ds.count() <= SHARED_VERTS_CAP:
+    junction_seeded = junc_ds.count() <= SHARED_VERTS_CAP
+    if junction_seeded:
         for row in junc_ds.take_all():
             flat = np.asarray(row["pts"], np.int64)
             vset.add(int(_pack_pts(flat)[0]))
@@ -621,14 +741,14 @@ def _correct_rings_ds(rings_ds, junc_ds):
         touch_ds = rings_ds.map_batches(
             mark, batch_format="pyarrow").filter(
                 expr="touch == 1").materialize()
-        if touch_ds.count() > CORRECTION_RINGS_CAP:
+        if touch_ds.count() > COMPONENT_RINGS_CAP:
             # pathological all-self-touch density: correction would
             # pool beyond the driver budget anyway — skip it (stays
             # area/edge-exact), never collect the rings
             import warnings
             warnings.warn(
                 "pinch correction skipped: self-touching rings exceed "
-                f"CORRECTION_RINGS_CAP={CORRECTION_RINGS_CAP}")
+                f"COMPONENT_RINGS_CAP={COMPONENT_RINGS_CAP}")
             return rings_ds
         for row in touch_ds.take_all():
             flat = np.asarray(row["pts"], np.int64)
@@ -649,49 +769,68 @@ def _correct_rings_ds(rings_ds, junc_ds):
             return b.append_column("hit", pa.array(hit, pa.int64()))
         return fn
 
-    # expand the seed set to COMPLETE vertex-sharing components: the
-    # kernel-faithful walk must see every ring a pooled ring shares a
-    # vertex with, or its successor choice runs on a partial candidate
-    # set. In the junction-seeded branch every shared vertex IS a
-    # junction, so round 2 just confirms the fixpoint; the self-touch
-    # fallback branch genuinely grows (<= component diameter rounds).
     seeds = np.fromiter(vset, np.int64, len(vset))
-    affected = None
-    hits = None
-    for _ in range(16):
+    if junction_seeded:
+        # hit set is complete by construction: any vertex shared
+        # between rings has out-degree >= 2, i.e. IS a seed
         vref = ray.put(seeds)
         hits = rings_ds.map_batches(split_col(vref),
                                     batch_format="pyarrow").materialize()
         n_affected = int(hits.sum("hit") or 0)
-        if n_affected > CORRECTION_RINGS_CAP:
+    else:
+        # self-touch fallback: expand the seed set to COMPLETE
+        # vertex-sharing components (the kernel-faithful walk must see
+        # every ring a pooled ring shares a vertex with, or its
+        # successor choice runs on a partial candidate set); driver
+        # expansion, bounded
+        affected = None
+        hits = None
+        for _ in range(16):
+            vref = ray.put(seeds)
+            hits = rings_ds.map_batches(
+                split_col(vref), batch_format="pyarrow").materialize()
+            n_affected = int(hits.sum("hit") or 0)
+            if n_affected > COMPONENT_RINGS_CAP:
+                import warnings
+                warnings.warn(
+                    f"pinch correction skipped: {n_affected} "
+                    "self-touch-seeded rings exceed "
+                    f"COMPONENT_RINGS_CAP={COMPONENT_RINGS_CAP}; ring "
+                    "decomposition at pinch junctions may differ from "
+                    "the kernel (areas stay exact)")
+                return hits.map_batches(
+                    lambda b: b.select(["kind", "pts"]),
+                    batch_format="pyarrow")
+            new_affected = hits.filter(expr="hit == 1").take_all()
+            if affected is not None \
+                    and len(new_affected) == len(affected):
+                affected = new_affected
+                break
+            affected = new_affected
+            allv: set = set()
+            for row in affected:
+                flat = np.asarray(row["pts"], np.int64)
+                allv.update(_pack_pts(flat).tolist())
+            if len(allv) == len(seeds):
+                break
+            seeds = np.fromiter(allv, np.int64, len(allv))
+        else:
             import warnings
-            warnings.warn(
-                f"pinch correction skipped: {n_affected} affected rings "
-                f"exceed CORRECTION_RINGS_CAP={CORRECTION_RINGS_CAP}; "
-                "ring decomposition at pinch junctions may differ from "
-                "the kernel (areas/edges stay exact)")
+            warnings.warn("pinch correction skipped: component "
+                          "expansion did not converge in 16 rounds")
             return hits.map_batches(lambda b: b.select(["kind", "pts"]),
                                     batch_format="pyarrow")
-        new_affected = hits.filter(expr="hit == 1").take_all()
-        if affected is not None and len(new_affected) == len(affected):
-            affected = new_affected
-            break
-        affected = new_affected
-        allv: set = set()
-        for row in affected:
-            flat = np.asarray(row["pts"], np.int64)
-            allv.update(_pack_pts(flat).tolist())
-        if len(allv) == len(seeds):
-            break
-        seeds = np.fromiter(allv, np.int64, len(allv))
-    else:
-        import warnings
-        warnings.warn("pinch correction skipped: component expansion "
-                      "did not converge in 16 rounds")
+    if n_affected == 0:
         return hits.map_batches(lambda b: b.select(["kind", "pts"]),
                                 batch_format="pyarrow")
     clean = hits.filter(expr="hit == 0").map_batches(
         lambda b: b.select(["kind", "pts"]), batch_format="pyarrow")
+    if n_affected > DRIVER_POOL_CAP:
+        # large affected set: pool and re-extract DISTRIBUTED
+        affected_ds = hits.filter(expr="hit == 1").map_batches(
+            lambda b: b.select(["kind", "pts"]), batch_format="pyarrow")
+        return _correct_rings_cc(affected_ds, clean, seeds)
+    affected = hits.filter(expr="hit == 1").take_all()
     pooled = []
     for row in affected:
         flat = row["pts"]

@@ -698,6 +698,42 @@ def test_distributed_soup_ring_parity(ray_session):
             _canon_shapes(overlay(subj, clip, "union", "nonzero")), trial
 
 
+def test_distributed_cc_pooling_parity(ray_session, monkeypatch):
+    """The DISTRIBUTED component-pooling path (large affected sets:
+    CC over shared seed vertices + per-component map_groups
+    re-extraction) forced via DRIVER_POOL_CAP=0 must reproduce the
+    kernel's full ring multiset on the divergent fixtures and a soup
+    scene — i.e. exactly what the driver-pooling path produces."""
+    from ioverlay_ray.pipelines import tiled_overlay as mod
+    from ioverlay_ray.pipelines.tiled_overlay import tiled_rings_ds
+    from ioverlay_ray.sources import fixtures
+
+    monkeypatch.setattr(mod, "DRIVER_POOL_CAP", 0)
+
+    def kernel_rings(subj, clip, rule, fr):
+        return sorted(_canon_ring([tuple(p) for p in c])
+                      for sh in overlay(subj, clip, rule, fr) for c in sh)
+
+    def ds_rings(subj, clip, rule, fr, sw=None):
+        ds = tiled_rings_ds(subj, clip, rule, fr, strip_w=sw)
+        return sorted(filter(None, (
+            _canon_ring(list(zip(r["pts"][0::2], r["pts"][1::2])))
+            for r in ds.take_all())))
+
+    for idx in (138, 141):
+        case = fixtures.load_boolean_case(idx)
+        subj, clip = _case_points(case)
+        fr = case["fill_rule"]
+        assert ds_rings(subj, clip, "union", fr) == \
+            kernel_rings(subj, clip, "union", fr), idx
+
+    rng = np.random.default_rng(20260822)
+    subj, clip = _soup_scene(rng)
+    for rule in ("union", "xor"):
+        assert ds_rings(subj, clip, rule, "nonzero", 256) == \
+            kernel_rings(subj, clip, rule, "nonzero"), rule
+
+
 def test_distributed_correction_selftouch_fallback(ray_session,
                                                    monkeypatch):
     """Junction-dense fallback branch (SHARED_VERTS_CAP exceeded):
