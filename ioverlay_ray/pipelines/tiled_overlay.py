@@ -715,7 +715,15 @@ def _correct_rings_ds(rings_ds, junc_ds):
     rings_ds = rings_ds.materialize()
     junc_ds = junc_ds.materialize()
     vset: set = set()
-    junction_seeded = junc_ds.count() <= SHARED_VERTS_CAP
+    n_junc = junc_ds.count()
+    # density heuristic: grid-like scenes (junction count comparable
+    # to ring count — LinesNet/checkerboard crossings) would pool into
+    # one scene-sized component and give up at COMPONENT_RINGS_CAP
+    # after paying the full CC machinery; their face-rule pairings are
+    # already exact, so route them to the self-touch fallback. Sparse
+    # pinch scenes (junctions << rings) keep the exact branch.
+    junction_seeded = n_junc <= SHARED_VERTS_CAP and \
+        n_junc <= max(1024, rings_ds.count() // 4)
     if junction_seeded:
         for row in junc_ds.take_all():
             flat = np.asarray(row["pts"], np.int64)
