@@ -461,6 +461,28 @@ def test_embedding_quantize_vs_duckdb(ray_session):
     assert got["code_max"].max() == 255 and got["code_min"].min() == 0
 
 
+def test_tagged_join_empty_blocks(ray_session):
+    """_tagged_join must keep explicit key types on empty blocks (a
+    zero-row pandas frame would infer null-typed keys and break the
+    union) and drop left rows with no right match (inner join)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ioverlay_ray.pipelines.relational import _tagged_join
+
+    left = ray.data.from_arrow([
+        pa.table({"k": pa.array(["a", "b"], pa.string()),
+                  "x": pa.array([1, 2], pa.int64())}),
+        pa.table({"k": pa.array([], pa.string()),
+                  "x": pa.array([], pa.int64())}),
+    ])
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array(["b", "c"], pa.string()),
+                  "y": pa.array([10, 20], pa.int64())}))
+    out = _tagged_join(left, right, ["k"], ["x"], ["y"]).to_pandas()
+    assert out.values.tolist() == [["b", 2, 10]]
+
+
 def test_incremental_dedup_equals_oneshot(ray_session):
     """Two-wave incremental dedup against persisted state equals the
     one-shot dedup, and the state artifact is really written."""
