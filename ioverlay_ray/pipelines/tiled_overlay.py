@@ -408,8 +408,21 @@ def _walk(strip_w: int):
             pa.array(all_vals, pa.int64()))
         kinds = np.concatenate((np.zeros(nr, np.int64),
                                 np.ones(len(chains), np.int64)))
+        # self-touch flag computed IN the walk (fused lexsort over the
+        # ring buffers) — the pinch correction's fallback seed, saving
+        # it a full dataset pass + barrier on junction-dense scenes
+        touch = np.zeros(nr + len(chains), np.int64)
+        if nr:
+            packed = _pack_pts(vals[:int(offs[-1])])
+            rid = np.repeat(np.arange(nr, dtype=np.int64),
+                            np.diff(offs) // 2)
+            o = np.lexsort((packed, rid))
+            rp, ri = packed[o], rid[o]
+            dup = (rp[1:] == rp[:-1]) & (ri[1:] == ri[:-1])
+            touch[ri[1:][dup]] = 1
         out = pa.table({"kind": pa.array(kinds, pa.int64()),
-                        "pts": pts.cast(PTS)})
+                        "pts": pts.cast(PTS),
+                        "touch": pa.array(touch, pa.int64())})
         # junction vertices (>= 2 outgoing edges; ownership puts ALL a
         # node's out-edges in its strip, so local out-degree is global)
         # ride along as kind=2 rows — the pinch correction's seed set,
@@ -426,7 +439,8 @@ def _walk(strip_w: int):
                             PTS)
             out = pa.concat_tables([out, pa.table({
                 "kind": pa.array([2] * len(j), pa.int64()),
-                "pts": jpts})])
+                "pts": jpts,
+                "touch": pa.array([0] * len(j), pa.int64())})])
         return out
     return fn
 
@@ -450,8 +464,11 @@ def _stitch_block(totals_ref):
         kinds = [0] * len(rings) + [1] * len(leftover)
         pts = [[v for p in r for v in p] for r in rings] + \
               [[v for p in c for v in p] for c in leftover]
+        touch = [int(len(set(r)) != len(r)) for r in rings] + \
+                [0] * len(leftover)
         return pa.table({"kind": pa.array(kinds, pa.int64()),
-                         "pts": pa.array(pts, PTS)})
+                         "pts": pa.array(pts, PTS),
+                         "touch": pa.array(touch, pa.int64())})
     return fn
 
 
@@ -461,6 +478,8 @@ def _stitch_final(group: pa.Table) -> pa.Table:
     return pa.table({
         "kind": pa.array([0] * len(rings), pa.int64()),
         "pts": pa.array([[v for p in r for v in p] for r in rings], PTS),
+        "touch": pa.array([int(len(set(r)) != len(r)) for r in rings],
+                          pa.int64()),
     })
 
 
@@ -729,26 +748,10 @@ def _correct_rings_ds(rings_ds, junc_ds):
             flat = np.asarray(row["pts"], np.int64)
             vset.add(int(_pack_pts(flat)[0]))
     else:
-        # junction-dense scene — seed from self-touching rings only
-        # (their pairings are the only observed wrong-merge signature
-        # at that density; see NOTES round-5 lead #1)
-        def mark(b: pa.Table) -> pa.Table:
-            offs, vals = _ring_slices(b)
-            packed = _pack_pts(vals)
-            n = len(offs) - 1
-            ring_id = np.repeat(np.arange(n, dtype=np.int64),
-                                np.diff(offs) // 2)
-            order = np.lexsort((packed, ring_id))
-            rp, ri = packed[order], ring_id[order]
-            dup = (rp[1:] == rp[:-1]) & (ri[1:] == ri[:-1])
-            touch = np.zeros(n, np.int64)
-            touch[ri[1:][dup]] = 1
-            return b.append_column("touch",
-                                   pa.array(touch, pa.int64()))
-
-        touch_ds = rings_ds.map_batches(
-            mark, batch_format="pyarrow").filter(
-                expr="touch == 1").materialize()
+        # junction-dense scene — seed from self-touching rings only;
+        # the walk computed the flag in-line (fused lexsort), so this
+        # is a narrow filter, not an extra pass + barrier
+        touch_ds = rings_ds.filter(expr="touch == 1").materialize()
         if touch_ds.count() > COMPONENT_RINGS_CAP:
             # pathological all-self-touch density: correction would
             # pool beyond the driver budget anyway — skip it (stays
@@ -757,12 +760,15 @@ def _correct_rings_ds(rings_ds, junc_ds):
             warnings.warn(
                 "pinch correction skipped: self-touching rings exceed "
                 f"COMPONENT_RINGS_CAP={COMPONENT_RINGS_CAP}")
-            return rings_ds
+            return rings_ds.map_batches(
+                lambda b: b.select(["kind", "pts"]),
+                batch_format="pyarrow")
         for row in touch_ds.take_all():
             flat = np.asarray(row["pts"], np.int64)
             vset.update(_pack_pts(flat).tolist())
     if not vset:
-        return rings_ds
+        return rings_ds.map_batches(lambda b: b.select(["kind", "pts"]),
+                                    batch_format="pyarrow")
 
     def split_col(vref):
         def fn(b: pa.Table) -> pa.Table:
