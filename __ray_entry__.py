@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic training-epoch shuffle (seeded LCG key;
         # verifiable head via the partial-top-k combiner)
         "q_epoch_shuffle_head": rq.q_epoch_shuffle_head,
+        # per-key LAG window (days since previous order; one hash
+        # exchange + group-local sort, no global sort)
+        "q_order_gaps": rq.q_order_gaps,
         # training-sequence packing within hash shards
         "q_pack_sequences": rq.q_pack_sequences,
         # curriculum mixture sampling to a token budget
@@ -628,6 +631,17 @@ def oracle_sql() -> dict[str, str]:
                         + LEAST(64, n - i * 48) AS BIGINT)] AS last_tok
             FROM w
             ORDER BY doc_id, chunk_idx
+        """,
+        "q_order_gaps": """
+            SELECT o_orderkey,
+                   CAST(COALESCE(
+                       (epoch(o_orderdate) // 86400)
+                       - LAG(epoch(o_orderdate) // 86400) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                       -1) AS BIGINT) AS gap_days
+            FROM orders
+            ORDER BY o_orderkey
         """,
         "q_epoch_shuffle_head": """
             SELECT CAST(row_number() OVER (

@@ -536,6 +536,47 @@ def q_doc_lm_fluency(sf_dir: str) -> pd.DataFrame:
         .astype(np.int64)
 
 
+def q_order_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-key LAG window (feature engineering: days since the
+    customer's previous order): ONE hash exchange on o_custkey, then a
+    group-local vectorized sort + diff — the standard distributed
+    window shape (partition by key, order within partition; no global
+    sort). First order per customer gets gap_days = -1 (SQL
+    COALESCE)."""
+    from ..stages.agg import _part_of
+    P = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        d = batch.to_pandas()
+        d["part"] = _part_of(d, ["o_custkey"], P)
+        return pa.Table.from_pandas(
+            d, preserve_index=False).replace_schema_metadata(None)
+
+    def gaps(group: pa.Table) -> pa.Table:
+        g = group.to_pandas().sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        days = g["o_orderdate"].to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        cust = g["o_custkey"].to_numpy()
+        gap = np.empty(len(g), np.int64)
+        gap[0:1] = -1
+        if len(g) > 1:
+            same = cust[1:] == cust[:-1]
+            gap[1:] = np.where(same, days[1:] - days[:-1], -1)
+        return pa.table({
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(), pa.int64()),
+            "gap_days": pa.array(gap, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate"])
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("part").map_groups(gaps, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("o_orderkey").reset_index(drop=True) \
+        .astype(np.int64)
+
+
 def q_epoch_shuffle_head(sf_dir: str, seed: int = 7,
                          k: int = 100) -> pd.DataFrame:
     """Deterministic training-epoch shuffle: every document gets a
