@@ -455,23 +455,20 @@ def q_doc_lm_fluency(sf_dir: str) -> pd.DataFrame:
 
     1. per-doc bigram partials (map-side Counter combiner, one row per
        distinct bigram per doc);
-    2. model counts c2(w1,w2) via one hash exchange; context counts
-       c1(w1) derived from c2 by a second (smaller) exchange — the
-       model stays DISTRIBUTED, it is never collected or broadcast;
-    3. vocabulary size V: map-side distinct + one token-key exchange,
+    2. vocabulary size V: map-side distinct + one token-key exchange,
        count only;
-    4. scoring: the doc bigrams hash-join c2 on (w1,w2), then c1 on
-       w1 (tagged exchanges, both sides big); per-doc sum is a final
-       doc_id aggregate. In production the c2 table would be
-       count-pruned (drop singletons) before the join — the knob is a
-       WHERE on step 2's output.
+    3. model + scoring in ONE w1-hash exchange: every (w1, *) gram
+       row co-locates, so c2(w1,w2) and c1(w1) are complete inside
+       each part group and score there too — the model stays
+       DISTRIBUTED (never collected or broadcast) and the exchange
+       count is 2 (vocab + w1), not 5;
+    4. per-doc sum is a final doc_id aggregate.
 
-    The two materialize() calls pin multi-consumer intermediates
-    (the one text scan's combined gram/token rows feed the count
-    exchange, the vocab exchange AND the scoring join; c2 feeds c1
-    AND the join) in the object store — Ray Data would otherwise
-    re-execute the full text scan per consumer; blocks spill to disk
-    at scale, nothing is collected to the driver."""
+    The materialize() pins the one text scan's combined gram/token
+    rows (they feed the vocab exchange AND the scoring exchange) in
+    the object store — Ray Data would otherwise re-execute the full
+    text scan per consumer; blocks spill to disk at scale, nothing is
+    collected to the driver."""
     from ..stages.agg import hash_aggregate
     from ..stages.text import bigram_rows, distinct_token_rows
 
@@ -500,12 +497,6 @@ def q_doc_lm_fluency(sf_dir: str) -> pd.DataFrame:
 
     combined = docs.map_batches(gram_and_token_rows,
                                 batch_format="pyarrow").materialize()
-    grams = combined.filter(expr="kind == 0").map_batches(
-        lambda b: b.select(["doc_id", "w1", "w2", "tf"]),
-        batch_format="pyarrow")
-    c2 = hash_aggregate(grams, ["w1", "w2"],
-                        {"c2": ("tf", "sum")}).materialize()
-    c1 = hash_aggregate(c2, ["w1"], {"c1": ("c2", "sum")})
     vocab = hash_aggregate(
         combined.filter(expr="kind == 1").map_batches(
             lambda b: b.select(["w1"]).rename_columns(["w"]),
@@ -513,21 +504,38 @@ def q_doc_lm_fluency(sf_dir: str) -> pd.DataFrame:
         ["w"], {"n": ("w", "count")})
     V = int(vocab.count())
 
-    j1 = _tagged_join(grams, c2, ["w1", "w2"], ["doc_id", "tf"], ["c2"])
-    j2 = _tagged_join(j1, c1, ["w1"], ["doc_id", "tf", "c2"], ["c1"])
+    # ONE w1-hash exchange: every (w1, *) gram row co-locates, so the
+    # model counts c2(w1,w2) and c1(w1) are both complete inside the
+    # part group — count and score in the same pass (collapses the
+    # former c2 exchange + c1 exchange + two tagged joins)
+    from ..stages.agg import _part_of
+    P = 32
 
-    def score(batch: pa.Table) -> pa.Table:
-        tf = np.asarray(batch.column("tf"), np.int64)
-        c2v = np.asarray(batch.column("c2"), np.int64)
-        c1v = np.asarray(batch.column("c1"), np.int64)
-        s = tf * ((1000 * (c2v + 1)) // (c1v + V))
+    def tag_w1(batch: pa.Table) -> pa.Table:
+        t = batch.select(["doc_id", "w1", "w2", "tf"])
+        d = t.to_pandas()
+        d["part"] = _part_of(d, ["w1"], P)
+        return pa.Table.from_pandas(
+            d, preserve_index=False).replace_schema_metadata(None)
+
+    def score_group(group: pa.Table) -> pa.Table:
+        g = group.to_pandas()
+        c2 = g.groupby(["w1", "w2"])["tf"].transform("sum")
+        c1 = g.groupby("w1")["tf"].transform("sum")
+        tf = g["tf"].to_numpy(np.int64)
+        s = tf * ((1000 * (c2.to_numpy(np.int64) + 1))
+                  // (c1.to_numpy(np.int64) + V))
         return pa.table({
-            "doc_id": batch.column("doc_id"),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
             "n_bigrams": pa.array(tf, pa.int64()),
             "s": pa.array(s, pa.int64()),
         })
 
-    scored = j2.map_batches(score, batch_format="pyarrow")
+    scored = (combined.filter(expr="kind == 0")
+              .map_batches(tag_w1, batch_format="pyarrow")
+              .groupby("part").map_groups(score_group,
+                                          batch_format="pyarrow"))
     out = hash_aggregate(scored, ["doc_id"], {
         "n_bigrams": ("n_bigrams", "sum"),
         "fluency_milli": ("s", "sum"),
