@@ -70,7 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ioverlay_ray.pipelines import giant_pip as gp
     from ioverlay_ray.pipelines import media as mq
     from ioverlay_ray.pipelines import relational as rq
-    return {
+    q = {
         # core relational operators (map/filter/agg/join/sort/distinct)
         "q_pricing_summary": rq.q_pricing_summary,
         "q_top_orders": rq.q_top_orders,
@@ -116,8 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_chunks": rq.q_doc_chunks,
         # distributed BM25 keyword ranking (exact integer scoring)
         "q_doc_bm25": rq.q_doc_bm25,
-        # bigram-LM fluency scoring (distributed model counts + two
-        # big-big hash joins; exact integer milli-probabilities)
+        # bigram-LM fluency scoring (model counts + scoring fused into
+        # ONE w1-hash exchange; exact integer milli-probabilities)
         "q_doc_lm_fluency": rq.q_doc_lm_fluency,
         # deterministic training-epoch shuffle (seeded LCG key;
         # verifiable head via the partial-top-k combiner)
@@ -193,6 +193,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recompute VALUES oracle; exact integer channel sums)
         "q_zonal_stats": mq.q_zonal_stats,
     }
+    # The driver verifies the FIRST 50 entries per round (dict order).
+    # Rotate least-recently-verified rows to the front so every query
+    # gets a driver row across consecutive rounds: these 21 were green
+    # in CORRECTNESS_r03 but outside r04's 50-query window (18 rows) or
+    # have never had a driver row (q_embedding_quantize, q_image_psnr,
+    # q_zonal_stats — pytest + local oracle gated only).
+    first = [
+        "q_embedding_quantize",
+        "q_image_psnr",
+        "q_zonal_stats",
+        "q_ann_lsh_buckets",
+        "q_clip_segments",
+        "q_dissolve_area",
+        "q_flagship_tiles",
+        "q_giant_pip",
+        "q_image_caption_roundtrip",
+        "q_image_decode_stats",
+        "q_image_embed_topk",
+        "q_image_phash_neardup",
+        "q_kmeans_embeddings",
+        "q_knn_centers",
+        "q_overlay_fixture_corpus",
+        "q_pip_count",
+        "q_raster_scanlines",
+        "q_rect_intersect_area",
+        "q_rect_relate",
+        "q_ref_workloads",
+        "q_tiled_overlay",
+    ]
+    head = {k: q[k] for k in first}
+    head.update((k, v) for k, v in q.items() if k not in head)
+    return head
 
 
 def _planes_cte(dim: int = 64, n_planes: int = 8, seed: int = 11) -> str:
@@ -1218,7 +1250,11 @@ def oracle_sql() -> dict[str, str]:
             WITH n AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                 FROM embeddings
-            ), pos(i) AS (SELECT unnest(range(1, 65))),
+            ), -- dim bound comes from the data, not a hardcoded 64,
+            -- so a fixture-generator dim change cannot silently check
+            -- a prefix of dimensions (ADVICE r4)
+            pos(i) AS (SELECT unnest(
+                range(1, (SELECT len(e) FROM n LIMIT 1) + 1))),
             mm AS (
                 SELECT pos.i, MIN(n.e[pos.i]) AS mn, MAX(n.e[pos.i]) AS mx
                 FROM n CROSS JOIN pos GROUP BY pos.i

@@ -106,16 +106,26 @@ def q_image_embed_topk(sf_dir: str, n_images: int = 256,
     from ..stages.ann import CosineTopKStage, merge_topk
     ds = _images_ds(n_images)
     emb = ds.map_batches(stage_fn(EmbedStage), batch_format="pyarrow")
-    emb_df = emb.to_pandas().sort_values("image_id").reset_index(drop=True)
-    queries = np.array(emb_df["embedding"].iloc[:4].tolist())
-    qids = list(range(4))
 
-    t = pa.table({
-        "vec_id": np.arange(len(emb_df), dtype=np.int64),
-        "embedding": pa.array(emb_df["embedding"].tolist(),
-                              pa.list_(pa.float64())),
-    })
-    partials = ray.data.from_arrow(t).map_batches(
+    # vec_id comes straight from the image_id suffix (img_%012d ==
+    # generation index == rank in image_id order), assigned per batch —
+    # the full embedding table never crosses the driver (r4 VERDICT
+    # next-round #5; the old form collected it just to number rows).
+    def with_vec_id(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = pc.cast(pc.utf8_slice_codeunits(
+            b.column("image_id"), 4, 32), pa.int64())
+        return b.append_column("vec_id", ids)
+
+    emb = emb.map_batches(with_vec_id,
+                          batch_format="pyarrow").materialize()
+    # only the 4 query rows cross the driver (k-sized, not corpus-sized)
+    qrows = sorted(emb.filter(expr="vec_id < 4").take_all(),
+                   key=lambda r: r["vec_id"])
+    queries = np.array([r["embedding"] for r in qrows])
+    qids = [int(r["vec_id"]) for r in qrows]
+
+    partials = emb.map_batches(
         stage_fn(CosineTopKStage, queries, qids, k),
         batch_format="pyarrow").to_pandas()
     out = merge_topk(pa.Table.from_pandas(partials), k).to_pandas()

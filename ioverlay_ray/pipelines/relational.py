@@ -9,6 +9,7 @@ hash identically to the DuckDB oracles in __ray_entry__.oracle_sql.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
@@ -274,6 +275,18 @@ def q_doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def dedup_state_dir(sf_dir: str) -> str:
+    """Deterministic persisted-state location for incremental dedup —
+    a stable md5 digest of the corpus path (NOT builtin hash(), which
+    is randomized per process via PYTHONHASHSEED), so the wave-1 state
+    is reachable from any process and no per-process dirs leak."""
+    import tempfile
+    sf_tag = hashlib.md5(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"ioverlay_dedup_state_{sf_tag}")
+
+
 def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     """INCREMENTAL ingest dedup — the shape a 100-TB pipeline actually
     runs (corpora arrive in waves; rescanning history per wave is
@@ -286,16 +299,13 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     which is exactly what the SQL oracle computes over the full
     corpus."""
     import shutil
-    import tempfile
 
     from ..stages.agg import hash_aggregate
     from ..stages.dedup import exact_key_stage
 
     cut = int(_read(sf_dir, "documents", ["doc_id"])
               .max("doc_id")) // 2 + 1
-    state_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"ioverlay_dedup_state_{abs(hash(os.path.abspath(sf_dir)))}")
+    state_dir = dedup_state_dir(sf_dir)
     shutil.rmtree(state_dir, ignore_errors=True)
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)

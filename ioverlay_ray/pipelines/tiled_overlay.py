@@ -587,7 +587,14 @@ SHARED_VERTS_CAP = 1 << 20
 
 
 def _pack_pts(flat: np.ndarray) -> np.ndarray:
+    # 31-bit biased fields: |coordinate| must stay below 2^30 or the
+    # packed keys wrap and corrupt junction seeding/pooling silently.
+    # This matches the documented i32-scale input domain; assert it
+    # because this packing feeds the correction's seed set (ADVICE r4).
     OFF = np.int64(1 << 30)
+    if len(flat) and (np.abs(flat).max() >= OFF):
+        raise ValueError(
+            "_pack_pts: coordinate outside the +-2^30 packing domain")
     return ((flat[0::2] + OFF) << np.int64(31)) | (flat[1::2] + OFF)
 
 
@@ -750,7 +757,17 @@ def _correct_rings_ds(rings_ds, junc_ds):
     else:
         # junction-dense scene — seed from self-touching rings only;
         # the walk computed the flag in-line (fused lexsort), so this
-        # is a narrow filter, not an extra pass + barrier
+        # is a narrow filter, not an extra pass + barrier.
+        # This branch is area/edge-exact but NOT guaranteed
+        # decomposition-exact: a walker merge can yield vertex-sharing
+        # rings that are not individually self-touching (ADVICE r4) —
+        # tell consumers so the weaker guarantee is visible on the run.
+        import warnings
+        warnings.warn(
+            "pinch correction: junction-dense scene "
+            f"(n_junc={n_junc}) routed to self-touch-only seeding; "
+            "ring decomposition is area/edge-exact but may differ "
+            "from the kernel's at non-self-touching merged rings")
         touch_ds = rings_ds.filter(expr="touch == 1").materialize()
         if touch_ds.count() > COMPONENT_RINGS_CAP:
             # pathological all-self-touch density: correction would

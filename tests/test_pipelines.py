@@ -401,8 +401,8 @@ def test_new_relational_ops_vs_duckdb(ray_session):
 
 
 def test_lm_fluency_vs_duckdb(ray_session):
-    """Bigram-LM fluency: distributed model counts + two big-big hash
-    joins vs a direct DuckDB recompute at sf0.001 (the exact-integer
+    """Bigram-LM fluency: model counts + scoring fused into one
+    w1-hash exchange vs a direct DuckDB recompute at sf0.001 (the exact-integer
     smoothed score makes this a strict equality)."""
     import duckdb
 
@@ -495,9 +495,9 @@ def test_incremental_dedup_equals_oneshot(ray_session):
     got = rq.q_incremental_dedup(SF)
     oneshot = rq.q_doc_dedup_exact(SF)
     assert list(got["doc_id"]) == list(oneshot["doc_id"])
-    state_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"ioverlay_dedup_state_{abs(hash(os.path.abspath(SF)))}")
+    # the state path must be deterministic ACROSS processes (md5 of the
+    # corpus path, not PYTHONHASHSEED-randomized builtin hash)
+    state_dir = rq.dedup_state_dir(SF)
     assert glob.glob(os.path.join(state_dir, "*.parquet"))
 
 
