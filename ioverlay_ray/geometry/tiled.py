@@ -257,14 +257,27 @@ def _face_successor(vix: int, viy: int, cands, head: Point) -> int:
     return best
 
 
-def strip_walk(edges: List[Tuple[Point, Point]], strip: int, strip_w: int):
+def strip_walk(edges: List[Tuple[Point, Point]], strip: int,
+               strip_w: int):
     """Walk edges owned by one strip (ownership = strip of tail point).
 
     Returns (rings, chains): rings close locally through non-break
     nodes; chains break at nodes with remote incoming edges (detected
     as local_in < local_out — all OUT edges at a local node are local
     by the ownership rule) or heads outside the strip.
-    """
+
+    Junction pairing here uses the face rule; the correction stage
+    (correct_junction_rings / _correct_rings_ds) repairs the flag-
+    dependent divergences afterwards. r5 NOTE: per-ring kernel-faithful
+    LOCAL pairing is UNSOUND — a locally-complete ring walked with its
+    own left-top flag can diverge when the kernel ring containing
+    those links starts remotely with a different rotation (concrete
+    counterexample: test_randomized_bit_parity seed 1012, xor,
+    strip_w=128 — a strip-local pinch triangle whose enclosing kernel
+    ring starts two strips away; see NOTES.md r5) — so the face walk +
+    correction split is retained by design, and cross-strip junction
+    pairing is kernel-exact in the FINAL stitch
+    (stitch_rings_faithful)."""
     lo = strip * strip_w
     hi = (strip + 1) * strip_w
 
@@ -548,8 +561,12 @@ def stitch_chains(chains: List[List[Point]],
     absent remote arrival could consume the wrong starter) defer to
     the final task; leftover open chains are returned separately:
     (rings, leftover_chains). Without ``totals``, all chains are
-    assumed present (single final stitch) and only rings are returned.
+    assumed present (single final stitch) and junction pairing runs
+    with EXACT kernel semantics (stitch_rings_faithful, r5) — only
+    rings are returned.
     """
+    if totals is None:
+        return stitch_rings_faithful(chains)
     by_tail: Dict[Point, List[int]] = {}
     for ci, ch in enumerate(chains):
         by_tail.setdefault(ch[0], []).append(ci)
@@ -780,6 +797,10 @@ def tiled_overlay(subj: Sequence, clip: Sequence, rule, fill_rule,
         rings.extend(r)
         chains.extend(c)
     rings.extend(stitch_chains(chains))
+    # cross-strip junction pairing is kernel-exact in the final stitch
+    # (stitch_rings_faithful); the correction stage remains for LOCAL
+    # flag-dependent junction pairing (see strip_walk docstring — a
+    # native local faithful walk is refuted by counterexample)
     rings = correct_junction_rings(rings)
     return assemble_shapes(rings)
 
@@ -937,6 +958,242 @@ def _faithful_component_rings(edges):
                 nid = a_id[link_id]
             visited[link_id] = True
         rings.append(points)
+    return rings
+
+
+# ---------------------------------------------------------------------------
+# Kernel-faithful strip walk + final stitch (r5: retires the
+# correction stage — junction pairing is kernel-exact by construction)
+# ---------------------------------------------------------------------------
+
+def _is_cw(p0, p1, p2):
+    return (p1[0] - p0[0]) * (p2[1] - p0[1]) \
+        - (p1[1] - p0[1]) * (p2[0] - p0[0]) < 0
+
+
+def stitch_rings_faithful(chains: List[List[Point]]):
+    """Final stitch with EXACT kernel semantics
+    (iOverlay core/extract.rs:189-221 + core/nearest_vector.rs) over
+    CONTRACTED chains. Each chain is a directed point path whose
+    interior nodes are globally forced (simple + complete — the strip
+    walk breaks at junctions and strip exits, and the block stitch
+    joins only totals==(1,1) points), so the kernel's per-segment walk
+    collapses to a walk over chain STUBS:
+
+    - a stub = one chain end; its geometry is the chain's first
+      segment from that node — exactly the segment the kernel would
+      evaluate as a candidate there;
+    - ring starts come from the globally-minimal unused member
+      segment (the kernel's sorted-link scan); the selected chain is
+      SPLIT around that segment first, so the left-top refinement and
+      the begin/stop-probe bookkeeping run at true segment
+      granularity and the ring re-enters the remainder at its end,
+      exactly like the kernel's link walk;
+    - per-ring rotation comes from the left-top segment's travel flag
+      (flag == tail < head, the oriented_edges is_fill_top recovery
+      verified on fixtures + soup), with the stop probe using the
+      OPPOSITE rotation;
+    - traversing any stub consumes the whole chain (its interior is
+      forced), matching segment-by-segment visited marking.
+    """
+    import heapq
+
+    def seg_key(p, q):
+        return (p, q) if p <= q else (q, p)
+
+    paths: dict = {}
+    alive: dict = {}
+    mins: dict = {}
+    heap: list = []
+    serial = 0
+    # node -> list of (stub_key, chain_id, end) kept sorted (the
+    # kernel's sorted-order node lists); dead chains stay listed, the
+    # live scans filter — mirroring the static node lists of
+    # _faithful_component_rings
+    ends: dict = {}
+
+    def adj_of(path, end):
+        return path[1] if end == 0 else path[-2]
+
+    def end_pt(path, end):
+        return path[0] if end == 0 else path[-1]
+
+    def add_chain(path):
+        nonlocal serial
+        ci = serial
+        serial += 1
+        paths[ci] = path
+        alive[ci] = True
+        best, best_j = None, -1
+        for j in range(len(path) - 1):
+            k = seg_key(path[j], path[j + 1])
+            if best is None or k < best:
+                best, best_j = k, j
+        mins[ci] = (best, best_j)
+        heapq.heappush(heap, (best, ci))
+        import bisect
+        for e in (0, 1):
+            v = end_pt(path, e)
+            sk = seg_key(v, adj_of(path, e))
+            lst = ends.setdefault(v, [])
+            bisect.insort(lst, (sk, ci, e))
+        return ci
+
+    def drop_chain(ci):
+        # removed only when splitting a live chain (dead chains stay
+        # listed like the kernel's visited links)
+        path = paths[ci]
+        alive[ci] = False
+        for e in (0, 1):
+            v = end_pt(path, e)
+            sk = seg_key(v, adj_of(path, e))
+            lst = ends.get(v, [])
+            try:
+                lst.remove((sk, ci, e))
+            except ValueError:
+                pass
+
+    def split_chain(ci, j):
+        """Replace live chain ci with pieces [0..j], [j..j+1],
+        [j+1..end]; returns the id of the middle segment piece."""
+        path = paths[ci]
+        drop_chain(ci)
+        if j > 0:
+            add_chain(path[:j + 1])
+        seg_id = add_chain(path[j:j + 2])
+        if j + 2 < len(path):
+            add_chain(path[j + 1:])
+        return seg_id
+
+    for c in chains:
+        if len(c) >= 2:
+            add_chain(list(c))
+
+    total_pts = sum(len(p) for p in paths.values())
+
+    def live_stubs(v):
+        return [(sk, ci, e) for (sk, ci, e) in ends.get(v, ())
+                if alive[ci]]
+
+    def knext(cur_ci, cur_end, cur_adj, v, clockwise):
+        """kernel _next_link over the stubs at node v. cur_ci/cur_end
+        identify the arriving stub; cur_adj is the far point of the
+        arriving segment (the chain's adjacent point at v)."""
+        node = ends.get(v, ())
+        if len(node) == 2:
+            (k0, c0, e0), (k1, c1, e1) = node
+            return (c1, e1) if (c0, e0) == (cur_ci, cur_end) \
+                else (c0, e0)
+        live = [(ci, e) for (sk, ci, e) in node if alive[ci]]
+        if not live:
+            return None
+        if len(live) == 1:
+            return live[0]
+        vax, vay = cur_adj[0] - v[0], cur_adj[1] - v[1]
+        first = live[0]
+        bpt = adj_of(paths[first[0]], first[1])
+        vbx, vby = bpt[0] - v[0], bpt[1] - v[1]
+        rot = 1 if clockwise else -1
+        cr = vax * vby - vay * vbx
+        more_180 = (cr >= 0) if clockwise else (cr <= 0)
+        best = first
+        for e in live[1:]:
+            p = adj_of(paths[e[0]], e[1])
+            vpx, vpy = p[0] - v[0], p[1] - v[1]
+            ap_more = (vax * vpy - vay * vpx) * rot >= 0
+            if more_180 == ap_more:
+                if (vpx * vby - vpy * vbx) * rot < 0:
+                    vbx, vby = vpx, vpy
+                    best = e
+            elif more_180:
+                more_180 = False
+                vbx, vby = vpx, vpy
+                best = e
+        return best
+
+    rings: List[List[Point]] = []
+
+    while heap:
+        k, ci = heapq.heappop(heap)
+        if not alive[ci] or mins[ci][0] != k:
+            continue
+        # start selection: explode the min-key chain to segment
+        # granularity around its minimal member segment
+        if len(paths[ci]) > 2:
+            split_chain(ci, mins[ci][1])
+            continue        # pieces re-queued with their keys
+        v = k[0]            # ring-minimal vertex (canonical a of lt)
+        # kernel _find_left_top_link over the stubs at v
+        node = ends.get(v, ())
+        if len(node) == 2:
+            (k0, c0, e0), (k1, c1, e1) = node
+            p0 = adj_of(paths[c0], e0)
+            p1 = adj_of(paths[c1], e1)
+            # the kernel compares canonical b points (max endpoint)
+            b0 = max(v, p0)
+            b1 = max(v, p1)
+            lt = (c0, e0) if _is_cw(min(v, p0), b0, b1) else (c1, e1)
+        else:
+            lt = (ci, 0 if paths[ci][0] == v else 1)
+            top_a = v
+            top_b = max(v, adj_of(paths[ci], lt[1]))
+            for (sk, eci, eend) in node:
+                if (eci, eend) == lt or not alive[eci]:
+                    continue
+                pb = max(v, adj_of(paths[eci], eend))
+                if sk[0] >= sk[1]:
+                    continue
+                if _is_cw(top_a, top_b, pb):
+                    continue
+                lt = (eci, eend)
+                top_b = pb
+        lt_ci, lt_end = lt
+        # lt must be a single segment for the kernel's begin/probe
+        # bookkeeping; split the chosen chain if it is longer
+        if len(paths[lt_ci]) > 2:
+            jj = 0 if lt_end == 0 else len(paths[lt_ci]) - 2
+            split_chain(lt_ci, jj)
+            if alive[ci]:
+                heapq.heappush(heap, (mins[ci][0], ci))
+            continue        # retry with segment-granular start
+        t, h = paths[lt_ci][0], paths[lt_ci][-1]
+        flag = t < h        # is_fill_top recovered from travel
+        direction = not flag
+        sla, slb = seg_key(t, h)
+        if direction:
+            begin, nid_pt, last_pt = slb, sla, slb
+        else:
+            begin, nid_pt, last_pt = sla, slb, sla
+        lt_end_at_nid = 0 if paths[lt_ci][0] == nid_pt else 1
+        lt_end_at_last = 1 - lt_end_at_nid
+        alive[lt_ci] = False
+        points = [begin]
+        last = knext(lt_ci, lt_end_at_last, nid_pt, last_pt,
+                     not direction)
+        cur_ci, cur_end, cur_adj = lt_ci, lt_end_at_nid, last_pt
+        guard = 0
+        while (last is None or cur_ci != last[0]) and \
+                guard <= total_pts + 8:
+            guard += 1
+            nx = knext(cur_ci, cur_end, cur_adj, nid_pt, direction)
+            if nx is None or not alive.get(nx[0], False):
+                break       # defective input; drop sub-3-point later
+            eci, eend = nx
+            epath = paths[eci]
+            if eend == 0:
+                points.extend(epath[:-1])
+                nid_pt = epath[-1]
+                cur_adj = epath[-2]
+                cur_end = 1
+            else:
+                points.extend(reversed(epath[1:]))
+                nid_pt = epath[0]
+                cur_adj = epath[1]
+                cur_end = 0
+            alive[eci] = False
+            cur_ci = eci
+        if len(points) >= 3:
+            rings.append(points)
     return rings
 
 
