@@ -642,9 +642,21 @@ def _pair_plan(segs: Segments):
     use_bands = False
     flat_pairs = 0
     if n > 512:
-        j_end = np.searchsorted(segs.ax, segs.bx, side="right")
-        flat_pairs = int(np.maximum(
-            j_end - np.arange(1, n + 1), 0).sum())
+        # flat_pairs feeds only the regime heuristic and the band
+        # count (any B >= 2 enumerates the identical pair set), so a
+        # strided estimate is safe above 1M rows — the exact
+        # searchsorted over the full table costs ~0.2-0.35 s per
+        # split round at Spiral-524k scale
+        if n >= 1_000_000:
+            k = 16
+            sel = np.arange(0, n, k, dtype=np.int64)
+            j_end = np.searchsorted(segs.ax, segs.bx[sel], side="right")
+            flat_pairs = int(np.maximum(
+                j_end - (sel + 1), 0).sum()) * k
+        else:
+            j_end = np.searchsorted(segs.ax, segs.bx, side="right")
+            flat_pairs = int(np.maximum(
+                j_end - np.arange(1, n + 1), 0).sum())
         use_bands = flat_pairs > max(32 * n, 1 << 16)
     if use_bands and _RECT_FAST:
         is_h = segs.ay == segs.by

@@ -127,7 +127,9 @@ PARALLEL_SORT_MIN = 8_000_000
 
 # sharded mark application engages above this many marks: below it the
 # in-process lexsort+scatter beats put + shard-gather overhead
-PARALLEL_APPLY_MIN = 2_000_000
+# (r5 A/B: wave wins at 262k/524k/1.05M marks — 0.166->0.136,
+# 0.327->0.277, 0.71->0.54 s, outputs array-identical)
+PARALLEL_APPLY_MIN = 200_000
 
 
 @ray.remote
@@ -346,6 +348,21 @@ def _marks_shard(arrs, radius: int, lo: int, hi: int, idx,
                  ctx):
     ax, ay, bx, by, subj, clip = arrs
     from ..geometry.kernel import _find_marks
+    if idx is None:
+        # select in-task: any segment whose y-extent overlaps a band in
+        # [lo, hi).  Band membership depends only on (y0, h) and the
+        # segment's own y-extent, so the subset is identical to the
+        # old driver-side pre-selection — but the 32 O(n) selection
+        # scans now run in PARALLEL across the wave instead of
+        # sequentially on the driver (~0.4 s at Spiral 524k).
+        _, y0, h = ctx
+        ymin = np.minimum(ay, by)
+        ymax = np.maximum(ay, by)
+        idx = np.flatnonzero(((ymax - y0) // h >= lo)
+                             & ((ymin - y0) // h < hi))
+        if not len(idx):
+            z = np.zeros(0, np.int64)
+            return z, z.copy(), z.copy(), False
     segs = Segments(ax[idx], ay[idx], bx[idx], by[idx],
                     subj[idx], clip[idx])
     m_idx, m_px, m_py, any_round = _find_marks(
@@ -360,13 +377,15 @@ def find_marks_ray(segs: Segments, radius: int, shards: int | None = None):
     marks in band order, which is exactly the full enumeration's
     emission order.
 
-    The driver pre-selects each shard's segment subset (any segment
-    whose y-extent overlaps a band in the range) and ships the
-    full-table band geometry, so a task's setup scales with its own
-    slice instead of the whole table; returned mark indices are mapped
-    back through the subset's original-index array.  Returns None
-    (fall through to the in-process path) for non-banded plans or
-    small scenes."""
+    Each task selects its own segment subset (any segment whose
+    y-extent overlaps a band in the range) from the one shared
+    ``ray.put`` table — the selection scans run in parallel across the
+    wave instead of sequentially on the driver — and receives the
+    full-table band geometry so the subset bands identically to the
+    full enumeration.  Returned mark indices are mapped back through
+    the subset's original-index array in-task.  Returns None (fall
+    through to the in-process path) for non-banded plans or small
+    scenes."""
     from ..geometry.kernel import _pair_plan
     n = len(segs)
     if n < PARALLEL_MIN_SEGS or not ray.is_initialized():
@@ -384,8 +403,6 @@ def find_marks_ray(segs: Segments, radius: int, shards: int | None = None):
     y0 = int(ymin.min())
     y1 = int(ymax.max())
     h = max(1, (y1 - y0 + B) // B)
-    bmin = (ymin - y0) // h
-    bmax = (ymax - y0) // h
     ctx = (B, y0, h)
     arrs_ref = ray.put((segs.ax, segs.ay, segs.bx, segs.by,
                         segs.subj, segs.clip))
@@ -395,11 +412,8 @@ def find_marks_ray(segs: Segments, radius: int, shards: int | None = None):
         lo, hi = int(bounds[i]), int(bounds[i + 1])
         if hi <= lo:
             continue
-        idx = np.flatnonzero((bmax >= lo) & (bmin < hi))
-        if not len(idx):
-            continue
         futs.append(_marks_shard.remote(arrs_ref, radius, lo, hi,
-                                        idx, ctx))
+                                        None, ctx))
     parts = ray.get(futs)
     if not parts:
         z = np.zeros(0, np.int64)
