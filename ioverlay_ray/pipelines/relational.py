@@ -24,11 +24,23 @@ def _read(sf_dir: str, table: str, columns=None,
           num_blocks: int | None = None) -> "ray.data.Dataset":
     # the test tables are single-row-group files; without an explicit
     # block target Ray reads each as ONE block and every downstream
-    # map stage becomes a single task
+    # map stage becomes a single task.  The auto block count follows
+    # BOTH the cluster (>= CPUs tasks) and the data (blocks bounded to
+    # ~16 MB of file bytes): count-only blocks let a big corpus hand
+    # each worker a 50+ MB text slice, and Python-object stages (gram
+    # explosion) then degrade super-linearly in GC/heap churn — the
+    # 4M-doc curation rehearsal measured 120 s at 8 cpus with 8 blocks
+    # vs ~70 s with byte-bounded blocks.
+    path = os.path.join(sf_dir, f"{table}.parquet")
     if num_blocks is None:
-        num_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns,
+        size = os.path.getsize(path)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # one block per ~MB up to the cluster width (tiny tables stay
+        # at 8 blocks — more tasks than data is pure overhead), and
+        # never let a block exceed ~16 MB of file bytes (oversized
+        # text slices degrade Python-object stages super-linearly)
+        num_blocks = max(8, min(cpus, size >> 20), size >> 24)
+    return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=num_blocks)
 
 
@@ -265,8 +277,7 @@ def q_doc_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: hash-partition by content key, keep min doc_id."""
     from ..stages.dedup import exact_key_stage
     from ..stages.agg import hash_aggregate
-    ds = _read(sf_dir, "documents", ["doc_id", "text"],
-               num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     keyed = ds.map_batches(exact_key_stage, batch_format="pyarrow")
     kept = hash_aggregate(keyed, ["content_key"],
                           {"doc_id": ("doc_id", "min")}).to_pandas()
@@ -308,7 +319,7 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     state_dir = dedup_state_dir(sf_dir)
     shutil.rmtree(state_dir, ignore_errors=True)
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     keyed = docs.map_batches(exact_key_stage, batch_format="pyarrow")
 
     # wave 1: dedup + persist state (the resumable artifact)
@@ -335,7 +346,7 @@ def q_doc_decontaminate(sf_dir: str, n: int = 8) -> pd.DataFrame:
     the corpus side is one shuffle-free scan."""
     from ..stages.dedup import DecontaminateStage, benchmark_grams
     from ..stages.util import stage_fn
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def bench_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id"))
@@ -378,7 +389,7 @@ def q_doc_tfidf_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
     from ..stages.text import tfidf_term_rows
     from ..stages.topk import grouped_topk
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     tf = docs.map_batches(tfidf_term_rows, batch_format="pyarrow")
     dfreq = hash_aggregate(tf, ["term"], {"df": ("doc_id", "count")})
     joined = _tagged_join(tf, dfreq, ["term"], ["doc_id", "tf"], ["df"])
@@ -482,7 +493,7 @@ def q_doc_lm_fluency(sf_dir: str) -> pd.DataFrame:
     from ..stages.agg import hash_aggregate
     from ..stages.text import bigram_rows, distinct_token_rows
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def gram_and_token_rows(batch: pa.Table) -> pa.Table:
         # ONE text scan feeds both branches: kind=0 bigram rows,
@@ -617,7 +628,7 @@ def q_epoch_shuffle_head(sf_dir: str, seed: int = 7,
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "shuffle_key": pa.array(key, pa.int64())})
 
-    ds = _read(sf_dir, "documents", ["doc_id"], num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id"])
     top = global_topk(ds.map_batches(keyed, batch_format="pyarrow"),
                       "shuffle_key", k, descending=False,
                       tie_cols=["doc_id"])
@@ -628,8 +639,7 @@ def q_epoch_shuffle_head(sf_dir: str, seed: int = 7,
 
 def q_doc_token_stats(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import token_stats
-    ds = _read(sf_dir, "documents", ["doc_id", "text"],
-               num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(token_stats, batch_format="pyarrow").to_pandas()
 
 
@@ -637,30 +647,26 @@ def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
     """Per-doc token repetition features (the repetition filter):
     shuffle-free map_batches scan."""
     from ..stages.text import repetition_stats
-    ds = _read(sf_dir, "documents", ["doc_id", "text"],
-               num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(repetition_stats,
                           batch_format="pyarrow").to_pandas()
 
 
 def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import quality_features
-    ds = _read(sf_dir, "documents", ["doc_id", "text"],
-               num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(quality_features, batch_format="pyarrow").to_pandas()
 
 
 def q_doc_lang(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import lang_id
-    ds = _read(sf_dir, "documents", ["doc_id", "text"],
-               num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(lang_id, batch_format="pyarrow").to_pandas()
 
 
 def q_doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import fingerprint
-    ds = _read(sf_dir, "documents", ["doc_id", "text"],
-               num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(fingerprint, batch_format="pyarrow").to_pandas()
 
 
@@ -674,8 +680,7 @@ def q_doc_chunks(sf_dir: str, window: int = 64,
     import functools
 
     from ..stages.text import chunk_windows
-    ds = _read(sf_dir, "documents", ["doc_id", "text"],
-               num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
         functools.partial(chunk_windows, window=window, stride=stride),
         batch_format="pyarrow").to_pandas()
@@ -702,8 +707,7 @@ def q_doc_bm25(sf_dir: str, k: int = 10) -> pd.DataFrame:
     from ..stages.text import BM25_TERMS, bm25_features
     from ..stages.topk import grouped_topk
 
-    feats = _read(sf_dir, "documents", ["doc_id", "text"],
-                  num_blocks=8).map_batches(
+    feats = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         bm25_features, batch_format="pyarrow").materialize()
     # corpus stats: per-block partials -> one tiny driver-side sum
     def stats_partial(b: pa.Table) -> pa.Table:
@@ -785,7 +789,7 @@ def q_pack_sequences(sf_dir: str, capacity: int = 2048,
             "pack_off": pa.array(off, pa.int64()),
         })
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = (ds.map_batches(features, batch_format="pyarrow")
            .groupby("shard")
            .map_groups(pack_shard, batch_format="pyarrow")
@@ -819,8 +823,7 @@ def q_source_mix(sf_dir: str) -> pd.DataFrame:
                          "source": b.column("source"),
                          "n_tokens": pa.array(n, pa.int64())})
 
-    feats = _read(sf_dir, "documents", ["doc_id", "source", "text"],
-                  num_blocks=8).map_batches(
+    feats = _read(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
         features, batch_format="pyarrow").materialize()
 
     totals = hash_aggregate(
@@ -936,7 +939,7 @@ def q_doc_dup_spans(sf_dir: str, n: int = 8) -> pd.DataFrame:
 
     from ..stages.agg import _part_of, hash_aggregate
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     P = 32
 
     def gram_rows(batch: pa.Table) -> pa.Table:
@@ -1014,7 +1017,7 @@ def q_vocab_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
         })
 
     counts = hash_aggregate(
-        _read(sf_dir, "documents", ["text"], num_blocks=8)
+        _read(sf_dir, "documents", ["text"])
         .map_batches(term_partials, batch_format="pyarrow"),
         ["term"], {"cnt": ("cnt", "sum")})
     top = global_topk(counts, "cnt", k, tie_cols=["term"])
@@ -1049,8 +1052,7 @@ def q_doc_quality_filter(sf_dir: str, q: float = 0.75) -> pd.DataFrame:
             "score": pa.array(1000 * n_dis // n_tok, pa.int64()),
         })
 
-    scores = _read(sf_dir, "documents", ["doc_id", "text"],
-                   num_blocks=8).map_batches(
+    scores = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         score_rows, batch_format="pyarrow").materialize()
     thr_df = exact_grouped_quantiles(scores, "g", "score", [q])
     thr = int(thr_df["value"].iloc[0])
@@ -1096,7 +1098,14 @@ def curation_survivors(sf_dir: str, q: float = 0.75,
     from ..stages.quantile import exact_grouped_quantiles
     from ..stages.text import pack_greedy, space_token_counts
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    # block count follows the cluster AND the data (_read default =
+    # max(8, CPUs, bytes/16MB)): the formerly pinned num_blocks=8
+    # capped every narrow stage at 8-way parallelism (0.44 scaling
+    # efficiency 8->32 cpus at 500k docs) and count-only blocks handed
+    # workers 50+ MB text slices (super-linear degradation in the gram
+    # stage's Python-object churn).  Results are block-count invariant:
+    # every stage is content-keyed.
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     # -- stage 1: corpus-quantile quality threshold ----------------
     def score_rows(b: pa.Table) -> pa.Table:
@@ -1130,22 +1139,35 @@ def curation_survivors(sf_dir: str, q: float = 0.75,
     kept = docs.map_batches(keep_quality, batch_format="pyarrow")
 
     # -- stage 2: exact dedup (min doc_id per content key) ---------
-    def key_rows(b: pa.Table) -> pa.Table:
-        k = exact_key_stage(b.select(["doc_id", "text"]))
-        return k.append_column("n_tokens", b.column("n_tokens")) \
-            .append_column("text", b.column("text"))
+    # one content-key hash exchange with the text riding it (a
+    # materializing pipeline must ship the text once); the exchange
+    # keys on a PARTITION id (hash(content_key) % P2, the stage-3
+    # pattern) so the winner selection is one vectorized
+    # drop-duplicates per partition — grouping on the raw key made
+    # Ray call the UDF once per distinct key (125k pandas calls at
+    # 500k docs: 16 of the 24 s wall; this form removes that).
+    P2 = 64
 
-    def dedup_group(g: pa.Table) -> pa.Table:
+    def key_rows(b: pa.Table) -> pa.Table:
+        from ..stages.agg import _part_of
+        k = exact_key_stage(b.select(["doc_id", "text"]))
+        df = pd.DataFrame({"content_key": k.column("content_key")})
+        return k.append_column("n_tokens", b.column("n_tokens")) \
+            .append_column("text", b.column("text")) \
+            .append_column("part", pa.array(
+                _part_of(df, ["content_key"], P2), pa.int64()))
+
+    def dedup_part(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
-        win = df.sort_values("doc_id").groupby(
-            "content_key", as_index=False).first()
+        win = df.sort_values(["content_key", "doc_id"]) \
+            .drop_duplicates("content_key", keep="first")
         return pa.Table.from_pandas(
             win[["doc_id", "text", "n_tokens"]],
             preserve_index=False).replace_schema_metadata(None)
 
     deduped = (kept.map_batches(key_rows, batch_format="pyarrow")
-               .groupby("content_key")
-               .map_groups(dedup_group, batch_format="pyarrow")
+               .groupby("part")
+               .map_groups(dedup_part, batch_format="pyarrow")
                ).materialize()
 
     # -- stage 3: dup-span filter over the survivors ---------------
@@ -1313,7 +1335,7 @@ def _minhash_candidates_ds(sf_dir: str):
     from ..stages.dedup import minhash_band_rows
     # ~8 blocks: enough parallelism while each task's per-worker
     # shingle cache still amortizes over hundreds of docs
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(minhash_band_rows, batch_format="pyarrow")
     counts = hash_aggregate(bands, ["band_key"], {
         "members": ("doc_id", "count"),
@@ -1363,7 +1385,7 @@ def q_neardup_clusters(sf_dir: str) -> pd.DataFrame:
                          "dst": batch.column("doc_id")})
 
     edges = (cand.map_batches(cand_edges, batch_format="pyarrow")
-             .union(_read(sf_dir, "documents", ["doc_id"], num_blocks=8)
+             .union(_read(sf_dir, "documents", ["doc_id"])
                     .map_batches(self_edges, batch_format="pyarrow")))
     labels = connected_components(edges, num_partitions=8)
     out = labels.to_pandas().rename(
@@ -1392,7 +1414,7 @@ def q_cluster_capped_sample(sf_dir: str, k: int = 2) -> pd.DataFrame:
                          "dst": batch.column("doc_id")})
 
     edges = (cand.map_batches(cand_edges, batch_format="pyarrow")
-             .union(_read(sf_dir, "documents", ["doc_id"], num_blocks=8)
+             .union(_read(sf_dir, "documents", ["doc_id"])
                     .map_batches(self_edges, batch_format="pyarrow")))
     labels = connected_components(edges, num_partitions=8)
 
@@ -1411,8 +1433,7 @@ def q_cluster_capped_sample(sf_dir: str, k: int = 2) -> pd.DataFrame:
 def q_simhash(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import SimHashStage
     from ..stages.util import stage_fn
-    ds = _read(sf_dir, "documents", ["doc_id", "text"],
-               num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     # stage_fn task pool: the ±1 contribution cache builds once per
     # worker; no per-call actor spin-up (1.68 -> 0.37 s warm at sf0.1)
     return ds.map_batches(stage_fn(SimHashStage),
@@ -1499,7 +1520,7 @@ def q_embedding_neardup_clusters(sf_dir: str) -> pd.DataFrame:
                          "dst": batch.column("vec_id")})
 
     edges = (pairs.map_batches(pair_edges, batch_format="pyarrow")
-             .union(_read(sf_dir, "embeddings", ["vec_id"], num_blocks=8)
+             .union(_read(sf_dir, "embeddings", ["vec_id"])
                     .map_batches(self_edges, batch_format="pyarrow")))
     labels = connected_components(edges, num_partitions=8)
     out = labels.to_pandas().rename(
@@ -1943,8 +1964,7 @@ def q_doc_minhash(sf_dir: str) -> pd.DataFrame:
     (SQL-checked against the permutation arithmetic oracle)."""
     from ..stages.dedup import MinHashStage
     from ..stages.util import stage_fn
-    ds = _read(sf_dir, "documents", ["doc_id", "text"],
-               num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(stage_fn(MinHashStage),
                           batch_format="pyarrow").to_pandas()
     sigs["sig"] = sigs["minhash"].map(
@@ -1974,7 +1994,7 @@ def q_doc_sample_hash(sf_dir: str) -> pd.DataFrame:
     """~10% deterministic sample of documents: keep doc when
     hash(doc_id) % 100 < 10. Pure per-batch map — no shuffle, no
     state; scales as a single streaming pass."""
-    ds = _read(sf_dir, "documents", ["doc_id"], num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id"])
 
     def stage(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(
@@ -1997,7 +2017,7 @@ def q_doc_sample_stratified(sf_dir: str) -> pd.DataFrame:
     per-batch language ID, then ONE groupby(lang) exchange with a
     vectorized per-group rank."""
     from ..stages.text import lang_id
-    ds = _read(sf_dir, "documents", ["doc_id", "text"], num_blocks=8)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     langs = ds.map_batches(lang_id, batch_format="pyarrow")
 
     def pick(group: pd.DataFrame) -> pd.DataFrame:
