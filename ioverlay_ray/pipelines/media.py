@@ -394,13 +394,44 @@ def q_image_phash_neardup(sf_dir: str, n_images: int = 240,
             "phash": pa.array(np.tile(ph.view(np.int64), 4)),
         })
 
-    def pairs(group: pa.Table) -> pa.Table:
-        idx = group.column("idx").to_numpy()
-        ph = group.column("phash").to_numpy()
-        order = np.argsort(idx, kind="stable")
-        idx, ph = idx[order], ph[order]
-        n = len(idx)
-        ia, ib = np.triu_indices(n, k=1)
+    # both exchanges key on a PARTITION id (hash % P), not the raw
+    # (band, bval) / (id_a, id_b) keys: grouping on the keys makes Ray
+    # Data call the UDF once per distinct bucket/pair (the per-group
+    # pitfall fixed across the repo this round); every bucket's rows
+    # land whole in one part, so per-part processing is exact
+    P = 32
+
+    def part_of_bucket(batch: pa.Table) -> pa.Table:
+        band = batch.column("band").to_numpy()
+        bval = batch.column("bval").to_numpy()
+        mix = (band * np.int64(2654435761)
+               + bval * np.int64(40503))
+        return batch.append_column(
+            "part", pa.array((mix % P + P) % P, pa.int64()))
+
+    def pairs_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["band", "bval", "idx"],
+                                           kind="stable")
+        band = df["band"].to_numpy(np.int64)
+        bval = df["bval"].to_numpy(np.int64)
+        idx = df["idx"].to_numpy(np.int64)
+        ph = df["phash"].to_numpy(np.int64)
+        nb_ = np.concatenate(([True], (band[1:] != band[:-1])
+                              | (bval[1:] != bval[:-1])))
+        starts = np.flatnonzero(nb_)
+        ends = np.concatenate((starts[1:], [len(band)]))
+        ia_parts, ib_parts = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s >= 2:
+                ia, ib = np.triu_indices(e - s, k=1)
+                ia_parts.append(ia + s)
+                ib_parts.append(ib + s)
+        if not ia_parts:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
         ham = _popcount64(np.bitwise_xor(ph[ia], ph[ib]))
         keep = ham <= thresh
         return pa.table({
@@ -409,17 +440,29 @@ def q_image_phash_neardup(sf_dir: str, n_images: int = 240,
             "hamming": pa.array(ham[keep], pa.int64()),
         })
 
-    def first_row(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    def part_of_pair(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy()
+        b = batch.column("id_b").to_numpy()
+        mix = (a * np.int64(2654435761) + b * np.int64(40503))
+        return batch.append_column(
+            "part", pa.array((mix % P + P) % P, pa.int64()))
+
+    def distinct_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(
+            df[["id_a", "id_b", "hamming"]],
+            preserve_index=False).replace_schema_metadata(None)
 
     ds = ray.data.range(n_images, override_num_blocks=nb)
     out = (ds.map_batches(gen, batch_format="pyarrow")
            .map_batches(stage_fn(PhashStage), batch_format="pyarrow")
            .map_batches(bands, batch_format="pyarrow")
-           .groupby(["band", "bval"])
-           .map_groups(pairs, batch_format="pyarrow")
-           .groupby(["id_a", "id_b"])
-           .map_groups(first_row, batch_format="pyarrow")).to_pandas()
+           .map_batches(part_of_bucket, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(pairs_part, batch_format="pyarrow")
+           .map_batches(part_of_pair, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(distinct_part, batch_format="pyarrow")).to_pandas()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True) \
         .astype(np.int64)
 

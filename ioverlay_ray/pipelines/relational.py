@@ -1668,33 +1668,43 @@ def q_ann_lsh_buckets(sf_dir: str, n_planes: int = 8) -> pd.DataFrame:
 
 def q_event_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Gap-based sessionization (the stateful streaming-window op):
-    events hash-partition by user, each group sorts its timestamps and
-    cuts sessions at gaps > 30 min — vectorized numpy inside map_groups,
+    events exchange on user_id % P (a PARTITION id, not the raw user
+    key — grouping on the key itself makes Ray Data call the UDF once
+    per distinct user, the per-group-call pitfall fixed in the
+    curation dedup this round); each partition sorts by (user, ts)
+    once and cuts every user's sessions in one vectorized pass,
     matching the SQL lag/cumsum window oracle."""
     gap_us = gap_minutes * 60 * 1_000_000
+    P = 32
 
-    def sessionize(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values("ts")
+    def tag(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b.column("user_id"), dtype=np.int64)
+        return b.append_column("part", pa.array(uid % P, pa.int64()))
+
+    def sessionize_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["user_id", "ts"])
+        uid = df["user_id"].to_numpy(np.int64)
         ts = df["ts"].astype("int64").to_numpy()  # microseconds
-        new = np.concatenate(([True], np.diff(ts) > gap_us))
-        sid = np.cumsum(new)
-        out = pd.DataFrame({"sid": sid, "ts": ts})
-        g = out.groupby("sid")["ts"].agg(["min", "max", "size"])
+        new = np.concatenate(([True], (uid[1:] != uid[:-1])
+                              | (np.diff(ts) > gap_us)))
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(ts)]))
         return pa.table({
-            "user_id": pa.array([int(df["user_id"].iloc[0])] * len(g),
-                                pa.int64()),
-            "session_start": pa.array(g["min"].to_numpy() // 1_000_000,
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_start": pa.array(ts[starts] // 1_000_000,
                                       pa.int64()),
-            "n_events": pa.array(g["size"].to_numpy().astype(np.int64),
+            "n_events": pa.array((ends - starts).astype(np.int64),
                                  pa.int64()),
             "duration_s": pa.array(
-                g["max"].to_numpy() // 1_000_000
-                - g["min"].to_numpy() // 1_000_000, pa.int64()),
+                ts[ends - 1] // 1_000_000 - ts[starts] // 1_000_000,
+                pa.int64()),
         })
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    out = ds.groupby("user_id").map_groups(
-        sessionize, batch_format="pyarrow").to_pandas()
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("part")
+           .map_groups(sessionize_part, batch_format="pyarrow")
+           ).to_pandas()
     return out.sort_values(["user_id", "session_start"]) \
         .reset_index(drop=True)
 
