@@ -192,3 +192,32 @@ def test_lossy_psnr_gate():
     assert (dec == (((px >> 2) << 2) | 2)).all()
     # lossless path caps cleanly
     assert psnr_mdb(0, 100) == 99000
+
+
+def test_phash_pairs_partitioning_complete(ray_session):
+    """The band-hash part exchange must find exactly the pairs the
+    direct all-bucket enumeration finds (every bucket lands whole in
+    one part, and pair-distinct dedup is global because equal pairs
+    hash to the same part)."""
+    import numpy as np
+
+    from ioverlay_ray.pipelines.media import q_image_phash_neardup
+    from ioverlay_ray.sources.synth import neardup_pixels, phash64
+
+    got = q_image_phash_neardup(None, n_images=96)
+
+    phs = np.array([phash64(neardup_pixels(i)[2]) for i in range(96)],
+                   dtype=np.uint64)
+    want = set()
+    for band in range(4):
+        bv = (phs >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+        for v in np.unique(bv):
+            members = np.flatnonzero(bv == v)
+            for ai in range(len(members)):
+                for bi in range(ai + 1, len(members)):
+                    a, b = int(members[ai]), int(members[bi])
+                    ham = bin(int(phs[a] ^ phs[b])).count("1")
+                    if ham <= 6:
+                        want.add((a, b, ham))
+    got_set = set(zip(got["id_a"], got["id_b"], got["hamming"]))
+    assert got_set == want

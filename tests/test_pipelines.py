@@ -838,3 +838,92 @@ def test_curation_pipeline_planted(ray_session, tmp_path):
     # shard 0 packs docs 0 then 2: 12+12 > 20 -> two packs
     assert by_doc.loc[0, "pack_id"] == 0 and by_doc.loc[2, "pack_id"] == 1
     assert by_doc.loc[1, "pack_id"] == 0 and by_doc.loc[1, "pack_off"] == 0
+
+
+def test_sessionize_part_matches_per_user_reference(ray_session,
+                                                    tmp_path):
+    """The partition-wise vectorized sessionization (one exchange on
+    user_id % P, multi-user cuts via run boundaries) must equal the
+    straightforward per-user reference on random data — including
+    same-timestamp runs and single-event users."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ioverlay_ray.pipelines.relational import q_event_sessions
+
+    rng = np.random.default_rng(99)
+    n = 5000
+    users = rng.integers(0, 200, n)
+    ts = rng.integers(0, 10**7, n) * 1_000_000  # microseconds
+    pq.write_table(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+
+    got = q_event_sessions(str(tmp_path))
+
+    gap_us = 30 * 60 * 1_000_000
+    rows = []
+    df = pd.DataFrame({"user_id": users, "ts": ts})
+    for uid, g in df.groupby("user_id"):
+        t = np.sort(g["ts"].to_numpy())
+        new = np.concatenate(([True], np.diff(t) > gap_us))
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(t)]))
+        for s, e in zip(starts, ends):
+            rows.append((uid, t[s] // 10**6, e - s,
+                         t[e - 1] // 10**6 - t[s] // 10**6))
+    want = pd.DataFrame(rows, columns=["user_id", "session_start",
+                                       "n_events", "duration_s"]) \
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64)[want.columns], want.astype(np.int64))
+
+
+def test_read_block_formula(ray_session, tmp_path, monkeypatch):
+    """_read sizes blocks by max(8, min(cpus, MBs), bytes/16MB):
+    tiny tables stay at 8 blocks, mid tables track the cluster, huge
+    tables stay byte-bounded even past the cluster width."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ioverlay_ray.pipelines import relational as R
+
+    pq.write_table(pa.table({"x": pa.array(np.arange(10), pa.int64())}),
+                   str(tmp_path / "t.parquet"))
+
+    sizes = {}
+
+    real_getsize = os.path.getsize
+
+    def fake_getsize(p):
+        return sizes.get(p, real_getsize(p))
+
+    captured = {}
+
+    def fake_read(path, columns=None, override_num_blocks=None):
+        captured["blocks"] = override_num_blocks
+
+        class _D:
+            pass
+        return _D()
+
+    monkeypatch.setattr(R.os.path, "getsize", fake_getsize)
+    monkeypatch.setattr(R.ray.data, "read_parquet", fake_read)
+    path = str(tmp_path / "t.parquet")
+    cpus = int(R.ray.cluster_resources().get("CPU", 8))
+
+    sizes[path] = 1 << 19           # 0.5 MB -> floor of 8
+    R._read(str(tmp_path), "t")
+    assert captured["blocks"] == 8
+    sizes[path] = 100 << 20         # 100 MB -> cluster width
+    R._read(str(tmp_path), "t")
+    assert captured["blocks"] == max(8, min(cpus, 100), 100 >> 4)
+    sizes[path] = 10 << 30          # 10 GB -> byte-bounded, > cpus
+    R._read(str(tmp_path), "t")
+    assert captured["blocks"] == (10 << 30) >> 24
